@@ -1,0 +1,89 @@
+"""Engine configuration.
+
+Field-for-field mirror of the semantically load-bearing keys of the
+reference's ``conf/nutch-default.xml`` (values extracted from that file;
+the fork's config wins over code defaults, e.g. adaptive ``inc_rate``
+0.4 at nutch-default.xml:580-620 vs. the 0.2 code default at
+AdaptiveFetchSchedule.java:87 — SURVEY.md header note 3).
+
+All times are integer milliseconds or integer seconds exactly as in the
+reference — no TimestampType anywhere (parity arithmetic is integer ms,
+AbstractFetchSchedule.java:121).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class NutchConfig:
+    # --- crawldb / updatedb (conf/nutch-default.xml) ---
+    db_fetch_interval_default: int = 2592000  # 30 d, db.fetch.interval.default
+    db_fetch_interval_max: int = 7776000  # 90 d, db.fetch.interval.max
+    db_fetch_retry_max: int = 3  # db.fetch.retry.max
+    db_fetch_schedule: str = "default"  # default | adaptive
+    db_update_additions_allowed: bool = True  # db.update.additions.allowed
+    db_update_purge_404: bool = False  # db.update.purge.404
+    db_update_purge_orphans: bool = False  # db.update.purge.orphans
+    db_injector_overwrite: bool = False  # db.injector.overwrite
+    db_injector_update: bool = False  # db.injector.update
+    db_score_injected: float = 1.0  # db.score.injected
+    db_score_link_internal: float = 1.0  # db.score.link.internal
+    db_score_link_external: float = 1.0  # db.score.link.external
+    db_max_outlinks_per_page: int = 100  # db.max.outlinks.per.page
+    db_max_outlink_length: int = 4096  # db.max.outlink.length
+    db_ignore_internal_links: bool = False  # db.ignore.internal.links
+    db_ignore_external_links: bool = False  # db.ignore.external.links
+
+    # --- adaptive fetch schedule (nutch-default.xml:580-620; fork values) ---
+    adaptive_inc_rate: float = 0.4
+    adaptive_dec_rate: float = 0.2
+    adaptive_min_interval: float = 60.0
+    adaptive_max_interval: float = 31536000.0  # 365 d
+    adaptive_sync_delta: bool = True
+    adaptive_sync_delta_rate: float = 0.3
+
+    # --- generate (Generator.java + nutch-default.xml) ---
+    generate_max_count: int = -1  # generate.max.count (-1 = unlimited)
+    generate_count_mode: str = "host"  # generate.count.mode: host | domain
+    generate_min_score: float = 0.0  # generate.min.score
+    generate_min_interval: int = -1  # generate.min.interval
+    generate_max_interval: int = -1  # generate.restrict.interval (-1 off)
+    generate_restrict_status: str | None = None  # generate.restrict.status
+    generate_update_crawldb: bool = False  # generate.update.crawldb
+    crawl_gen_delay_ms: int = 604800000  # crawl.gen.delay = 7 d
+    partition_url_mode: str = "byHost"  # partition.url.mode: byHost|byDomain|byIP
+
+    # --- fetcher politeness (nutch-default.xml:1010-1075) ---
+    fetcher_server_delay: float = 5.0  # s, fetcher.server.delay
+    fetcher_server_min_delay: float = 0.0  # s, fetcher.server.min.delay
+    fetcher_threads_per_queue: int = 1  # fetcher.threads.per.queue
+    fetcher_max_crawl_delay: float = 30.0  # s, fetcher.max.crawl.delay
+    fetcher_queue_mode: str = "byHost"  # fetcher.queue.mode
+    fetcher_max_exceptions_per_queue: int = -1  # fetcher.max.exceptions.per.queue
+    fetcher_exceptions_per_queue_delay: float = 10.0  # backoff base, s
+    fetcher_timelimit_mins: int = -1  # fetcher.timelimit.mins
+    http_redirect_max: int = 0  # http.redirect.max (0 = record as linked)
+
+    # --- dedup (DeduplicationJob.java:284) ---
+    dedup_compare_order: str = "score,fetchTime,urlLength"
+    dedup_group_mode: str = "none"  # none | host | domain
+
+    # --- linkdb ---
+    linkdb_max_inlinks: int = 10000  # linkdb.max.inlinks
+    linkdb_max_anchor_length: int = 100  # linkdb.max.anchor.length
+    linkdb_ignore_internal_links: bool = True  # linkdb.ignore.internal.links
+    linkdb_ignore_external_links: bool = False
+
+    # --- engine / physical execution knobs (ours, not Nutch's) ---
+    shuffle_partitions: int = 32
+    fetch_partitions: int = 32  # numLists equivalent (Generator numLists)
+    partition_url_seed: int = 42  # partition.url.seed analogue, injected
+    generator_parity_mode: bool = False  # exact single-stream replay (tests)
+
+    def with_(self, **kw) -> "NutchConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = NutchConfig()

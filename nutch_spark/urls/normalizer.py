@@ -1,0 +1,339 @@
+"""URL normalization — the reference's default chain re-expressed in Python.
+
+The reference runs an ordered, per-scope plugin chain (framework
+``net/URLNormalizers.java:97-119``, default order Basic -> Regex per
+``conf/nutch-default.xml:1485-1486``). We re-express both active
+normalizers as pure-Python functions applied inside one Arrow-batched
+pandas UDF (``normalize_udf``) — URL parsing is inherently per-string,
+but the batch transfer is vectorized (input_hint mandate).
+
+``basic_normalize``
+    Semantics of ``urlnormalizer-basic/.../BasicURLNormalizer.java``:
+    lowercase scheme + host, percent-decode host, strip default port /
+    empty port, drop fragment, empty path -> "/", RFC3986
+    percent-encoding canonicalization of path+query (unescape
+    unreserved, uppercase other escapes, escape controls/space/
+    ``"<>[]^`{|}``/non-ASCII, escape stray '%'), remove ``/./ /../ //``
+    segments. Conformance corpus: the golden pairs of
+    ``TestBasicURLNormalizer.java:44-290`` (ported to tests/).
+
+``regex_normalize``
+    The default rule list of ``conf/regex-normalize.xml.template:29-60``
+    applied in order, one ``replaceAll`` per rule
+    (``urlnormalizer-regex/.../RegexURLNormalizer.java``).
+
+Malformed URLs return ``None`` (the chain's MalformedURLException ->
+the URL is dropped by callers, matching filter-on-normalize behavior).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Basic normalizer (BasicURLNormalizer.java)
+# ---------------------------------------------------------------------------
+
+_URL_RE = re.compile(
+    r"^([a-zA-Z][a-zA-Z0-9+.\-]*):" r"(//(?P<auth>[^/?#]*))?" r"(?P<path>[^?#]*)" r"(?P<query>\?[^#]*)?" r"(?P<frag>#.*)?$",
+    re.S,
+)
+_ESCAPE_HH = re.compile(r"%([0-9A-Fa-f]{2})")
+_NORMALIZABLE_PATH = re.compile(r"/[./]|[.]/")  # BasicURLNormalizer.java:63-64
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+# RFC3986 unreserved set that must be *decoded* (BasicURLNormalizer.java:75-95)
+_UNRESERVED = set(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+# chars that must be *encoded* (BasicURLNormalizer.java:97-123)
+_MUST_ESCAPE = set(range(0x21)) | {0x22, 0x3C, 0x3E, 0x5B, 0x5D, 0x5E, 0x60, 0x7B, 0x7C, 0x7D, 0x7F}
+_HEX = set(b"0123456789abcdefABCDEF")
+
+
+def _unescape_file(file: str) -> str:
+    """Decode %HH for unreserved chars; uppercase all other escapes."""
+
+    def repl(m: re.Match) -> str:
+        code = int(m.group(1), 16)
+        if code < 128 and code in _UNRESERVED:
+            return chr(code)
+        return m.group(0).upper()
+
+    return _ESCAPE_HH.sub(repl, file)
+
+
+def _escape_file(file: str) -> str:
+    """UTF-8 encode then escape per the reference's escape table."""
+    out = []
+    data = file.encode("utf-8")
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b >= 128 or b in _MUST_ESCAPE:
+            out.append("%%%02X" % b)
+        elif b == 0x25:  # '%': keep only if a valid escape follows
+            if i + 2 < n and data[i + 1] in _HEX and data[i + 2] in _HEX:
+                out.append(chr(b))
+                out.append(chr(data[i + 1]))
+                out.append(chr(data[i + 2]))
+                i += 2
+            else:
+                out.append("%25")
+        else:
+            out.append(chr(b))
+        i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC3986 §5.2.4 + duplicate-slash collapse + leading-/.. strip.
+
+    Matches the observable behavior of ``getFileWithNormalizedPath``
+    (BasicURLNormalizer.java:262-296) on the reference's test corpus.
+    """
+    segments: list[str] = []
+    trailing_slash = path.endswith("/")
+    for seg in path.split("/"):
+        if seg == "" or seg == ".":
+            continue
+        if seg == "..":
+            if segments:
+                segments.pop()
+            # leading ".." at root is dropped (the while-loop strip)
+        else:
+            segments.append(seg)
+    out = "/" + "/".join(segments)
+    if trailing_slash and not out.endswith("/"):
+        out += "/"
+    # ".."/"." final segments imply directory semantics
+    if path.endswith("/..") or path.endswith("/."):
+        if not out.endswith("/"):
+            out += "/"
+    return out
+
+
+def _decode_host(host: str) -> str:
+    """Percent-decode a host name; raise ValueError on a bad sequence
+    (BasicURLNormalizer.normalizeHostName step 1, MalformedURLException)."""
+    if "%" not in host:
+        return host
+    out = []
+    i, n = 0, len(host)
+    while i < n:
+        c = host[i]
+        if c == "%":
+            if i + 2 >= n + 1 or not _ESCAPE_HH.match(host[i : i + 3]):
+                raise ValueError(f"invalid percent-encoded host: {host}")
+            out.append(bytes([int(host[i + 1 : i + 3], 16)]))
+            i += 3
+        else:
+            out.append(c.encode("utf-8"))
+            i += 1
+    return b"".join(out).decode("utf-8")
+
+
+def basic_normalize(
+    url: str | None,
+    host_idn: str | None = None,
+    trim_trailing_dot: bool = False,
+) -> str | None:
+    """Normalize one URL; returns None if malformed."""
+    if url is None:
+        return None
+    if url == "":
+        return ""
+    url = url.strip()
+    m = _URL_RE.match(url)
+    if m is None:
+        return None
+    scheme_raw = m.group(1)
+    scheme = scheme_raw.lower()
+    has_auth = m.group(2) is not None
+    auth = m.group("auth") if has_auth else None
+    path = m.group("path") or ""
+    query = m.group("query") or ""
+    frag = m.group("frag")
+
+    changed = scheme_raw != scheme or url != m.group(0)
+    normalize_path = False
+    host: str | None = None
+    port = -1
+    userinfo = ""
+
+    if scheme in ("http", "https", "ftp"):
+        if has_auth and auth is not None:
+            hostport = auth
+            if "@" in hostport:
+                userinfo, hostport = hostport.rsplit("@", 1)
+                changed = True  # URL recomposition drops userinfo
+            if hostport.startswith("["):  # IPv6 literal
+                idx = hostport.find("]")
+                host_part = hostport[: idx + 1]
+                rest = hostport[idx + 1 :]
+            else:
+                if ":" in hostport:
+                    host_part, _, rest = hostport.partition(":")
+                    rest = ":" + rest
+                else:
+                    host_part, rest = hostport, ""
+            if rest.startswith(":"):
+                port_str = rest[1:]
+                if port_str == "":
+                    changed = True  # empty port removed
+                else:
+                    if not port_str.isdigit():
+                        return None
+                    port = int(port_str)
+            try:
+                new_host = _decode_host(host_part)
+            except ValueError:
+                return None
+            new_host = new_host.lower()
+            if host_idn == "toAscii" and any(ord(c) > 127 for c in new_host):
+                try:
+                    new_host = new_host.encode("idna").decode("ascii")
+                except UnicodeError:
+                    return None
+            elif host_idn == "toUnicode" and "xn--" in new_host:
+                try:
+                    new_host = new_host.encode("ascii").decode("idna")
+                except (UnicodeError, UnicodeDecodeError):
+                    return None
+            if trim_trailing_dot and new_host.endswith("."):
+                new_host = new_host[:-1]
+            if new_host != host_part:
+                changed = True
+            host = new_host
+        else:
+            changed = True  # no authority: recompose
+
+        if port == _DEFAULT_PORTS.get(scheme, -1):
+            port = -1
+            changed = True
+
+        normalize_path = True
+        file = path + query
+        if file == "":
+            file = "/"
+            changed = True
+            normalize_path = False
+        elif not file.startswith("/"):
+            file = "/" + file
+            changed = True
+            normalize_path = False
+        if frag is not None:
+            changed = True
+            frag = None
+    elif scheme == "file":
+        normalize_path = True
+        file = path + query
+    else:
+        host = auth
+        file = path + query
+
+    file2 = _escape_file(_unescape_file(file))
+    if file2 != file:
+        changed = True
+        file = file2
+
+    if normalize_path:
+        # re-split: query survives untouched, only the path is normalized
+        qpos = file.find("?")
+        p, q = (file[:qpos], file[qpos:]) if qpos >= 0 else (file, "")
+        if _NORMALIZABLE_PATH.search(p):
+            p2 = _remove_dot_segments(p)
+            if p2 != p:
+                changed = True
+                file = p2 + q
+        if file == "":
+            file = "/"
+            changed = True
+
+    if not changed:
+        return url
+
+    # recompose as java.net.URL.toExternalForm does: "//" + authority only
+    # when the authority (host[:port]) is non-empty
+    authority = ""
+    if host:
+        authority = host + (":%d" % port if port != -1 else "")
+    prefix = "//" + authority if authority else ("//" + auth if scheme == "file" and has_auth else "")
+    out = scheme + ":" + prefix + file
+    if frag is not None and scheme not in ("http", "https", "ftp"):
+        out += frag
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Regex normalizer (conf/regex-normalize.xml.template rules, in order)
+# ---------------------------------------------------------------------------
+
+DEFAULT_REGEX_RULES: list[tuple[re.Pattern, str]] = [
+    # strip session ids
+    (re.compile(r"(?i)(;?\b_?(l|j|bv_)?(sid|phpsessid|sessionid)=.*?)(\?|&|#|$)"), r"\4"),
+    # strip interpage anchors up to ? & or end
+    (re.compile(r"#.*?(\?|&|$)"), r"\1"),
+    # "?&" -> "?"
+    (re.compile(r"\?&"), "?"),
+    # collapse consecutive '&'
+    (re.compile(r"&{2,}"), "&"),
+    # strip trailing ? & or .
+    (re.compile(r"[?&.]$"), ""),
+    # file://// -> file:/
+    (re.compile(r"^file://+"), "file:/"),
+    # collapse // not preceded by ':'
+    (re.compile(r"(?<!:)/{2,}"), "/"),
+]
+
+
+def regex_normalize(url: str | None, rules: Iterable[tuple[re.Pattern, str]] | None = None) -> str | None:
+    if url is None:
+        return None
+    for pat, sub in rules or DEFAULT_REGEX_RULES:
+        url = pat.sub(sub, url)
+    return url
+
+
+# ---------------------------------------------------------------------------
+# Chain + scopes (URLNormalizers.java:97-119)
+# ---------------------------------------------------------------------------
+
+SCOPES = (
+    "default",
+    "partition",
+    "generate_host_count",
+    "fetcher",
+    "crawldb",
+    "linkdb",
+    "inject",
+    "outlink",
+    "indexer",
+)
+
+
+def normalize(url: str | None, scope: str = "default") -> str | None:
+    """Basic then Regex, per the default ``urlnormalizer.order``.
+
+    Scopes all share the default chain in the reference's default
+    config; the parameter is kept for per-scope rule overrides.
+    """
+    u = basic_normalize(url)
+    if u is None:
+        return None
+    return regex_normalize(u)
+
+
+def normalize_udf(scope: str = "default"):
+    """Arrow-batched pandas UDF: url -> normalized url (null if malformed)."""
+
+    @F.pandas_udf("string")
+    def _norm(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: normalize(u, scope))
+
+    return _norm

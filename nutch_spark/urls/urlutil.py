@@ -1,0 +1,203 @@
+"""Host/domain extraction, representative-URL choice, and URL hashes.
+
+Re-expresses ``util/URLUtil.java`` (getHost :146-160, getDomainName
+:98-118, chooseRepr :330-421) and the two Java hashes that matter for
+parity:
+
+- ``nutch_url_hash32`` — the Generator fetch-list interleave hash
+  (``Generator.java:627-634``): ``hash=1; for i from last byte to
+  first: hash = 31*hash + signed_byte`` with int32 wraparound. Sorting
+  a fetch partition by this hash decorrelates issue order from host
+  order — the reference's skew/politeness trick we reproduce exactly.
+- ``java_string_hashcode`` — ``String.hashCode`` used by
+  ``URLPartitioner.getPartition`` (``URLPartitioner.java:76-108``):
+  partition = (hash(host_or_domain) ^ seed) & MAX_INT % partitions.
+
+For scale the engine's 64-bit URL identity hash is Spark's built-in
+``xxhash64`` (JVM-side, no Python); the 32-bit hashes here exist only
+where byte-level ordering parity with the reference is required.
+
+Domain extraction uses a compact public-suffix table sufficient for the
+synthetic corpora (the reference ships conf/domain-suffixes.xml; ours
+is a small independent table with the same lookup semantics: walk
+labels right-to-left, domain = longest-known-suffix + one label).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_HOST_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)")
+_IP_RE = re.compile(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+
+# Minimal public-suffix set: generic TLDs + the two-level suffixes used in
+# tests; extend via NutchConfig if a crawl needs more.
+_SUFFIXES = {
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz", "io",
+    "dev", "app", "xyz", "site", "online", "store", "co",
+    "de", "fr", "uk", "nl", "it", "es", "pl", "ru", "jp", "cn", "au", "ca",
+    "us", "ch", "at", "be", "se", "no", "fi", "dk", "cz", "example", "test",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.cn", "com.br", "co.in", "co.nz",
+}
+
+
+def get_host(url: str | None) -> str | None:
+    """Lowercased host of a URL, or None (URLUtil.getHost)."""
+    if not url:
+        return None
+    m = _HOST_RE.match(url)
+    if not m:
+        return None
+    host = m.group(1).lower()
+    return host or None
+
+
+def get_domain(url_or_host: str | None) -> str | None:
+    """Domain = longest known public suffix + one label (URLUtil.getDomainName)."""
+    if not url_or_host:
+        return None
+    host = get_host(url_or_host) if "://" in url_or_host else url_or_host.lower()
+    if not host:
+        return None
+    if host.endswith("."):
+        host = host[:-1]
+    if _IP_RE.match(host):
+        return host
+    candidate = host
+    while True:
+        idx = candidate.find(".")
+        sub = candidate[idx + 1 :]
+        if sub in _SUFFIXES:
+            return candidate
+        if idx < 0:
+            return candidate
+        candidate = sub
+
+
+def choose_repr(src: str, dst: str, temp: bool) -> str:
+    """Representative URL on redirect (URLUtil.chooseRepr:330-421)."""
+    src_host, dst_host = get_host(src), get_host(dst)
+    if src_host is None or dst_host is None:
+        return dst
+    src_domain, dst_domain = get_domain(src), get_domain(dst)
+    src_file = _file_part(src)
+    dst_file = _file_part(dst)
+    src_root = src_file in ("", "/")
+    dst_root = dst_file in ("", "/")
+
+    if src_domain != dst_domain:
+        return dst
+    if not temp:
+        return src if src_root else dst
+    if src_root and not dst_root:
+        return src
+    if not src_root and dst_root:
+        return dst
+    if not src_root and not dst_root and src_host == dst_host:
+        n_src = len(src_file.split("/"))
+        n_dst = len(dst_file.split("/"))
+        if n_src != n_dst:
+            return dst if n_dst < n_src else src
+        return dst if len(dst_file) < len(src_file) else src
+    n_src = len(src_host.split("."))
+    n_dst = len(dst_host.split("."))
+    return dst if n_dst < n_src else src
+
+
+def _file_part(url: str) -> str:
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(.*)$", url)
+    return m.group(1) if m else ""
+
+
+# ---------------------------------------------------------------------------
+# Hashes
+# ---------------------------------------------------------------------------
+
+_I32 = 1 << 32
+_I32_MAX = (1 << 31) - 1
+
+
+def _to_i32(v: int) -> int:
+    v &= _I32 - 1
+    return v - _I32 if v > _I32_MAX else v
+
+
+def nutch_url_hash32(url: str) -> int:
+    """Generator.HashComparator.hash (Generator.java:627-634)."""
+    h = 1
+    for b in reversed(url.encode("utf-8")):
+        sb = b - 256 if b > 127 else b  # java byte is signed
+        h = _to_i32(31 * h + sb)
+    return h
+
+
+def java_string_hashcode(s: str) -> int:
+    """java.lang.String.hashCode (UTF-16 code units)."""
+    h = 0
+    for c in s:
+        o = ord(c)
+        if o > 0xFFFF:  # surrogate pair
+            o -= 0x10000
+            for unit in (0xD800 + (o >> 10), 0xDC00 + (o & 0x3FF)):
+                h = _to_i32(31 * h + unit)
+        else:
+            h = _to_i32(31 * h + o)
+    return h
+
+
+def partition_index(key: str, seed: int, num_partitions: int) -> int:
+    """URLPartitioner.getPartition: (hashCode ^ seed) & MAX_INT % N."""
+    return (_to_i32(java_string_hashcode(key) ^ seed) & _I32_MAX) % num_partitions
+
+
+# ---------------------------------------------------------------------------
+# pandas UDFs
+# ---------------------------------------------------------------------------
+
+
+def host_udf():
+    @F.pandas_udf("string")
+    def _host(urls: pd.Series) -> pd.Series:
+        return urls.map(get_host)
+
+    return _host
+
+
+def domain_udf():
+    @F.pandas_udf("string")
+    def _domain(urls: pd.Series) -> pd.Series:
+        return urls.map(get_domain)
+
+    return _domain
+
+
+def url_hash32_udf():
+    @F.pandas_udf("int")
+    def _h(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: nutch_url_hash32(u) if u is not None else 0)
+
+    return _h
+
+
+def partition_hash_udf(seed: int, num_partitions: int):
+    """Partition id per URLPartitioner semantics, over the queue key column."""
+
+    @F.pandas_udf("int")
+    def _p(keys: pd.Series) -> pd.Series:
+        return keys.map(lambda k: partition_index(k or "", seed, num_partitions))
+
+    return _p
+
+
+def host_col(url_col: Column) -> Column:
+    """JVM-side host extraction for the common scheme://host/path shape.
+
+    Used on hot paths where the full URLUtil semantics aren't needed:
+    ``parse_url`` runs in the JVM (no Python round-trip).
+    """
+    return F.lower(F.parse_url(url_col, F.lit("HOST")))
