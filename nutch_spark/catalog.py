@@ -1,0 +1,164 @@
+"""Snapshot-versioned parquet catalog — the engine's table layer.
+
+Re-expresses the reference's CrawlDb install protocol —
+``crawl/CrawlDb.java:197-220``: write to a temp dir, atomically swap
+``current`` <-> ``old``, guarded by a ``.locked`` file — as snapshot
+commits, the way an Iceberg catalog would:
+
+- every commit writes a fresh immutable snapshot directory and then
+  atomically swings a JSON metadata pointer (``os.replace`` — atomic on
+  POSIX, the moral equivalent of Iceberg's metadata-location CAS);
+- the previous snapshot stays readable => ``db.preserve.backup`` /
+  ``crawldb/old`` for free, plus time travel to any snapshot;
+- each snapshot records lineage (input snapshot ids per source table,
+  cycle id, stage) and metrics (counter map) — the north rule's
+  per-partition lineage + fetch/parse metrics;
+- optimistic concurrency: commit fails if the parent snapshot moved
+  (the ``.locked`` analogue, ``CrawlDb.java:69,191-195``).
+
+In production this module is swapped for an Iceberg catalog
+(``df.writeTo(...).createOrReplace()`` + snapshot tags); operator code
+only touches :meth:`read` / :meth:`commit`, so the swap is config-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    committed_at_ms: int
+    path: str
+    lineage: dict[str, Any] = field(default_factory=dict)
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "metadata.json")
+
+    def _load_meta(self, table: str) -> dict:
+        p = self._meta_path(table)
+        if not os.path.exists(p):
+            return {"current_snapshot_id": None, "snapshots": []}
+        with open(p, "r", encoding="utf-8") as f:
+            return json.load(f)
+
+    def _store_meta(self, table: str, meta: dict) -> None:
+        table_dir = os.path.join(self.root, table)
+        os.makedirs(table_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".json.tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path(table))  # atomic pointer swing
+
+    # -- API ---------------------------------------------------------------
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.exists(self._meta_path(d))
+        )
+
+    def exists(self, table: str) -> bool:
+        return self._load_meta(table)["current_snapshot_id"] is not None
+
+    def current_snapshot_id(self, table: str) -> int | None:
+        return self._load_meta(table)["current_snapshot_id"]
+
+    def snapshots(self, table: str) -> list[Snapshot]:
+        return [Snapshot(**s) for s in self._load_meta(table)["snapshots"]]
+
+    def commit(
+        self,
+        df: DataFrame,
+        table: str,
+        *,
+        now_ms: int = 0,
+        lineage: dict[str, Any] | None = None,
+        metrics: dict[str, Any] | None = None,
+        expected_parent: int | None = -1,
+    ) -> Snapshot:
+        """Write ``df`` as the new current snapshot of ``table``.
+
+        ``expected_parent=-1`` skips the optimistic-concurrency check;
+        pass the snapshot id you read from to enforce it.
+        ``now_ms`` is the injected clock (no wall-clock in logic paths).
+        """
+        meta = self._load_meta(table)
+        if expected_parent != -1 and meta["current_snapshot_id"] != expected_parent:
+            raise ConcurrentCommitError(
+                f"{table}: current={meta['current_snapshot_id']} expected={expected_parent}"
+            )
+        snap_id = (meta["current_snapshot_id"] or 0) + 1
+        rel = f"snap-{snap_id:06d}-{uuid.uuid4().hex[:8]}"
+        snap_dir = os.path.join(self.root, table, rel)
+        df.write.mode("overwrite").parquet(snap_dir)
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            parent_id=meta["current_snapshot_id"],
+            committed_at_ms=now_ms,
+            path=rel,
+            lineage=lineage or {},
+            metrics=metrics or {},
+        )
+        meta["snapshots"].append(snap.__dict__)
+        meta["current_snapshot_id"] = snap_id
+        self._store_meta(table, meta)
+        return snap
+
+    def read(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        meta = self._load_meta(table)
+        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+        if sid is None:
+            raise FileNotFoundError(f"no current snapshot for table {table}")
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return spark.read.parquet(os.path.join(self.root, table, s["path"]))
+        raise FileNotFoundError(f"snapshot {sid} of {table} not found")
+
+    def rollback(self, table: str, snapshot_id: int) -> None:
+        """Point ``current`` back at an older snapshot (resume-from-checkpoint)."""
+        meta = self._load_meta(table)
+        if not any(s["snapshot_id"] == snapshot_id for s in meta["snapshots"]):
+            raise FileNotFoundError(f"snapshot {snapshot_id} of {table} not found")
+        meta["current_snapshot_id"] = snapshot_id
+        self._store_meta(table, meta)
+
+    def expire_snapshots(self, table: str, keep: int = 2) -> int:
+        """Drop all but the newest ``keep`` snapshots (old-dir cleanup)."""
+        meta = self._load_meta(table)
+        snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
+        drop, kept = snaps[:-keep] if keep else snaps, snaps[-keep:] if keep else []
+        current = meta["current_snapshot_id"]
+        dropped = 0
+        remaining = []
+        for s in snaps:
+            if s in drop and s["snapshot_id"] != current:
+                shutil.rmtree(os.path.join(self.root, table, s["path"]), ignore_errors=True)
+                dropped += 1
+            else:
+                remaining.append(s)
+        meta["snapshots"] = remaining
+        self._store_meta(table, meta)
+        return dropped

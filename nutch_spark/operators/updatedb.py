@@ -1,0 +1,381 @@
+"""CrawlDb update — THE core merge operator (J2 + state machine §2.4).
+
+Re-expresses ``crawl/CrawlDbReducer.java:64-324`` — the reference's
+MapReduce co-group of {crawldb, crawl_fetch, crawl_parse} by URL with an
+in-reducer state machine — as a single Spark aggregation:
+
+    unionByName(tagged inputs) -> groupBy(url).agg(
+        max_by(db struct, fetch_time),          # latest old (:81-96)
+        max_by(fetch struct, fetch_time),       # latest fetch (:98-112)
+        top-K linked by score desc,             # priority queue (:60-61,:328-342)
+        any signature datum (:125-127), any parse_meta datum (:128-130))
+    -> one wide projection of `when` chains    # state machine (:144-312)
+
+All state-machine logic is JVM column arithmetic (whole-stage codegen);
+no Python touches the hot path. Float32 parity: score updates and
+interval growth are computed in FloatType (OPIC adjust at
+``scoring-opic/.../OPICScoringFilter.java:97-109``).
+
+Input-order independence: the reference's MRUnit test shuffles reducer
+inputs (``CrawlDbUpdateTestDriver.java:73``); our aggregation is
+order-independent by construction.
+
+Scale notes (10^10-URL frontier):
+- one shuffle on url; partial aggregation happens map-side for max_by /
+  collect_list; the linked top-K bound (10000, ``db.update.max.inlinks``)
+  caps any hot URL's reduce-side state exactly as the reference's
+  priority queue does;
+- AQE skew-join/partition splitting stays ON for this stage (no
+  politeness constraint here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators import schedules as S
+from nutch_spark.schema import (
+    META_GENERATE_TIME,
+    STATUS_DB_FETCHED,
+    STATUS_DB_GONE,
+    STATUS_DB_NOTMODIFIED,
+    STATUS_DB_REDIR_PERM,
+    STATUS_DB_REDIR_TEMP,
+    STATUS_DB_UNFETCHED,
+    STATUS_FETCH_GONE,
+    STATUS_FETCH_NOTMODIFIED,
+    STATUS_FETCH_REDIR_PERM,
+    STATUS_FETCH_REDIR_TEMP,
+    STATUS_FETCH_RETRY,
+    STATUS_FETCH_SUCCESS,
+    STATUS_LINKED,
+    STATUS_PARSE_META,
+    STATUS_SIGNATURE,
+)
+
+_EMPTY_MAP = "cast(map() as map<string,string>)"
+
+_DATUM_COLS = [
+    "status",
+    "fetch_time",
+    "retries",
+    "fetch_interval",
+    "score",
+    "signature",
+    "modified_time",
+    "metadata",
+    "gen_time",
+    "repr_url",
+]
+
+
+def _datum_struct() -> Column:
+    return F.struct(*[F.col(c) for c in _DATUM_COLS])
+
+
+def updatedb(
+    crawldb: DataFrame | None,
+    segment_rows: DataFrame,
+    cfg: NutchConfig,
+    now_ms: int,
+    *,
+    additions_allowed: bool | None = None,
+    max_inlinks: int = 10000,
+) -> DataFrame:
+    """Merge segment output into the CrawlDb; returns the new CrawlDb.
+
+    ``segment_rows``: union of crawl_fetch and crawl_parse rows (fetch
+    statuses + linked/signature/parse_meta transients), crawldb schema.
+    ``now_ms``: injected clock for initializeSchedule of newly
+    discovered URLs (replaces System.currentTimeMillis,
+    AbstractFetchSchedule.java:75-76).
+    """
+    if additions_allowed is None:
+        additions_allowed = cfg.db_update_additions_allowed
+
+    seg = segment_rows.select("url", *_DATUM_COLS)
+    if crawldb is not None:
+        both = crawldb.select("url", *_DATUM_COLS).unionByName(seg)
+    else:
+        both = seg
+
+    is_db = (F.col("status") >= 0x01) & (F.col("status") <= 0x1F)
+    is_fetch = (F.col("status") >= 0x20) & (F.col("status") <= 0x3F)
+    is_link = F.col("status") == STATUS_LINKED
+    is_sig = F.col("status") == STATUS_SIGNATURE
+    is_meta = F.col("status") == STATUS_PARSE_META
+
+    # link struct: score FIRST so array_sort orders by score (priority
+    # queue ordering, CrawlDbReducer.java:334-341); no map fields so the
+    # struct stays orderable.
+    link_struct = F.struct(
+        F.col("score").alias("score"),
+        F.col("fetch_time").alias("fetch_time"),
+        F.col("retries").alias("retries"),
+        F.col("fetch_interval").alias("fetch_interval"),
+        F.col("modified_time").alias("modified_time"),
+    )
+
+    agg = both.groupBy("url").agg(
+        F.max_by(F.when(is_db, _datum_struct()), F.when(is_db, F.col("fetch_time"))).alias("old"),
+        F.max_by(F.when(is_fetch, _datum_struct()), F.when(is_fetch, F.col("fetch_time"))).alias("fetch"),
+        F.slice(
+            F.reverse(F.array_sort(F.collect_list(F.when(is_link, link_struct)))),
+            1,
+            max_inlinks,
+        ).alias("links"),
+        F.max(F.when(is_sig, F.col("signature"))).alias("sig_datum"),
+        F.max_by(F.when(is_meta, F.col("metadata")), F.when(is_meta, F.col("fetch_time"))).alias("parse_meta"),
+    )
+
+    o = lambda c: F.col("old." + c)  # noqa: E731
+    has_old = F.col("old").isNotNull()
+    has_real_fetch = F.col("fetch").isNotNull()
+    top_link = F.element_at("links", 1)
+
+    # "if there is no fetched datum, perhaps there is a link" (:148-152):
+    # the highest-score linked datum acts as the fetch with STATUS_LINKED.
+    agg = agg.withColumn(
+        "fetch",
+        F.when(has_real_fetch, F.col("fetch")).otherwise(
+            F.when(
+                F.size("links") > 0,
+                F.struct(
+                    F.lit(STATUS_LINKED).alias("status"),
+                    top_link["fetch_time"].alias("fetch_time"),
+                    top_link["retries"].alias("retries"),
+                    top_link["fetch_interval"].alias("fetch_interval"),
+                    top_link["score"].alias("score"),
+                    F.lit(None).cast("string").alias("signature"),
+                    top_link["modified_time"].alias("modified_time"),
+                    F.expr(_EMPTY_MAP).alias("metadata"),
+                    F.lit(None).cast("long").alias("gen_time"),
+                    F.lit(None).cast("string").alias("repr_url"),
+                ),
+            )
+        ),
+    )
+
+    f = lambda c: F.col("fetch." + c)  # noqa: E731
+    has_fetch = F.col("fetch").isNotNull()
+
+    # row disposition (:144-172)
+    keep_old_only = has_old & ~has_fetch
+    drop = (~has_old & ~has_fetch) | (~has_old & ~F.lit(additions_allowed))
+    agg = agg.filter(~drop)
+
+    # ---- merged base (result.set(fetch) + metadata/modifiedTime merge, :174-194)
+    signature = F.coalesce(F.col("sig_datum"), f("signature"))
+    prev_modified = F.when(has_old, o("modified_time")).otherwise(F.lit(0).cast("long"))
+    prev_fetch = F.when(has_old, o("fetch_time")).otherwise(F.lit(0).cast("long"))
+    base_meta = F.map_concat(
+        F.coalesce(o("metadata"), F.expr(_EMPTY_MAP)),
+        F.coalesce(f("metadata"), F.expr(_EMPTY_MAP)),
+    )  # old ∪ fetch, fetch wins (mapKeyDedupPolicy=LAST_WIN)
+    base_modified = F.when(
+        has_old & (o("modified_time") > 0) & (f("modified_time") == 0), o("modified_time")
+    ).otherwise(f("modified_time"))
+
+    # ---- modification state (:226-239; NUTCH-1422: signature comparison
+    # only for fetch_success)
+    st = f("status")
+    success_family = st.isin(
+        STATUS_FETCH_SUCCESS, STATUS_FETCH_REDIR_TEMP, STATUS_FETCH_REDIR_PERM, STATUS_FETCH_NOTMODIFIED
+    )
+    mod_state = (
+        F.when(st == STATUS_FETCH_NOTMODIFIED, F.lit(S.STATUS_NOTMODIFIED))
+        .when(
+            (st == STATUS_FETCH_SUCCESS) & has_old & o("signature").isNotNull() & signature.isNotNull(),
+            F.when(o("signature") != signature, F.lit(S.STATUS_MODIFIED)).otherwise(F.lit(S.STATUS_NOTMODIFIED)),
+        )
+        .otherwise(F.lit(S.STATUS_UNKNOWN))
+    )
+
+    # metadata for the success family additionally merges parse_meta (:219-223)
+    succ_meta = F.map_concat(base_meta, F.coalesce(F.col("parse_meta"), F.expr(_EMPTY_MAP)))
+
+    # ---- schedules over the success family (:241-243)
+    if cfg.db_fetch_schedule == "adaptive":
+        sched = S.adaptive_fetch_schedule(
+            cfg, f("fetch_time"), f("modified_time"), f("fetch_interval"), mod_state, succ_meta
+        )
+    else:
+        sched = S.default_fetch_schedule(
+            cfg, f("fetch_time"), f("modified_time"), f("fetch_interval"), mod_state
+        )
+    gone_from_fetch = S.page_gone_schedule(cfg, f("fetch_time"), f("fetch_interval"))
+    retry = S.page_retry_schedule(f("fetch_time"), f("retries"))
+    retry_exhausted = retry["retries"] >= cfg.db_fetch_retry_max
+    # retry-exhausted applies the gone schedule on top (:294-299); the gone
+    # growth uses the datum's interval (unchanged by retry schedule)
+    init = S.initialize_schedule(cfg, now_ms)
+
+    is_linked_fetch = st == STATUS_LINKED
+    is_retry = st == STATUS_FETCH_RETRY
+    is_gone = st == STATUS_FETCH_GONE
+    notmod = mod_state == S.STATUS_NOTMODIFIED
+
+    # per-field state machine -------------------------------------------------
+    def machine(keep_old: Column, linked_new: Column, succ: Column, nm: Column, rt: Column, gn: Column) -> Column:
+        """Dispatch: old-only | linked(no old -> new) | success-family
+        (modified vs notmodified) | retry | gone."""
+        return (
+            F.when(keep_old_only | (is_linked_fetch & has_old), keep_old)
+            .when(is_linked_fetch, linked_new)
+            .when(success_family & notmod, nm)
+            .when(success_family, succ)
+            .when(is_retry, rt)
+            .otherwise(gn)  # STATUS_FETCH_GONE
+        )
+
+    new_status = machine(
+        keep_old=o("status"),
+        linked_new=F.lit(STATUS_DB_UNFETCHED),
+        succ=F.when(st == STATUS_FETCH_SUCCESS, STATUS_DB_FETCHED)
+        .when(st == STATUS_FETCH_REDIR_PERM, STATUS_DB_REDIR_PERM)
+        .when(st == STATUS_FETCH_REDIR_TEMP, STATUS_DB_REDIR_TEMP)
+        .otherwise(F.when(has_old, o("status")).otherwise(F.lit(STATUS_DB_UNFETCHED))),
+        nm=F.lit(STATUS_DB_NOTMODIFIED),
+        rt=F.when(retry_exhausted, STATUS_DB_GONE).otherwise(STATUS_DB_UNFETCHED),
+        gn=F.lit(STATUS_DB_GONE),
+    )
+    new_fetch_time = machine(
+        keep_old=o("fetch_time"),
+        linked_new=init["fetch_time"].cast("long"),
+        succ=sched["fetch_time"],
+        nm=sched["fetch_time"],
+        rt=F.when(retry_exhausted, gone_from_fetch["fetch_time"]).otherwise(retry["fetch_time"]),
+        gn=gone_from_fetch["fetch_time"],
+    )
+    new_interval = machine(
+        keep_old=o("fetch_interval"),
+        linked_new=init["fetch_interval"],
+        succ=sched["fetch_interval"],
+        nm=sched["fetch_interval"],
+        rt=F.when(retry_exhausted, gone_from_fetch["fetch_interval"]).otherwise(f("fetch_interval")),
+        gn=gone_from_fetch["fetch_interval"],
+    )
+    new_retries = machine(
+        keep_old=o("retries"),
+        linked_new=init["retries"],
+        succ=sched["retries"],
+        nm=sched["retries"],
+        rt=retry["retries"].cast("int"),
+        gn=f("retries"),
+    )
+    new_signature = machine(
+        keep_old=o("signature"),
+        linked_new=F.lit(None).cast("string"),
+        succ=signature,
+        nm=F.when(has_old, o("signature")).otherwise(f("signature")),  # NUTCH-1341 (:245-253)
+        rt=F.when(has_old, o("signature")).otherwise(f("signature")),
+        gn=F.when(has_old, o("signature")).otherwise(f("signature")),
+    )
+    new_modified = machine(
+        keep_old=o("modified_time"),
+        linked_new=base_modified,
+        succ=sched["modified_time"],
+        nm=prev_modified,  # NUTCH-1341: reset lastModified
+        rt=base_modified,
+        gn=base_modified,
+    )
+    new_metadata = machine(
+        keep_old=o("metadata"),
+        linked_new=base_meta,
+        succ=succ_meta,
+        nm=succ_meta,
+        rt=base_meta,
+        gn=base_meta,
+    )
+    new_repr = machine(
+        keep_old=o("repr_url"),
+        linked_new=f("repr_url"),
+        succ=f("repr_url"),
+        nm=f("repr_url"),
+        rt=f("repr_url"),
+        gn=f("repr_url"),
+    )
+
+    # forceRefetch when interval exceeds db.fetch.interval.max (:276-281),
+    # success family only
+    force = success_family & ~(is_linked_fetch & has_old) & ~keep_old_only & (
+        F.lit(cfg.db_fetch_interval_max) < new_interval
+    )
+    forced_iv = F.round(
+        F.lit(cfg.db_fetch_interval_max).cast("float") * F.lit(0.9).cast("float")
+    ).cast("int")
+    new_status = F.when(force, F.lit(STATUS_DB_UNFETCHED)).otherwise(new_status)
+    new_interval = F.when(force & (new_interval > cfg.db_fetch_interval_max), forced_iv).otherwise(new_interval)
+    new_retries = F.when(force, F.lit(0)).otherwise(new_retries)
+    new_signature = F.when(force, F.lit(None).cast("string")).otherwise(new_signature)
+    new_modified = F.when(force, F.lit(0).cast("long")).otherwise(new_modified)
+
+    # ---- OPIC updateDbScore: score += Σ inlink scores, float32
+    # (OPICScoringFilter.java:97-109); the no-new-data path skips it (:155-172)
+    link_sum = F.aggregate(
+        F.col("links"),
+        F.lit(0.0).cast("float"),
+        lambda acc, x: (acc + x["score"]).cast("float"),
+    )
+    base_score = (
+        F.when(keep_old_only, o("score"))
+        .when(is_linked_fetch & has_old, o("score"))  # result=old, then +adjust
+        .when(is_linked_fetch, F.lit(0.0).cast("float"))  # OPIC initialScore
+        .when(has_old, o("score"))
+        .otherwise(f("score"))
+    )
+    new_score = F.when(keep_old_only, o("score")).otherwise((base_score + link_sum).cast("float"))
+
+    # strip _ngt_ (:319-320); gen_time column is its hoisted twin
+    new_metadata = F.map_filter(new_metadata, lambda k, _: k != META_GENERATE_TIME)
+    new_gen_time = F.when(keep_old_only, o("gen_time")).otherwise(F.lit(None).cast("long"))
+
+    out = agg.select(
+        F.col("url"),
+        new_status.cast("int").alias("status"),
+        new_fetch_time.cast("long").alias("fetch_time"),
+        new_retries.cast("int").alias("retries"),
+        new_interval.cast("int").alias("fetch_interval"),
+        new_score.cast("float").alias("score"),
+        new_signature.alias("signature"),
+        new_modified.cast("long").alias("modified_time"),
+        new_metadata.alias("metadata"),
+        new_gen_time.alias("gen_time"),
+        new_repr.alias("repr_url"),
+    )
+    return out
+
+
+def crawldb_filter(
+    df: DataFrame,
+    cfg: NutchConfig,
+    *,
+    purge_404: bool | None = None,
+    purge_orphans: bool | None = None,
+    url_normalize: bool = False,
+    url_filter_rules: list[str] | None = None,
+) -> DataFrame:
+    """CrawlDbFilter map-side pass (crawl/CrawlDbFilter.java:74-117):
+    optional 404-purge (drop db_gone), orphan purge, re-normalize and
+    re-filter URLs."""
+    from nutch_spark.schema import STATUS_DB_ORPHAN
+    from nutch_spark.urls.filters import url_filter_udf
+    from nutch_spark.urls.normalizer import normalize_udf
+
+    if purge_404 is None:
+        purge_404 = cfg.db_update_purge_404
+    if purge_orphans is None:
+        purge_orphans = cfg.db_update_purge_orphans
+    if purge_404:
+        df = df.filter(F.col("status") != STATUS_DB_GONE)
+    if purge_orphans:
+        df = df.filter(F.col("status") != STATUS_DB_ORPHAN)
+    if url_normalize:
+        df = df.withColumn("url", normalize_udf("crawldb")(F.col("url"))).filter(
+            F.col("url").isNotNull()
+        )
+    if url_filter_rules is not None:
+        df = df.filter(url_filter_udf(url_filter_rules)(F.col("url")))
+    return df

@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("NUTCH_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # map_concat is "newer overrides older" throughout the engine
+        # (metadata merge semantics, CrawlDbReducer.java:182-189)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
