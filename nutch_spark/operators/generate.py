@@ -1,0 +1,241 @@
+"""Generate — selection, top-N, per-host caps, politeness partitioning.
+
+Re-expresses ``crawl/Generator.java`` (3 chained MR jobs, :818-996) as
+one Spark job with three stages:
+
+G1 select (SelectorMapper :218-300): chained column filters —
+  - URLFilters (optional, pandas UDF);
+  - **fork rule**: only ``db_unfetched`` rows are ever generated
+    (:234-237 — refetching never happens in this fork);
+  - ``shouldFetch`` (fetchTime <= curTime with far-future clamp,
+    AbstractFetchSchedule.java:195-210);
+  - ``_ngt_`` generate-delay re-block (:247-255, crawl.gen.delay=7d);
+  - Spark-SQL expr filter (behavioral substitution for JEXL, T14);
+  - restrict-status / min score / max interval (:274-291);
+  - sort value = score * 1.0f (OPIC generatorSortValue).
+
+G2 quota (SelectorReducer :391-566): topN + ``generate.max.count`` per
+  host/domain with segment spill. Two modes:
+  - *scale mode* (default): per-host ``row_number`` window caps any
+    host to maxCount*maxNumSegments rows BEFORE any global shuffle
+    (the reference's own skew bound, :509-552), then ``orderBy.limit``
+    (TakeOrdered — distributed partial top-N) + a window over the
+    pruned <=topN*segments rows for exact segment assignment.
+  - *parity mode* (cfg.generator_parity_mode): single-group
+    applyInPandas replaying the reference's reducer loop exactly —
+    used by the ported TestGenerator suite and small crawls; both
+    modes satisfy the crawl-ordering contract (SURVEY §2.5).
+
+G3 partition (:998-1042): repartition by URLPartitioner host-hash with
+  an injected seed (politeness unit = partition, host never spans two)
+  and sort within partitions by the HashComparator url-hash
+  (:605-635) so hosts interleave inside each fetch list.
+
+G4 mark (:640-689): fetchlist rows carry ``gen_time=genTime`` (the
+  mapper stamps ``_ngt_`` before writing, :296-298); with
+  ``generate.update.crawldb`` the mark is joined back into the db (J3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.schedules import should_fetch
+from nutch_spark.schema import STATUS_DB_UNFETCHED
+from nutch_spark.urls.filters import url_filter_udf
+from nutch_spark.urls.urlutil import host_udf, domain_udf, partition_hash_udf, url_hash32_udf
+
+
+def select_eligible(
+    crawldb: DataFrame,
+    cfg: NutchConfig,
+    cur_time: int,
+    *,
+    url_filter_rules: list[str] | None = None,
+    expr: str | None = None,
+) -> DataFrame:
+    """G1: eligibility filters + sort value; returns datums + ``sort`` col."""
+    df = crawldb
+    if url_filter_rules is not None:
+        df = df.filter(url_filter_udf(url_filter_rules)(F.col("url")))
+    # fork: only pick unfetched URLs (Generator.java:234-237)
+    df = df.filter(F.col("status") == STATUS_DB_UNFETCHED)
+
+    eligible, adj_ft, adj_iv = should_fetch(cfg, F.col("fetch_time"), F.col("fetch_interval"), cur_time)
+    df = (
+        df.withColumn("fetch_time", adj_ft)
+        .withColumn("fetch_interval", adj_iv)
+        .filter(eligible)
+    )
+    # _ngt_ gen-delay re-block (:247-255)
+    df = df.filter(
+        F.col("gen_time").isNull()
+        | (F.col("gen_time") + F.lit(cfg.crawl_gen_delay_ms) <= F.lit(cur_time))
+    )
+    # OPIC generatorSortValue = score * initSort(1.0f)
+    df = df.withColumn("sort", (F.col("score") * F.lit(1.0).cast("float")).cast("float"))
+    if expr:
+        df = df.filter(F.expr(expr))
+    if cfg.generate_restrict_status:
+        from nutch_spark import schema as S
+
+        code = {v: k for k, v in S.STATUS_NAMES.items()}[cfg.generate_restrict_status]
+        df = df.filter(F.col("status") == code)
+    if cfg.generate_min_score > 0.0:
+        df = df.filter(F.col("sort") >= F.lit(cfg.generate_min_score).cast("float"))
+    if cfg.generate_max_interval != -1:
+        df = df.filter(F.col("fetch_interval") <= cfg.generate_max_interval)
+    return df
+
+
+def _host_key(cfg: NutchConfig) -> F.Column:
+    if cfg.generate_count_mode == "domain" and cfg.generate_max_count != -1:
+        return F.lower(domain_udf()(F.col("url")))
+    return F.lower(host_udf()(F.col("url")))
+
+
+def apply_quota_windowed(
+    df: DataFrame, cfg: NutchConfig, top_n: int, max_num_segments: int
+) -> DataFrame:
+    """G2 scale mode. Adds ``segnum`` (1-based); drops over-quota rows."""
+    max_count = cfg.generate_max_count
+    order = [F.desc("sort"), F.asc("url")]  # deterministic tie-break
+    if max_count > 0:
+        w_host = Window.partitionBy("host_key").orderBy(*order)
+        df = df.withColumn("rn_host", F.row_number().over(w_host))
+        df = df.filter(F.col("rn_host") <= max_count * max_num_segments)
+        df = df.withColumn(
+            "segnum", ((F.col("rn_host") - 1) / max_count).cast("int") + 1
+        )
+        # per-segment global budget (reducer `limit`, :396-397 with one reducer)
+        w_seg = Window.partitionBy("segnum").orderBy(*order)
+        df = df.withColumn("rn_seg", F.row_number().over(w_seg)).filter(
+            F.col("rn_seg") <= top_n
+        )
+        return df.drop("rn_host", "rn_seg")
+    # no per-host cap: global TakeOrdered prune, then exact segment ranks
+    pruned = df.orderBy(*order).limit(top_n * max_num_segments)
+    w = Window.orderBy(*order)
+    pruned = pruned.withColumn("rn", F.row_number().over(w))
+    pruned = pruned.withColumn("segnum", ((F.col("rn") - 1) / top_n).cast("int") + 1)
+    return pruned.filter(F.col("segnum") <= max_num_segments).drop("rn")
+
+
+def apply_quota_parity(
+    df: DataFrame, cfg: NutchConfig, top_n: int, max_num_segments: int
+) -> DataFrame:
+    """G2 parity mode: replay the reducer loop (Generator.java:427-561)
+    in one pandas group — exact single-reducer semantics for tests and
+    small frontiers."""
+    from pyspark.sql import types as T
+
+    max_count = cfg.generate_max_count
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("segnum", T.IntegerType())]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sort", "url"], ascending=[False, True], kind="mergesort")
+        limit = top_n
+        seg_counts = [0] * max_num_segments
+        host_state: dict[str, list[int]] = {}
+        count, current_seg = 0, 1
+        keep_idx, segnums = [], []
+        for idx, row in pdf.iterrows():
+            if count == limit:
+                if current_seg < max_num_segments:
+                    count = 0
+                    current_seg += 1
+                else:
+                    break
+            hk = row["host_key"]
+            if hk is None:
+                continue
+            if max_count > 0:
+                st = host_state.setdefault(hk, [1, 0])
+                st[1] += 1
+                while seg_counts[st[0] - 1] >= limit and st[0] < max_num_segments:
+                    st[0] += 1
+                    st[1] = 0
+                if st[1] > max_count:
+                    if st[0] < max_num_segments:
+                        st[0] += 1
+                        st[1] = 1
+                    else:
+                        continue  # skip: per-host overflow
+                segnum = st[0]
+            else:
+                segnum = current_seg
+            seg_counts[segnum - 1] += 1
+            keep_idx.append(idx)
+            segnums.append(segnum)
+            count += 1
+        out = pdf.loc[keep_idx].copy()
+        out["segnum"] = pd.Series(segnums, index=keep_idx, dtype="int32")
+        return out
+
+    return (
+        df.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(lambda _k, pdf: replay(pdf), schema=schema)
+        .drop("_g")
+    )
+
+
+def generate(
+    crawldb: DataFrame,
+    cfg: NutchConfig,
+    cur_time: int,
+    gen_time: int | None = None,
+    *,
+    top_n: int = 50000,
+    max_num_segments: int = 1,
+    num_lists: int | None = None,
+    url_filter_rules: list[str] | None = None,
+    expr: str | None = None,
+) -> DataFrame:
+    """Full generate: returns the fetchlist with columns = crawldb schema
+    + (sort, host_key, segnum, part_id, url_hash). Rows are stamped with
+    ``gen_time`` (the ``_ngt_`` mark, :296-298).
+
+    Issue order within a fetch partition = ascending ``url_hash``
+    (HashComparator interleave); the fetch stage sorts on it.
+    """
+    gen_time = cur_time if gen_time is None else gen_time
+    num_lists = num_lists or cfg.fetch_partitions
+
+    df = select_eligible(crawldb, cfg, cur_time, url_filter_rules=url_filter_rules, expr=expr)
+    df = df.withColumn("host_key", _host_key(cfg)).filter(F.col("host_key").isNotNull())
+
+    if cfg.generator_parity_mode:
+        df = apply_quota_parity(df, cfg, top_n, max_num_segments)
+    else:
+        df = apply_quota_windowed(df, cfg, top_n, max_num_segments)
+
+    df = df.withColumn("gen_time", F.lit(gen_time).cast("long"))
+
+    # G3: politeness partitioning — explicit partition id from the
+    # URLPartitioner hash (byHost) with injected seed; repartition on it so
+    # a host never spans two fetch lists. AQE never coalesces an explicit
+    # repartition-by-column with a fixed N.
+    part_host = F.lower(host_udf()(F.col("url")))
+    df = df.withColumn(
+        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_host)
+    )
+    df = df.withColumn("url_hash", url_hash32_udf()(F.col("url")))
+    df = df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")
+    return df
+
+
+def mark_generated(crawldb: DataFrame, fetchlist: DataFrame) -> DataFrame:
+    """J3 / G4: write the ``_ngt_`` mark back into the crawldb
+    (Generator.java:640-689, generate.update.crawldb=true)."""
+    marks = fetchlist.select("url", F.col("gen_time").alias("_new_gen_time"))
+    out = crawldb.join(marks, "url", "left")
+    return out.withColumn(
+        "gen_time", F.coalesce(F.col("_new_gen_time"), F.col("gen_time"))
+    ).drop("_new_gen_time")
