@@ -1,0 +1,185 @@
+"""Deterministic synthetic web — the fetchable corpus for tests + bench.
+
+Replaces the reference's Jetty-served fixture site
+(``src/testresources/fetch-test-site``, used by TestFetcher.java:81-180)
+with a generated corpus of the BASELINE.json input_hint shape:
+an interleaved text+media docs table
+``(doc_id string, spans array<struct<kind,text,media_ref,offset>>)``,
+plus the robots / protocol-outcome / politeness fixtures of FIXTURES.md.
+
+Everything is derived from ``spark.range`` + column expressions seeded
+by ``xxhash64(id, seed)`` — no Python RNG, no driver-side loops; the
+same code generates 10^3 docs for tests and 10^8+ for bench tiers
+(narrow plan, embarrassingly parallel).
+
+Topology guarantees (FIXTURES.md §1): duplicate-content pairs, redirect
+chains, robots-blocked paths, gone/retry pages, cross-host links, and
+one deliberately skewed host (id 0) with ``skew_factor`` times the
+docs of a normal host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SEED = 42
+
+
+def doc_url(host_id, doc_id, private=None) -> F.Column:
+    base = F.concat(
+        F.lit("http://host"), host_id.cast("string"), F.lit(".example.com")
+    )
+    path = F.when(private, F.lit("/private/doc/")).otherwise(F.lit("/doc/")) if private is not None else F.lit("/doc/")
+    return F.concat(base, path, doc_id.cast("string"))
+
+
+def synth_docs(
+    spark: SparkSession,
+    n_docs: int,
+    n_hosts: int,
+    seed: int = DEFAULT_SEED,
+    skew_factor: int = 10,
+) -> DataFrame:
+    """The docs table. Host assignment is skewed: host 0 owns
+    ``skew_factor``/(skew_factor+n_hosts-1) of all docs."""
+    df = spark.range(n_docs).withColumn("h", F.abs(F.xxhash64("id", F.lit(seed))))
+    # skewed host assignment: bucket space n_hosts-1+skew_factor, first
+    # skew_factor buckets all map to host 0
+    bucket = F.pmod(F.col("h"), F.lit(n_hosts - 1 + skew_factor))
+    host_id = F.when(bucket < skew_factor, F.lit(0)).otherwise(bucket - skew_factor + 1)
+    df = df.withColumn("host_id", host_id)
+    df = df.withColumn("is_private", F.pmod(F.col("h"), 19) == 0)
+    df = df.withColumn("url", doc_url(F.col("host_id"), F.col("id"), F.col("is_private")))
+    # duplicate-content pairs: docs where h%7==0 share content with doc id/2
+    df = df.withColumn(
+        "content_key",
+        F.when(F.pmod(F.col("h"), 7) == 0, (F.col("id") / 2).cast("long")).otherwise(F.col("id")),
+    )
+    df = df.withColumn("is_canonical", F.pmod(F.col("h"), 23) != 0)
+
+    n_spans = (F.pmod(F.abs(F.xxhash64("id", F.lit(seed + 1))), 4) + 3).cast("int")
+
+    def span(kidx):
+        sh = F.abs(F.xxhash64(F.col("content_key"), kidx, F.lit(seed + 2)))
+        kind = (
+            F.when(F.pmod(kidx, 3) == 0, F.lit("text"))
+            .when(F.pmod(kidx, 3) == 1, F.lit("link"))
+            .otherwise(F.lit("media"))
+        )
+        # link/media targets: ~70% same host, else cross-host; target doc id
+        # derived from the span hash (dense in [0, n_docs))
+        tgt_doc = F.pmod(sh, F.lit(n_docs))
+        tgt_host = F.when(
+            F.pmod(sh, 10) < 7, F.col("host_id")
+        ).otherwise(F.pmod(sh, F.lit(n_hosts)))
+        # media refs use media paths on the same doc-id space
+        media_ref = (
+            F.when(kind == "link", F.concat(
+                F.lit("http://host"), tgt_host.cast("string"),
+                F.lit(".example.com/doc/"), tgt_doc.cast("string")))
+            .when(kind == "media", F.concat(
+                F.lit("http://host"), tgt_host.cast("string"),
+                F.lit(".example.com/media/"), tgt_doc.cast("string"), F.lit(".img")))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        text = F.when(
+            kind == "text",
+            F.concat(F.lit("text of "), F.col("content_key").cast("string"), F.lit(" s"), kidx.cast("string")),
+        ).otherwise(F.concat(F.lit("anchor "), F.pmod(sh, 1000).cast("string")))
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            media_ref.alias("media_ref"),
+            kidx.cast("int").alias("offset"),
+        )
+
+    spans = F.transform(F.sequence(F.lit(0), n_spans - 1), lambda kidx: span(kidx))
+    return df.select(
+        F.col("url").alias("doc_id"),
+        spans.alias("spans"),
+        "host_id",
+        "is_canonical",
+        "content_key",
+    )
+
+
+def synth_robots(spark: SparkSession, n_hosts: int, seed: int = DEFAULT_SEED) -> DataFrame:
+    """Robots fixtures (FIXTURES.md §5): every 13th host disallows
+    /private/; every 17th has Crawl-Delay 40s (> fetcher.max.crawl.delay
+    => skip-as-gone); every 11th a polite 8s delay; every 29th defers
+    visits (robots 5xx)."""
+    df = spark.range(n_hosts).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")).alias("host"),
+        F.when(F.pmod("id", 13) == 0, F.array(F.lit("/private/"))).otherwise(
+            F.array().cast("array<string>")
+        ).alias("disallow"),
+        F.when(F.pmod("id", 17) == 0, F.lit(40.0))
+        .when(F.pmod("id", 11) == 0, F.lit(8.0))
+        .otherwise(F.lit(None).cast("double")).alias("crawl_delay"),
+        (F.pmod("id", 29) == 0).alias("defer_visits"),
+        F.lit(False).alias("forbid_all"),
+    )
+    return df
+
+
+def synth_outcomes(docs: DataFrame, seed: int = DEFAULT_SEED) -> DataFrame:
+    """Scripted protocol outcomes per URL (FIXTURES.md §7), deterministic:
+    ~84% success, 4% gone, 3% notfound, 3% retry/exception, 3% moved,
+    2% temp_moved, 1% notmodified. Redirect targets point at the next
+    doc on the same host (chains arise naturally)."""
+    h = F.abs(F.xxhash64("doc_id", F.lit(seed + 3)))
+    b = F.pmod(h, 100)
+    outcome = (
+        F.when(b < 84, F.lit("success"))
+        .when(b < 88, F.lit("gone"))
+        .when(b < 91, F.lit("notfound"))
+        .when(b < 93, F.lit("retry"))
+        .when(b < 94, F.lit("exception"))
+        .when(b < 97, F.lit("moved"))
+        .when(b < 99, F.lit("temp_moved"))
+        .otherwise(F.lit("notmodified"))
+    )
+    redirect_to = F.when(
+        outcome.isin("moved", "temp_moved"),
+        F.concat(
+            F.regexp_extract("doc_id", r"^(http://[^/]+)", 1),
+            F.lit("/doc/"),
+            F.pmod(h, 1_000_000).cast("string"),
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+    return docs.select(
+        F.col("doc_id").alias("url"),
+        outcome.alias("outcome"),
+        redirect_to.alias("redirect_to"),
+        (50 + F.pmod(h, 200)).cast("long").alias("latency_ms"),
+    )
+
+
+def synth_seeds(spark: SparkSession, n_hosts: int, per_host: int = 1) -> DataFrame:
+    """Seed lines: the root doc(s) of each host."""
+    df = spark.range(n_hosts * per_host).select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("id") % n_hosts).cast("string"),
+            F.lit(".example.com/doc/"),
+            (F.col("id") / n_hosts).cast("long").cast("string"),
+        ).alias("value")
+    )
+    return df
+
+
+def synth_web(
+    spark: SparkSession,
+    n_docs: int = 1000,
+    n_hosts: int = 20,
+    seed: int = DEFAULT_SEED,
+    skew_factor: int = 10,
+) -> dict[str, DataFrame]:
+    docs = synth_docs(spark, n_docs, n_hosts, seed, skew_factor)
+    return {
+        "docs": docs,
+        "robots": synth_robots(spark, n_hosts, seed),
+        "outcomes": synth_outcomes(docs, seed),
+        "seeds": synth_seeds(spark, n_hosts),
+    }

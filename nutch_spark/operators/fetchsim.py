@@ -1,0 +1,211 @@
+"""Fetch stage — simulated protocol with exact politeness accounting.
+
+The reference fetcher is a thread-pool simulator (QueueFeeder + N
+FetcherThreads over per-host FetchItemQueues, ``fetcher/Fetcher.java:60-93``).
+Data-parallel re-expression: the per-host politeness clock
+(``FetchItemQueue.java:119-170``: nextFetchTime = lastFinish +
+crawlDelay, 1 thread per queue) is a **prefix sum over each host group**
+— computed here with JVM-side window functions, zero Python in the hot
+path:
+
+    start_i = cycle_start + Σ_{j<i} (latency_j + delay_ms) + backoff_i
+
+ordered by the G3 url-hash interleave within each host. Robots gating
+(``FetcherThread.java:319-381``), the protocol-status -> fetch-status
+switch (:405-487), exception backoff / queue kill
+(``FetchItemQueues.java:279-325``), and the fetch time limit
+(``Fetcher.java:221-223``) are all column expressions; redirect
+discovery (:556-670, ``http.redirect.max``=0 -> emit STATUS_LINKED for
+the next cycle) adds one exploded output; the representative-URL choice
+(``URLUtil.chooseRepr``) is the single small pandas UDF.
+
+Scale: one shuffle (by host, for the window); robots is a broadcast
+join (per-host table is small relative to the frontier); outcomes/docs
+join on url. The per-host generate cap (G2) has already bounded any
+host's rows, so the window partitions are bounded — the same skew bound
+the reference relies on (Generator.java:509-552).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.schema import (
+    STATUS_FETCH_GONE,
+    STATUS_FETCH_NOTMODIFIED,
+    STATUS_FETCH_REDIR_PERM,
+    STATUS_FETCH_REDIR_TEMP,
+    STATUS_FETCH_RETRY,
+    STATUS_FETCH_SUCCESS,
+    STATUS_LINKED,
+)
+from nutch_spark.urls.urlutil import choose_repr, host_col
+
+_EMPTY_MAP = "cast(map() as map<string,string>)"
+
+OUTCOME_TO_STATUS = {
+    "success": STATUS_FETCH_SUCCESS,
+    "notmodified": STATUS_FETCH_NOTMODIFIED,
+    "moved": STATUS_FETCH_REDIR_PERM,
+    "temp_moved": STATUS_FETCH_REDIR_TEMP,
+    "gone": STATUS_FETCH_GONE,
+    "notfound": STATUS_FETCH_GONE,
+    "access_denied": STATUS_FETCH_GONE,
+    "retry": STATUS_FETCH_RETRY,
+    "blocked": STATUS_FETCH_RETRY,
+    "exception": STATUS_FETCH_RETRY,
+}
+
+
+def _status_from_outcome(outcome: Column) -> Column:
+    expr = None
+    for k, v in OUTCOME_TO_STATUS.items():
+        expr = F.when(outcome == k, v) if expr is None else expr.when(outcome == k, v)
+    return expr.otherwise(STATUS_FETCH_GONE)  # unknown URL => notfound
+
+
+def _choose_repr_udf():
+    @F.pandas_udf("string")
+    def _cr(src: pd.Series, dst: pd.Series, temp: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                choose_repr(s, d, bool(t)) if d is not None else None
+                for s, d, t in zip(src, dst, temp)
+            ]
+        )
+
+    return _cr
+
+
+def fetch(
+    fetchlist: DataFrame,
+    robots: DataFrame,
+    outcomes: DataFrame,
+    cfg: NutchConfig,
+    cycle_start_ms: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the simulated fetch.
+
+    Returns ``(crawl_fetch, redirect_links)``:
+    - crawl_fetch: crawldb-schema rows with fetch statuses and the
+      politeness-simulated actual fetch_time;
+    - redirect_links: STATUS_LINKED rows for redirect targets
+      (next-cycle discovery, http.redirect.max=0 semantics) carrying
+      ``repr_url``.
+    """
+    fl = fetchlist.withColumn("host", host_col(F.col("url")))
+
+    fl = fl.join(F.broadcast(robots), "host", "left")
+    fl = fl.join(outcomes, "url", "left")
+
+    path = F.regexp_replace("url", r"^https?://[^/]*", "")
+    robots_denied = F.when(
+        F.col("disallow").isNotNull(),
+        F.exists("disallow", lambda p: path.startswith(p)),
+    ).otherwise(F.lit(False)) | F.coalesce(F.col("forbid_all"), F.lit(False))
+    delay_skip = F.coalesce(F.col("crawl_delay"), F.lit(0.0)) > cfg.fetcher_max_crawl_delay
+    deferred = F.coalesce(F.col("defer_visits"), F.lit(False))
+    is_exception = F.col("outcome") == "exception"
+
+    status = (
+        F.when(robots_denied | delay_skip, F.lit(STATUS_FETCH_GONE))
+        .when(deferred, F.lit(STATUS_FETCH_RETRY))
+        .otherwise(_status_from_outcome(F.col("outcome")))
+    )
+    # gated items never enter the host queue => zero politeness cost
+    gated = robots_denied | delay_skip | deferred
+    delay_ms = (
+        F.when(
+            F.col("crawl_delay").isNotNull() & ~delay_skip, F.col("crawl_delay") * 1000
+        )
+        .otherwise(F.lit(cfg.fetcher_server_delay * 1000))
+        .cast("long")
+    )
+    cost = F.when(gated, F.lit(0).cast("long")).otherwise(
+        F.coalesce(F.col("latency_ms"), F.lit(0).cast("long")) + delay_ms
+    )
+
+    w = Window.partitionBy("host").orderBy("url_hash", "url")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    exc_before = F.coalesce(
+        F.sum(F.when(is_exception & ~gated, 1).otherwise(0)).over(wprev), F.lit(0)
+    )
+    # exponential backoff: the k-th exception adds base*2^(k-1) ms of delay;
+    # cumulative extra before item i = base*(2^k - 1)  (FetchItemQueues.java:279-325)
+    backoff_ms = (
+        F.lit(int(cfg.fetcher_exceptions_per_queue_delay * 1000))
+        * (F.pow(F.lit(2.0), exc_before.cast("double")) - 1.0)
+    ).cast("long")
+    start_time = (
+        F.lit(cycle_start_ms)
+        + F.coalesce(F.sum(cost).over(wprev), F.lit(0).cast("long"))
+        + backoff_ms
+    )
+
+    fl = (
+        fl.withColumn("fetch_start", F.when(gated, F.lit(cycle_start_ms)).otherwise(start_time))
+        .withColumn("exc_before", exc_before)
+        .withColumn("fstatus", status)
+        .withColumn("gated", gated)
+    )
+
+    # queue kill after too many exceptions (fetcher.max.exceptions.per.queue)
+    if cfg.fetcher_max_exceptions_per_queue >= 0:
+        fl = fl.filter(
+            F.col("gated") | (F.col("exc_before") <= cfg.fetcher_max_exceptions_per_queue)
+        )
+    # fetch time limit: later items drain unprocessed (stay unfetched)
+    if cfg.fetcher_timelimit_mins > 0:
+        deadline = cycle_start_ms + cfg.fetcher_timelimit_mins * 60_000
+        fl = fl.filter(F.col("gated") | (F.col("fetch_start") <= deadline))
+
+    fl = fl.persist()
+
+    crawl_fetch = fl.select(
+        "url",
+        F.col("fstatus").cast("int").alias("status"),
+        F.col("fetch_start").cast("long").alias("fetch_time"),
+        F.col("retries").cast("int").alias("retries"),
+        F.col("fetch_interval").cast("int").alias("fetch_interval"),
+        F.col("score").cast("float").alias("score"),
+        F.col("signature"),
+        F.col("modified_time").cast("long").alias("modified_time"),
+        F.coalesce(F.col("metadata"), F.expr(_EMPTY_MAP)).alias("metadata"),
+        F.col("gen_time"),
+        F.col("repr_url"),
+        F.col("outcome"),
+        F.col("host"),
+    )
+
+    redirs = fl.filter(
+        F.col("fstatus").isin(STATUS_FETCH_REDIR_PERM, STATUS_FETCH_REDIR_TEMP)
+        & F.col("redirect_to").isNotNull()
+    )
+    is_temp = F.col("fstatus") == STATUS_FETCH_REDIR_TEMP
+    redirect_links = redirs.select(
+        F.col("redirect_to").alias("url"),
+        F.lit(STATUS_LINKED).cast("int").alias("status"),
+        F.col("fetch_start").cast("long").alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.col("fetch_interval").cast("int").alias("fetch_interval"),
+        F.lit(0.0).cast("float").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.expr(_EMPTY_MAP).alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        _choose_repr_udf()(F.col("url"), F.col("redirect_to"), is_temp).alias("repr_url"),
+    )
+    return crawl_fetch, redirect_links
+
+
+def fetched_content(crawl_fetch: DataFrame, docs: DataFrame) -> DataFrame:
+    """Content table: successful fetches joined to the docs corpus
+    (FetcherOutputFormat's ``content`` output, S5). Carries the fetch
+    score for OPIC pass-through (``passScoreBeforeParsing``)."""
+    ok = crawl_fetch.filter(F.col("status") == STATUS_FETCH_SUCCESS)
+    return ok.select("url", "score", "fetch_time", "gen_time").join(
+        docs.select(F.col("doc_id").alias("url"), "spans", "is_canonical"), "url", "inner"
+    )

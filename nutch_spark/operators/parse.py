@@ -1,0 +1,209 @@
+"""Parse stage — span docs -> parse_text / parse_data / crawl_parse (S6).
+
+Re-expresses ``parse/ParseOutputFormat.java:176-378`` +
+``parse-html/.../DOMContentUtils.java:84-97`` over the interleaved-docs
+payload (input_hint): outlinks are the spans with a non-null
+``media_ref`` **in span order** (media refs are first-class outlinks,
+exactly as the reference extracts from ``a area form frame iframe
+script link img source`` tags); parse text is the concatenation of the
+text spans; the signature is MD5 over the canonical span serialization
+(``crawl/MD5Signature.java:33-38`` over content bytes).
+
+Per-outlink pipeline (T17, ``ParseOutputFormat.java:295-344``):
+extraction cap ``db.max.outlinks.per.page``=100 (applied before
+filtering, as parse-html does) -> length cap 4096 -> normalize (scope
+outlink) -> filter -> within-page dedup (first occurrence wins) ->
+OPIC score distribution score/validCount with internal/external factors
+(``OPICScoringFilter.distributeScoreToOutlinks``, :128-172).
+
+Fork deviation #2 (SURVEY header): non-canonical parses additionally
+emit a synthetic STATUS_FETCH_SUCCESS datum into crawl_parse carrying
+the fetch time (``ParseOutputFormat.java:365-377``).
+
+Everything except URL normalize/filter (pandas UDFs) is JVM columns;
+span order is preserved end-to-end via posexplode (the per-row parity
+invariant is span-sequence equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.schema import (
+    STATUS_FETCH_SUCCESS,
+    STATUS_LINKED,
+    STATUS_PARSE_META,
+    STATUS_SIGNATURE,
+)
+from nutch_spark.urls.filters import url_filter_udf
+from nutch_spark.urls.normalizer import normalize_udf
+from nutch_spark.urls.urlutil import host_col
+
+_EMPTY_MAP = "cast(map() as map<string,string>)"
+
+
+def span_signature(spans: Column) -> Column:
+    """MD5 over the canonical span serialization (kind, text, media_ref,
+    offset joined with unit separators) — deterministic and expressible
+    identically in ANSI SQL for the oracle."""
+    ser = F.concat_ws(
+        "\x1f",
+        F.transform(
+            spans,
+            lambda s: F.concat_ws(
+                "\x1e",
+                F.coalesce(s["kind"], F.lit("")),
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+                F.coalesce(s["offset"].cast("string"), F.lit("")),
+            ),
+        ),
+    )
+    return F.md5(ser)
+
+
+def parse_text_col(spans: Column) -> Column:
+    return F.concat_ws(
+        " ", F.transform(F.filter(spans, lambda s: s["kind"] == "text"), lambda s: s["text"])
+    )
+
+
+def parse(
+    content: DataFrame,
+    cfg: NutchConfig,
+    *,
+    url_filter_rules: list[str] | None = None,
+    normalize_outlinks: bool = True,
+) -> dict[str, DataFrame]:
+    """Returns {'parse_text', 'parse_data', 'outlinks', 'crawl_parse'}.
+
+    ``content`` columns: url, score, fetch_time, gen_time, spans,
+    is_canonical (from fetchsim.fetched_content).
+    """
+    c = content.withColumn("signature", span_signature(F.col("spans")))
+
+    parse_text = c.select("url", parse_text_col(F.col("spans")).alias("text"))
+
+    # ---- outlink extraction: media_ref spans in span order, capped at
+    # extraction time (db.max.outlinks.per.page)
+    link_spans = F.slice(
+        F.filter(F.col("spans"), lambda s: s["media_ref"].isNotNull()),
+        1,
+        cfg.db_max_outlinks_per_page,
+    )
+    exploded = (
+        c.select("url", "score", "fetch_time", F.posexplode(link_spans).alias("pos", "span"))
+        .select(
+            "url",
+            "score",
+            "fetch_time",
+            "pos",
+            F.col("span.media_ref").alias("to_url_raw"),
+            F.col("span.text").alias("anchor"),
+        )
+        .filter(F.length("to_url_raw") <= cfg.db_max_outlink_length)
+    )
+    to_url = F.col("to_url_raw")
+    if normalize_outlinks:
+        exploded = exploded.withColumn("to_url", normalize_udf("outlink")(to_url)).filter(
+            F.col("to_url").isNotNull()
+        )
+    else:
+        exploded = exploded.withColumn("to_url", to_url)
+    if url_filter_rules is not None:
+        exploded = exploded.filter(url_filter_udf(url_filter_rules)(F.col("to_url")))
+
+    # internal/external link policy (db.ignore.*.links)
+    src_host = host_col(F.col("url"))
+    dst_host = host_col(F.col("to_url"))
+    if cfg.db_ignore_internal_links:
+        exploded = exploded.filter(src_host != dst_host)
+    if cfg.db_ignore_external_links:
+        exploded = exploded.filter(src_host == dst_host)
+
+    # within-page dedup, first occurrence wins (ParseOutputFormat dedup set)
+    w_dup = Window.partitionBy("url", "to_url").orderBy("pos")
+    outlinks = (
+        exploded.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # OPIC distribution: score / validCount, internal/external factors
+    w_url = Window.partitionBy("url")
+    valid_count = F.count("*").over(w_url)
+    per_link = (F.col("score") / valid_count.cast("float")).cast("float")
+    factor = F.when(
+        dst_host == src_host, F.lit(cfg.db_score_link_internal).cast("float")
+    ).otherwise(F.lit(cfg.db_score_link_external).cast("float"))
+    outlinks = outlinks.withColumn("link_score", (per_link * factor).cast("float"))
+
+    parse_data = outlinks.groupBy("url").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "to_url", "anchor"))).alias("outlinks_s")
+    ).select(
+        "url",
+        F.transform(
+            "outlinks_s", lambda s: F.struct(s["to_url"].alias("to_url"), s["anchor"].alias("anchor"))
+        ).alias("outlinks"),
+    )
+
+    # ---- crawl_parse rows ----
+    linked = outlinks.select(
+        F.col("to_url").alias("url"),
+        F.lit(STATUS_LINKED).cast("int").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.lit(cfg.db_fetch_interval_default).alias("fetch_interval"),
+        F.col("link_score").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.expr(_EMPTY_MAP).alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        F.lit(None).cast("string").alias("repr_url"),
+        F.col("anchor"),
+        F.col("url").alias("from_url"),
+    )
+
+    sig_rows = c.select(
+        "url",
+        F.lit(STATUS_SIGNATURE).cast("int").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.lit(0).alias("fetch_interval"),
+        F.lit(0.0).cast("float").alias("score"),
+        F.col("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.expr(_EMPTY_MAP).alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        F.lit(None).cast("string").alias("repr_url"),
+        F.lit(None).cast("string").alias("anchor"),
+        F.lit(None).cast("string").alias("from_url"),
+    )
+
+    # fork deviation: non-canonical parse emits a synthetic fetch-success
+    # datum carrying the fetch time (ParseOutputFormat.java:365-377)
+    noncanon = c.filter(~F.col("is_canonical")).select(
+        "url",
+        F.lit(STATUS_FETCH_SUCCESS).cast("int").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.lit(0).alias("fetch_interval"),
+        F.col("score").cast("float").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.expr(_EMPTY_MAP).alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        F.lit(None).cast("string").alias("repr_url"),
+        F.lit(None).cast("string").alias("anchor"),
+        F.lit(None).cast("string").alias("from_url"),
+    )
+
+    crawl_parse = linked.unionByName(sig_rows).unionByName(noncanon)
+    return {
+        "parse_text": parse_text,
+        "parse_data": parse_data,
+        "outlinks": outlinks.select("url", "to_url", "anchor", "pos", "link_score"),
+        "crawl_parse": crawl_parse,
+    }

@@ -1,0 +1,183 @@
+"""The crawl macro-loop — ``src/bin/crawl:301-400`` as a Spark driver.
+
+    inject(crawldb, seeds)                     # once
+    for cycle in 1..N:
+        generate -> fetch -> parse -> updatedb
+        [invertlinks, dedup, hostdb updates via operators.*]
+
+Where the reference hands state across process boundaries through HDFS
+directories, this driver hands it through catalog snapshots: every
+cycle commits crawldb (+ segment tables) with lineage
+{cycle_id, stage, input snapshot ids} and a metrics map (status
+counts, fetched pages, virtual makespan) — the north rule's
+per-partition lineage + fetch/parse metrics. Resume-from-checkpoint =
+``SnapshotCatalog.rollback`` + rerun; determinism comes from injected
+clocks and seeds (no wall-clock in logic paths, SURVEY §2.8).
+
+Run on a cluster via ``spark-submit --py-files nutch_spark.zip
+bench.py`` — the driver itself is plain PySpark.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nutch_spark.catalog import SnapshotCatalog
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.fetchsim import fetch, fetched_content
+from nutch_spark.operators.generate import generate, mark_generated
+from nutch_spark.operators.inject import inject_full
+from nutch_spark.operators.parse import parse
+from nutch_spark.operators.updatedb import updatedb
+from nutch_spark.schema import STATUS_NAMES
+
+CRAWLDB = "crawldb"
+
+
+@dataclass
+class CycleResult:
+    cycle_id: int
+    generated: int
+    fetched: int
+    db_size: int
+    status_counts: dict[str, int]
+    virtual_makespan_ms: int
+    wall_seconds: float
+    snapshot_id: int
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        cfg: NutchConfig,
+        docs: DataFrame,
+        robots: DataFrame,
+        outcomes: DataFrame,
+        *,
+        url_filter_rules: list[str] | None = None,
+        write_segments: bool = False,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.cfg = cfg
+        self.docs = docs
+        self.robots = robots
+        self.outcomes = outcomes
+        self.url_filter_rules = url_filter_rules
+        self.write_segments = write_segments
+
+    # -- stages ------------------------------------------------------------
+    def inject(self, seeds, now_ms: int) -> int:
+        old = self.catalog.read(self.spark, CRAWLDB) if self.catalog.exists(CRAWLDB) else None
+        newdb = inject_full(
+            self.spark, old, seeds, self.cfg, now_ms, url_filter_rules=self.url_filter_rules
+        )
+        n = newdb.count()
+        self.catalog.commit(
+            newdb, CRAWLDB, now_ms=now_ms,
+            lineage={"stage": "inject"}, metrics={"urls": n},
+        )
+        return n
+
+    def run_cycle(self, cycle_id: int, now_ms: int, top_n: int = 50000) -> CycleResult:
+        t0 = time.time()
+        parent = self.catalog.current_snapshot_id(CRAWLDB)
+        crawldb = self.catalog.read(self.spark, CRAWLDB)
+
+        fl = generate(
+            crawldb, self.cfg, now_ms, top_n=top_n,
+            url_filter_rules=self.url_filter_rules,
+        )
+        fl = fl.persist()
+        generated = fl.count()
+        if generated == 0:
+            fl.unpersist()
+            return CycleResult(cycle_id, 0, 0, crawldb.count(), {}, 0, time.time() - t0,
+                               parent or 0)
+
+        crawl_fetch, redirect_links = fetch(fl, self.robots, self.outcomes, self.cfg, now_ms)
+        crawl_fetch = crawl_fetch.persist()
+        content = fetched_content(crawl_fetch, self.docs)
+        parsed = parse(content, self.cfg, url_filter_rules=self.url_filter_rules)
+
+        datum_cols = [
+            "url", "status", "fetch_time", "retries", "fetch_interval", "score",
+            "signature", "modified_time", "metadata", "gen_time", "repr_url",
+        ]
+        segment_rows = (
+            crawl_fetch.select(*datum_cols)
+            .unionByName(parsed["crawl_parse"].select(*datum_cols))
+            .unionByName(redirect_links.select(*datum_cols))
+        )
+
+        base_db = mark_generated(crawldb, fl) if self.cfg.generate_update_crawldb else crawldb
+        newdb = updatedb(base_db, segment_rows, self.cfg, now_ms)
+
+        # metrics (one extra pass each over small aggregates)
+        fetched = crawl_fetch.count()
+        makespan = crawl_fetch.agg(F.max("fetch_time")).collect()[0][0] or now_ms
+        status_counts = {
+            STATUS_NAMES.get(r["status"], str(r["status"])): r["count"]
+            for r in newdb.groupBy("status").count().collect()
+        }
+        db_size = sum(status_counts.values())
+
+        snap = self.catalog.commit(
+            newdb, CRAWLDB, now_ms=now_ms,
+            lineage={
+                "stage": "updatedb",
+                "cycle_id": cycle_id,
+                "crawldb_parent_snapshot": parent,
+            },
+            metrics={
+                "generated": generated,
+                "fetched": fetched,
+                "db_status_counts": status_counts,
+                "virtual_makespan_ms": int(makespan - now_ms),
+            },
+            expected_parent=parent,
+        )
+        if self.write_segments:
+            seg = f"segment_{cycle_id:04d}"
+            self.catalog.commit(crawl_fetch, f"{seg}_crawl_fetch", now_ms=now_ms,
+                                lineage={"cycle_id": cycle_id})
+            self.catalog.commit(parsed["crawl_parse"], f"{seg}_crawl_parse", now_ms=now_ms,
+                                lineage={"cycle_id": cycle_id})
+            self.catalog.commit(parsed["parse_text"], f"{seg}_parse_text", now_ms=now_ms,
+                                lineage={"cycle_id": cycle_id})
+            self.catalog.commit(parsed["parse_data"], f"{seg}_parse_data", now_ms=now_ms,
+                                lineage={"cycle_id": cycle_id})
+
+        fl.unpersist()
+        crawl_fetch.unpersist()
+        return CycleResult(
+            cycle_id=cycle_id,
+            generated=generated,
+            fetched=fetched,
+            db_size=db_size,
+            status_counts=status_counts,
+            virtual_makespan_ms=int(makespan - now_ms),
+            wall_seconds=time.time() - t0,
+            snapshot_id=snap.snapshot_id,
+        )
+
+    def crawl(self, seeds, n_cycles: int, start_ms: int, top_n: int = 50000,
+              cycle_ms: int = 3_600_000) -> list[CycleResult]:
+        """inject + N cycles with a deterministically advancing clock."""
+        if not self.catalog.exists(CRAWLDB):
+            self.inject(seeds, start_ms)
+        results = []
+        for i in range(1, n_cycles + 1):
+            res = self.run_cycle(i, start_ms + i * cycle_ms, top_n=top_n)
+            results.append(res)
+            if res.generated == 0:
+                break
+        return results

@@ -1,0 +1,166 @@
+"""Fetch simulator: politeness clock, robots gating, status mapping,
+backoff, redirects. The politeness minimum-elapsed-time assertion is the
+analogue of TestFetcher.java:119 (fetcher.server.delay honored)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark import schema as S
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.fetchsim import fetch
+from nutch_spark.urls.urlutil import nutch_url_hash32
+
+NOW = 1_700_000_000_000
+CFG = NutchConfig()
+
+FL_SCHEMA = (
+    "url string, status int, fetch_time long, retries int, fetch_interval int,"
+    " score float, signature string, modified_time long, metadata map<string,string>,"
+    " gen_time long, repr_url string, url_hash int"
+)
+
+
+def fl_row(url, score=1.0):
+    return (url, S.STATUS_DB_UNFETCHED, NOW - 10_000, 0, 2592000, score, None, 0,
+            {}, NOW, None, nutch_url_hash32(url))
+
+
+def fetchlist(spark, urls):
+    return spark.createDataFrame([fl_row(u) for u in urls], FL_SCHEMA)
+
+
+def robots_df(spark, rows=()):
+    return spark.createDataFrame(
+        list(rows),
+        "host string, disallow array<string>, crawl_delay double,"
+        " defer_visits boolean, forbid_all boolean",
+    )
+
+
+def outcomes_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, outcome string, redirect_to string, latency_ms long"
+    )
+
+
+def test_politeness_spacing_single_host(spark):
+    urls = [f"http://polite.example.com/doc/{i}" for i in range(5)]
+    fl = fetchlist(spark, urls)
+    out = outcomes_df(spark, [(u, "success", None, 100) for u in urls])
+    cf, _ = fetch(fl, robots_df(spark), out, CFG, NOW)
+    rows = sorted(cf.collect(), key=lambda r: r["fetch_time"])
+    assert all(r["status"] == S.STATUS_FETCH_SUCCESS for r in rows)
+    times = [r["fetch_time"] for r in rows]
+    # spacing = latency(100) + server delay(5000)
+    assert [t - times[0] for t in times] == [i * 5100 for i in range(5)]
+    # issue order is the url-hash interleave order
+    order = [r["url"] for r in rows]
+    assert order == sorted(urls, key=lambda u: (nutch_url_hash32(u), u))
+    # min makespan proves the politeness delay was honored (TestFetcher:119)
+    assert times[-1] - times[0] >= 4 * CFG.fetcher_server_delay * 1000
+
+
+def test_hosts_run_in_parallel(spark):
+    urls = [f"http://h{i}.example.com/doc/0" for i in range(4)]
+    fl = fetchlist(spark, urls)
+    out = outcomes_df(spark, [(u, "success", None, 100) for u in urls])
+    cf, _ = fetch(fl, robots_df(spark), out, CFG, NOW)
+    # independent hosts all start at cycle start: wall clock is per-host
+    assert {r["fetch_time"] for r in cf.collect()} == {NOW}
+
+
+def test_robots_disallow_and_crawl_delay(spark):
+    urls = [
+        "http://r.example.com/private/doc/1",
+        "http://r.example.com/doc/2",
+        "http://slow.example.com/doc/3",
+        "http://polite8.example.com/doc/4",
+        "http://polite8.example.com/doc/5",
+    ]
+    fl = fetchlist(spark, urls)
+    rb = robots_df(spark, [
+        ("r.example.com", ["/private/"], None, False, False),
+        ("slow.example.com", [], 40.0, False, False),   # > 30s cap -> gone
+        ("polite8.example.com", [], 8.0, False, False),
+    ])
+    out = outcomes_df(spark, [(u, "success", None, 100) for u in urls])
+    cf, _ = fetch(fl, rb, out, CFG, NOW)
+    rows = {r["url"]: r for r in cf.collect()}
+    assert rows["http://r.example.com/private/doc/1"]["status"] == S.STATUS_FETCH_GONE
+    assert rows["http://r.example.com/doc/2"]["status"] == S.STATUS_FETCH_SUCCESS
+    assert rows["http://slow.example.com/doc/3"]["status"] == S.STATUS_FETCH_GONE
+    # robots Crawl-Delay 8s adopted instead of the 5s default
+    p8 = sorted(
+        [rows["http://polite8.example.com/doc/4"], rows["http://polite8.example.com/doc/5"]],
+        key=lambda r: r["fetch_time"],
+    )
+    assert p8[1]["fetch_time"] - p8[0]["fetch_time"] == 100 + 8000
+    # robots-denied items consume no politeness budget
+    assert rows["http://r.example.com/doc/2"]["fetch_time"] == NOW
+
+
+def test_outcome_status_mapping(spark):
+    cases = {
+        "success": S.STATUS_FETCH_SUCCESS,
+        "notmodified": S.STATUS_FETCH_NOTMODIFIED,
+        "moved": S.STATUS_FETCH_REDIR_PERM,
+        "temp_moved": S.STATUS_FETCH_REDIR_TEMP,
+        "gone": S.STATUS_FETCH_GONE,
+        "notfound": S.STATUS_FETCH_GONE,
+        "retry": S.STATUS_FETCH_RETRY,
+        "exception": S.STATUS_FETCH_RETRY,
+    }
+    urls = [f"http://m{i}.example.com/doc/0" for i in range(len(cases))]
+    fl = fetchlist(spark, urls)
+    out = outcomes_df(
+        spark,
+        [(u, oc, "http://m0.example.com/doc/9" if "moved" in oc else None, 10)
+         for u, oc in zip(urls, cases)],
+    )
+    cf, _ = fetch(fl, robots_df(spark), out, CFG, NOW)
+    got = {r["url"]: r["status"] for r in cf.collect()}
+    for u, oc in zip(urls, cases):
+        assert got[u] == cases[oc], oc
+    # unknown URL (no outcome row) behaves as notfound -> gone
+    fl2 = fetchlist(spark, ["http://unknown.example.com/doc/0"])
+    cf2, _ = fetch(fl2, robots_df(spark), outcomes_df(spark, []), CFG, NOW)
+    assert cf2.collect()[0]["status"] == S.STATUS_FETCH_GONE
+
+
+def test_exception_backoff(spark):
+    urls = [f"http://b.example.com/doc/{i}" for i in range(3)]
+    order = sorted(urls, key=lambda u: (nutch_url_hash32(u), u))
+    fl = fetchlist(spark, urls)
+    # first (in hash order) item raises an exception
+    out = outcomes_df(
+        spark,
+        [(u, "exception" if u == order[0] else "success", None, 100) for u in urls],
+    )
+    cf, _ = fetch(fl, robots_df(spark), out, CFG, NOW)
+    rows = {r["url"]: r for r in cf.collect()}
+    # second item delayed by cost(5100) + backoff base 10s * (2^1 - 1)
+    assert rows[order[1]]["fetch_time"] == NOW + 5100 + 10_000
+
+
+def test_redirect_links_and_repr(spark):
+    fl = fetchlist(spark, ["http://rd.example.com/doc/1"])
+    out = outcomes_df(
+        spark, [("http://rd.example.com/doc/1", "moved", "http://rd.example.com/doc/2", 10)]
+    )
+    cf, links = fetch(fl, robots_df(spark), out, CFG, NOW)
+    assert cf.collect()[0]["status"] == S.STATUS_FETCH_REDIR_PERM
+    lrow = links.collect()[0]
+    assert lrow["url"] == "http://rd.example.com/doc/2"
+    assert lrow["status"] == S.STATUS_LINKED
+    # permanent redirect, source not root -> repr is destination
+    assert lrow["repr_url"] == "http://rd.example.com/doc/2"
+
+
+def test_time_limit_drains_remaining(spark):
+    cfg = CFG.with_(fetcher_timelimit_mins=1)  # 60s budget
+    urls = [f"http://tl.example.com/doc/{i}" for i in range(30)]
+    fl = fetchlist(spark, urls)
+    out = outcomes_df(spark, [(u, "success", None, 1000) for u in urls])
+    cf, _ = fetch(fl, robots_df(spark), out, cfg, NOW)
+    # each item costs 6s; only ~11 fit into the 60s budget
+    assert cf.count() == 11
