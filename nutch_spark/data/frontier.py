@@ -156,17 +156,18 @@ def synth_outcomes(docs: DataFrame, seed: int = DEFAULT_SEED) -> DataFrame:
     )
 
 
-def synth_seeds(spark: SparkSession, n_hosts: int, per_host: int = 1) -> DataFrame:
-    """Seed lines: the root doc(s) of each host."""
-    df = spark.range(n_hosts * per_host).select(
-        F.concat(
-            F.lit("http://host"),
-            (F.col("id") % n_hosts).cast("string"),
-            F.lit(".example.com/doc/"),
-            (F.col("id") / n_hosts).cast("long").cast("string"),
-        ).alias("value")
+def synth_seeds(docs: DataFrame, per_host: int = 1) -> DataFrame:
+    """Seed lines: the first ``per_host`` real docs of every host (the
+    seeds must resolve in the corpus, like the reference's seed file
+    pointing at the Jetty fixture site)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host_id").orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_host)
+        .select(F.col("doc_id").alias("value"))
     )
-    return df
 
 
 def synth_web(
@@ -181,5 +182,5 @@ def synth_web(
         "docs": docs,
         "robots": synth_robots(spark, n_hosts, seed),
         "outcomes": synth_outcomes(docs, seed),
-        "seeds": synth_seeds(spark, n_hosts),
+        "seeds": synth_seeds(docs),
     }

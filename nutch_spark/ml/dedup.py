@@ -1,0 +1,252 @@
+"""Training-data deduplication at scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+All hashing is MD5-derived so every operator has a bit-identical ANSI
+SQL oracle (DuckDB) — no engine-specific hash functions:
+
+    h_i(s) = md5(i || ':' || s)          (hex string; lexicographic min
+                                          == numeric min at fixed width)
+    int32(s) = conv(substr(md5(s),1,8), 16, 10)
+
+Scale shapes (100 TB corpus):
+- exact: one shuffle on the 128-bit fingerprint (groupBy), map-side
+  partial aggregation;
+- minhash: signatures are a narrow map-side transform (shingle ->
+  transform(seq) -> array_min); LSH banding turns the O(n^2) pair
+  problem into groupBy(band_value) joins, each band a separate shuffle
+  key space; candidate verification re-checks true Jaccard on the
+  shingle sets of candidate pairs only;
+- simhash: map-side 32-bit fingerprint; near-dup = bucket join on
+  rotated prefixes (here: verification by Hamming distance on pairs
+  from the same LSH band of the fingerprint's nibbles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nutch_spark.ml.text import fingerprint, normalized_text
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Groups of identical normalized text: (fingerprint, doc_ids, keeper).
+    Keeper = min doc_id (deterministic)."""
+    fp = documents.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Keep one doc per identical-content group (min doc_id wins)."""
+    fp = documents.withColumn("fp", fingerprint(F.col("text")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of the normalized text."""
+    words = F.split(normalized_text(text), " ")
+    n = F.size(words)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(3)]),
+        ),
+    ).otherwise(F.array(normalized_text(text)))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.8, k: int = 3
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold. Exact (O(n^2) on the
+    shingle-inverted index) — the verification primitive; use
+    minhash_lsh_candidates to prune at scale."""
+    sh = documents.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    jaccard = F.col("n_inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    )
+    return j.select(
+        "doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """Array of num_hashes minhashes: h_i = min over shingles of
+    md5(i || ':' || shingle)  (hex-string min == numeric min)."""
+    shingles = word_shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Band values: concat of `rows` consecutive minhashes per band."""
+    return F.array(
+        *[
+            F.concat_ws("", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame, num_hashes: int = 16, bands: int = 4, k: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    bands*rows == num_hashes; collision prob ≈ 1-(1-j^rows)^bands."""
+    rows = num_hashes // bands
+    sig = documents.select(
+        "doc_id", minhash_signature(F.col("text"), num_hashes, k).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(minhash_bands(F.col("sig"), bands, rows)).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by true Jaccard on shingle sets — the
+    standard two-phase near-dup pipeline (prune then verify)."""
+    cands = minhash_lsh_candidates(documents, num_hashes, bands, k)
+    sh = documents.select("doc_id", word_shingles(F.col("text"), k).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    j = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _token_h32(tok: Column) -> Column:
+    """32-bit token hash from the md5 hex prefix (portable)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over the normalized words: bit b is 1 iff the sum
+    of per-token votes (+1 if token hash has bit b, else -1) is > 0.
+    Duplicate tokens vote once per occurrence."""
+    words = F.filter(F.split(normalized_text(text), " "), lambda w: w != "")
+    hashes = F.transform(words, _token_h32)
+    n = F.size(hashes)
+
+    def bit_expr(b: int) -> Column:
+        ones = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0),
+        )
+        # vote = ones - (n - ones) > 0  <=>  2*ones > n
+        return F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = bit_expr(0)
+    for b in range(1, 32):
+        out = out + bit_expr(b)
+    return F.when(n > 0, out).otherwise(F.lit(0).cast("long"))
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash: band the 32-bit fingerprint into 4 bytes
+    (pigeonhole: hamming<=3 pairs share at least one exact byte),
+    bucket-join, verify Hamming distance."""
+    sh = documents.select("doc_id", simhash32(F.col("text")).alias("sh"))
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("sh"), 8 * i).bitwiseAND(F.lit(0xFF)) for i in range(4)])
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming32(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,121 @@
+"""Similarity search over the embeddings table (vec_id, embedding
+array<float>, label).
+
+- ``brute_force_topk``: exact cosine top-k — dot products via
+  ``F.zip_with`` + ``F.aggregate`` (JVM-side, no Python), ranks via a
+  per-query window. The baseline and the verifier for approximate
+  variants.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH (sign
+  bits from deterministic hash-derived hyperplanes) buckets the corpus;
+  candidates = same bucket (multi-probe over `tables` independent
+  hash tables); exact cosine re-rank inside buckets only.
+
+Scale: brute force is O(Q*N) — fine for Q small (it broadcasts the
+query set); LSH turns it into O(Q * bucket_size) with table count /
+bit count trading recall for cost. Both avoid Python entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, embedding). Returns (query_id, vec_id,
+    cosine_sim, rank). Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select("vec_id", F.col("embedding").alias("c_emb"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, table: int, bit: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from a splitmix-style integer mix of (table, bit, d)."""
+    x = (table * 1_000_003 + bit * 10_007 + d * 101 + 12345) & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    x = x ^ (x >> 31)
+    return (x % 2_000_000) / 1_000_000.0 - 1.0
+
+
+def lsh_sign_bucket(emb: Column, dim: int, table: int, n_bits: int) -> Column:
+    """Bucket id = integer of sign bits of `n_bits` hyperplane dots."""
+    bucket = F.lit(0).cast("long")
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(_hyperplane(dim, table, b, d)) for d in range(dim)])
+        bucket = bucket + F.when(dot(emb, plane) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 16,
+    n_bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in any of the
+    hash tables; exact cosine re-rank on candidates."""
+    c = embeddings.select("vec_id", F.col("embedding").alias("c_emb"))
+    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+    c_b = c.select(
+        "vec_id",
+        "c_emb",
+        F.posexplode(
+            F.array(*[lsh_sign_bucket(F.col("c_emb"), dim, t, n_bits) for t in range(tables)])
+        ).alias("table", "bucket"),
+    )
+    q_b = q.select(
+        "query_id",
+        "q_emb",
+        F.posexplode(
+            F.array(*[lsh_sign_bucket(F.col("q_emb"), dim, t, n_bits) for t in range(tables)])
+        ).alias("table", "bucket"),
+    )
+    cand = (
+        c_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "q_emb", "c_emb")
+        .distinct()
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,57 @@
+"""CrawlDb merger (J4) — ``crawl/CrawlDbMerger.java:81-118``.
+
+Merge N crawldbs per URL: the datum with the highest
+``calculateLastFetchTime`` wins (0 for db_unfetched,
+fetchTime - interval*1000 otherwise, AbstractFetchSchedule.java:163-170),
+ties broken by higher fetchTime (isNewer, :107-111). Metadata is the
+union across inputs with the newer datum's values taking precedence
+(:92-98) — re-expressed as a fetch-time-ordered array of maps folded
+with last-wins map_concat.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.schedules import calculate_last_fetch_time
+from nutch_spark.schema import STATUS_DB_UNFETCHED
+
+_EMPTY_MAP = "cast(map() as map<string,string>)"
+
+
+def merge_crawldbs(dbs: list[DataFrame], cfg: NutchConfig) -> DataFrame:
+    assert dbs, "need at least one crawldb"
+    unioned = reduce(lambda a, b: a.unionByName(b), dbs)
+    lft = calculate_last_fetch_time(
+        F.col("status"), F.col("fetch_time"), F.col("fetch_interval"), STATUS_DB_UNFETCHED
+    )
+    unioned = unioned.withColumn("_lft", lft)
+
+    datum = F.struct(*[c for c in unioned.columns if c not in ("url",)])
+    # metadata union, newer (by fetch_time) wins: structs holding maps are
+    # not orderable, so sort (ft, entry-array) structs and rebuild the map
+    # with LAST_WIN dedup (map_from_entries honors spark.sql.mapKeyDedupPolicy)
+    meta_entries = F.struct(
+        F.col("fetch_time").alias("ft"),
+        F.map_entries(F.coalesce(F.col("metadata"), F.expr(_EMPTY_MAP))).alias("entries"),
+    )
+    agg = unioned.groupBy("url").agg(
+        F.max_by(datum, F.struct("_lft", "fetch_time")).alias("best"),
+        F.map_from_entries(
+            F.flatten(
+                F.transform(F.array_sort(F.collect_list(meta_entries)), lambda s: s["entries"])
+            )
+        ).alias("merged_meta"),
+    )
+    def out_col(c):
+        if c == "url":
+            return F.col("url")
+        if c == "metadata":
+            return F.col("merged_meta").alias("metadata")
+        return F.col("best." + c).alias(c)
+
+    return agg.select(*[out_col(c) for c in dbs[0].columns])

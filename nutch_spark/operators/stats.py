@@ -1,0 +1,118 @@
+"""readdb -stats / -topN / -dump (A1, A2, S7) and host/domain stats (A4, A5).
+
+Re-expresses ``crawl/CrawlDbReader.java`` (stats map :369-421, reduce
+:423-471; topN :510-561,:964-1010; dump :834) and
+``hostdb/UpdateHostDbReducer.java:49-370`` / ``util/domain/
+DomainStatistics.java`` as plain DataFrame aggregations — every one is
+a single groupBy/orderBy that Catalyst executes with partial (map-side)
+aggregation; the reference's single-reducer global topN becomes
+TakeOrdered (``orderBy().limit()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.schema import (
+    STATUS_DB_FETCHED,
+    STATUS_DB_GONE,
+    STATUS_DB_NOTMODIFIED,
+    STATUS_DB_UNFETCHED,
+    STATUS_NAMES,
+)
+from nutch_spark.urls.urlutil import domain_udf, host_col
+
+
+def status_name_col(status: Column) -> Column:
+    expr = None
+    for code, name in STATUS_NAMES.items():
+        expr = F.when(status == code, name) if expr is None else expr.when(status == code, name)
+    return expr.otherwise(F.concat(F.lit("status_"), status.cast("string")))
+
+
+def crawldb_stats(crawldb: DataFrame) -> DataFrame:
+    """readdb -stats: per-status counts + score/fetch aggregates."""
+    return (
+        crawldb.groupBy("status")
+        .agg(
+            F.count("*").alias("count"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.avg("score").alias("avg_score"),
+            F.sum("score").alias("sum_score"),
+            F.min("fetch_time").alias("min_fetch_time"),
+            F.max("fetch_time").alias("max_fetch_time"),
+            F.min("fetch_interval").alias("min_interval"),
+            F.max("fetch_interval").alias("max_interval"),
+        )
+        .withColumn("status_name", status_name_col(F.col("status")))
+    )
+
+
+def retries_histogram(crawldb: DataFrame) -> DataFrame:
+    return crawldb.groupBy("retries").count().orderBy("retries")
+
+
+def top_n(crawldb: DataFrame, n: int, min_score: float | None = None) -> DataFrame:
+    """readdb -topN: global top-N by score (TakeOrdered, scalable)."""
+    df = crawldb
+    if min_score is not None:
+        df = df.filter(F.col("score") >= F.lit(min_score).cast("float"))
+    return df.orderBy(F.desc("score"), F.asc("url")).limit(n).select("url", "score")
+
+
+def dump(crawldb: DataFrame, *, status: int | None = None, regex: str | None = None,
+         min_score: float | None = None, expr: str | None = None) -> DataFrame:
+    """readdb -dump with the reference's filters (status/regex/score/expr)."""
+    df = crawldb
+    if status is not None:
+        df = df.filter(F.col("status") == status)
+    if regex is not None:
+        df = df.filter(F.col("url").rlike(regex))
+    if min_score is not None:
+        df = df.filter(F.col("score") >= F.lit(min_score).cast("float"))
+    if expr is not None:
+        df = df.filter(F.expr(expr))
+    return df
+
+
+def hostdb_update(crawldb: DataFrame, cfg: NutchConfig) -> DataFrame:
+    """HostDb (A4): per-host aggregates over the CrawlDb —
+    counts per db status, totals, score percentiles
+    (UpdateHostDbReducer percentiles :364-370 -> percentile_approx).
+    DNS resolution is out of scope (fixture-driven, SURVEY A4)."""
+    df = crawldb.withColumn("host", host_col(F.col("url")))
+
+    def cnt(status):
+        return F.count(F.when(F.col("status") == status, 1)).alias(
+            "n_" + STATUS_NAMES[status]
+        )
+
+    return df.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        cnt(STATUS_DB_UNFETCHED),
+        cnt(STATUS_DB_FETCHED),
+        cnt(STATUS_DB_GONE),
+        cnt(STATUS_DB_NOTMODIFIED),
+        F.sum(F.when(F.col("status") != STATUS_DB_UNFETCHED, 1).otherwise(0)).alias("n_tried"),
+        F.max("fetch_time").alias("last_fetch_time"),
+        F.avg("score").alias("avg_score"),
+        F.expr("percentile_approx(score, array(0.5, 0.75, 0.95), 1000)").alias("score_pcts"),
+    )
+
+
+def domain_stats(crawldb: DataFrame, mode: str = "domain") -> DataFrame:
+    """CrawlCompletionStats / DomainStatistics (A5): fetched/unfetched
+    counts per host or domain."""
+    key = host_col(F.col("url")) if mode == "host" else domain_udf()(F.col("url"))
+    return (
+        crawldb.withColumn("key", key)
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count(F.when(F.col("status") == STATUS_DB_FETCHED, 1)).alias("n_fetched"),
+            F.count(F.when(F.col("status") == STATUS_DB_UNFETCHED, 1)).alias("n_unfetched"),
+        )
+    )

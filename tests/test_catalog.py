@@ -1,0 +1,46 @@
+"""Snapshot catalog: atomic commit, time travel, rollback, optimistic
+concurrency (the CrawlDb.install current/old swap semantics,
+CrawlDb.java:197-220)."""
+
+import pytest
+
+from nutch_spark.catalog import ConcurrentCommitError, SnapshotCatalog
+
+
+def test_commit_read_timetravel_rollback(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    df1 = spark.range(3).toDF("id")
+    df2 = spark.range(5).toDF("id")
+    s1 = cat.commit(df1, "t", now_ms=1, metrics={"rows": 3})
+    s2 = cat.commit(df2, "t", now_ms=2, lineage={"stage": "x"})
+    assert cat.current_snapshot_id("t") == s2.snapshot_id
+    assert cat.read(spark, "t").count() == 5
+    # time travel (the "old" dir for free)
+    assert cat.read(spark, "t", snapshot_id=s1.snapshot_id).count() == 3
+    # rollback = resume from checkpoint
+    cat.rollback("t", s1.snapshot_id)
+    assert cat.read(spark, "t").count() == 3
+    snaps = cat.snapshots("t")
+    assert [s.snapshot_id for s in snaps] == [1, 2]
+    assert snaps[0].metrics == {"rows": 3}
+    assert snaps[1].lineage == {"stage": "x"}
+
+
+def test_optimistic_concurrency(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat2"))
+    df = spark.range(1).toDF("id")
+    s1 = cat.commit(df, "t", now_ms=1)
+    cat.commit(df, "t", now_ms=2, expected_parent=s1.snapshot_id)
+    with pytest.raises(ConcurrentCommitError):
+        cat.commit(df, "t", now_ms=3, expected_parent=s1.snapshot_id)
+
+
+def test_expire_snapshots(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat3"))
+    df = spark.range(1).toDF("id")
+    for i in range(5):
+        cat.commit(df, "t", now_ms=i)
+    dropped = cat.expire_snapshots("t", keep=2)
+    assert dropped == 3
+    assert [s.snapshot_id for s in cat.snapshots("t")] == [4, 5]
+    assert cat.read(spark, "t").count() == 1
