@@ -112,4 +112,5 @@ def test_hostdb_and_domain_stats(spark):
 
     doms = {r["key"]: r for r in domain_stats(d, "domain").collect()}
     assert doms["example.com"]["n_urls"] == 3
-    assert doms["example.com"]["n_fetched"] == 2
+    assert doms["example.com"]["n_fetched"] == 1
+    assert doms["example.com"]["n_unfetched"] == 1
