@@ -1,0 +1,115 @@
+"""Similarity search (brute force + LSH) and multimodal plumbing."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.ml.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+    media_refs_from_docs,
+    resize_plan,
+    synth_media,
+)
+from nutch_spark.ml.similarity import brute_force_topk, lsh_bucket_topk
+
+DIM = 8
+
+
+def embeddings(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_brute_force_topk_exact(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, DIM)
+    emb = embeddings(spark, vecs)
+    q = embeddings(spark, vecs[:2]).withColumnRenamed("vec_id", "query_id")
+    out = brute_force_topk(emb, q, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        # verify against numpy
+        qv = vecs[qid]
+        sims = {
+            j: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for j, v in enumerate(vecs)
+            if j != qid
+        }
+        expected = sorted(sims, key=lambda j: (-sims[j], j))[:5]
+        got = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got == expected
+        for r in rows:
+            assert r["cosine_sim"] == pytest.approx(sims[r["vec_id"]], abs=2e-4)
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, DIM)
+    # plant near-neighbors of vec 0
+    base[1] = base[0] + 0.01 * rng.randn(DIM)
+    base[2] = base[0] + 0.02 * rng.randn(DIM)
+    emb = embeddings(spark, base)
+    q = embeddings(spark, base[:1]).withColumnRenamed("vec_id", "query_id")
+    out = lsh_bucket_topk(emb, q, k=3, dim=DIM, n_bits=4, tables=6).collect()
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # planted near-dups must surface at the top
+    assert got[:2] == [1, 2]
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [
+            ("http://h0.example.com/doc/1",
+             [("media", "m", "http://h0.example.com/media/5.img", 0),
+              ("text", "t", None, 1),
+              ("media", "m", "http://h0.example.com/media/6.img", 2)]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    refs = media_refs_from_docs(docs)
+    assert refs.count() == 2
+    media = synth_media(spark, refs)
+    rows = media.collect()
+    assert all(r["mime"] == "image/png" for r in rows)
+    assert all(len(r["bytes"]) == 64 for r in rows)  # 4x md5 hex -> 64 raw bytes
+
+    feats = extract_features(media).collect()
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
+    assert all(0.0 <= x < 1.0 for r in feats for x in r["feature"])
+    # deterministic
+    feats2 = extract_features(media).collect()
+    assert {r["media_ref"]: r["feature"] for r in feats} == {
+        r["media_ref"]: r["feature"] for r in feats2
+    }
+
+
+def test_real_decode_path_is_stubbed(spark):
+    docs = spark.createDataFrame(
+        [("http://h.example.com/d", [("media", "m", "http://h.example.com/m.img", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media = synth_media(spark, media_refs_from_docs(docs))
+    with pytest.raises(Exception) as ei:
+        extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "image decoding" in str(ei.value)
+
+
+def test_resize_and_frame_plans(spark):
+    media = spark.createDataFrame(
+        [("a", 1920, 1080, None), ("b", 100, 50, None), ("v", 640, 480, 3500)],
+        "media_ref string, width int, height int, duration_ms long",
+    )
+    rp = {r["media_ref"]: r for r in resize_plan(media, max_side=512).collect()}
+    assert rp["a"]["target_width"] == 512 and rp["a"]["target_height"] == 288
+    assert rp["b"]["target_width"] == 100  # no upscaling
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]

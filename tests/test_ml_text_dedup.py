@@ -1,0 +1,133 @@
+"""Training-data ops: text analysis, exact/minhash/simhash/jaccard dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.ml.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from nutch_spark.ml.text import analyze, fingerprint, lang_id, quality_score, token_count
+
+
+def docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_token_count_and_fingerprint(spark):
+    d = docs(spark, ["one two  three", "", "  ", "one two three"])
+    rows = d.select(
+        "doc_id", token_count(F.col("text")).alias("n"), fingerprint(F.col("text")).alias("fp")
+    ).collect()
+    n = {r["doc_id"]: r["n"] for r in rows}
+    assert n == {0: 3, 1: 0, 2: 0, 3: 3}
+    fp = {r["doc_id"]: r["fp"] for r in rows}
+    assert fp[0] == fp[3]  # whitespace-normalized equality
+    assert fp[0] != fp[1]
+
+
+def test_lang_id(spark):
+    d = docs(spark, [
+        "the cat and the dog with that hat",
+        "der Hund und die Katze nicht",
+        "les chats des villes est une",
+        "los gatos las casas que para",
+        "zzzz qqqq",
+    ])
+    got = [r[0] for r in d.select(lang_id(F.col("text"))).collect()]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_quality_score_ordering(spark):
+    good = "The quick brown fox jumps over the lazy dog and runs far away. " * 10
+    bad = "!!! ??? ... ;;; :::"
+    d = docs(spark, [good, bad])
+    rows = d.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    q = {r["doc_id"]: r["q"] for r in rows}
+    assert q[0] > q[1]
+    assert 0.0 <= q[1] <= q[0] <= 1.0
+
+
+def test_analyze_shape(spark):
+    d = docs(spark, ["The cat and the dog.", "short"])
+    out = analyze(d)
+    assert {"doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "quality",
+            "fingerprint", "n_chars", "alpha_ratio", "punct_ratio",
+            "stopword_ratio", "mean_word_len"} <= set(out.columns)
+    assert out.count() == 2
+
+
+def test_exact_dedup(spark):
+    d = docs(spark, ["same text here", "SAME   text here", "different"])
+    groups = exact_duplicates(d).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keeper"] == 0
+    kept = exact_dedup(d)
+    assert kept.count() == 2
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2]
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun shines "
+        "bright over the green hills and the river flows quietly")
+
+
+def test_minhash_near_duplicates(spark):
+    near = BASE.replace("quietly", "slowly")  # one-word change
+    far = "completely unrelated content about spark window functions and parquet files"
+    d = docs(spark, [BASE, near, far])
+    cands = minhash_lsh_candidates(d, num_hashes=16, bands=8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert (0, 1) in pairs
+    verified = minhash_near_duplicates(d, threshold=0.5, num_hashes=16, bands=8)
+    vp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
+    assert (0, 1) in vp and vp[(0, 1)] >= 0.5
+    assert all(p != (0, 2) and p != (1, 2) for p in vp)
+
+
+def test_minhash_signature_properties(spark):
+    d = docs(spark, [BASE, BASE, "other words entirely distinct"])
+    sigs = d.select("doc_id", minhash_signature(F.col("text"), 8).alias("s")).collect()
+    s = {r["doc_id"]: r["s"] for r in sigs}
+    assert s[0] == s[1]  # identical text -> identical signature
+    assert s[0] != s[2]
+    assert len(s[0]) == 8
+
+
+def test_ngram_jaccard_pairs(spark):
+    near = BASE.replace("quietly", "slowly")
+    d = docs(spark, [BASE, near, "unrelated stuff entirely here now"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(d, threshold=0.3).collect()}
+    assert list(pairs) == [(0, 1)]
+    assert 0.3 <= pairs[(0, 1)] < 1.0
+
+
+def test_simhash(spark):
+    near = BASE + " extra"
+    d = docs(spark, [BASE, near, "totally different words about nothing relevant"])
+    rows = d.select("doc_id", simhash32(F.col("text")).alias("sh")).collect()
+    sh = {r["doc_id"]: r["sh"] for r in rows}
+    ham01 = bin(sh[0] ^ sh[1]).count("1")
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    assert ham01 < ham02  # similar docs closer in Hamming space
+    dups = simhash_near_duplicates(d, max_hamming=max(ham01, 1))
+    got = {(r["doc_a"], r["doc_b"]) for r in dups.collect()}
+    assert (0, 1) in got
+
+
+def test_shingles(spark):
+    d = docs(spark, ["a b c d", "a b"])
+    rows = d.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()
+    sh = {r["doc_id"]: r["sh"] for r in rows}
+    assert sh[0] == ["a b c", "b c d"]
+    assert sh[1] == ["a b"]  # shorter than k: whole text
