@@ -1,38 +1,936 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl cycle (inject → generate →
+fetch → parse → updatedb, SURVEY.md §3.1) over a deterministic web
+derived from ``/root/testdata/sf0.001/documents.parquet``.
+
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2; each oracle in ``oracle_sql()`` is the ANSI-SQL
+re-statement of the same semantics over the same parquet tables, so
+the DuckDB comparison is an executable spec of the operator
+(cited reference files in each query's docstring).
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+- every score is a dyadic rational (k/4, k/0.25 steps) → float32 and
+  float64 arithmetic are both EXACT and order-independent;
+- injected clocks only (no wall clock), SURVEY §2.8;
+- every ordering has a total tie-break (url / vec_id);
+- doubles that result from division are rounded to 6 dp on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from nutch_spark.config import NutchConfig
+
+# injected clocks (epoch ms) — SURVEY §2.8: time is an explicit parameter
+FT_BASE = 1_700_000_000_000  # crawldb fetch_time base
+GEN_NOW = 1_704_000_000_000  # generate curTime
+FETCH_TS = 1_705_000_000_000  # segment actual fetch time
+UPD_NOW = 1_706_000_000_000  # updatedb / inject clock
+
+CFG = NutchConfig()
+
+
+# ---------------------------------------------------------------------------
+# shared synthetic-crawldb derivation (Spark side)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _url_col(doc_id=None):
+    d = F.col("doc_id") if doc_id is None else doc_id
+    return F.concat(
+        F.lit("http://host"), (d % 40).cast("string"),
+        F.lit(".example.com/doc/"), d.cast("string"),
+    )
+
+
+def _crawldb(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """CrawlDb rows derived 1:1 from the documents table (CrawlDatum
+    fields per crawl/CrawlDatum.java:138-145; statuses :63-105)."""
+    s = F.col("doc_id") % 10
+    status = (
+        F.when(s < 5, 1)       # db_unfetched
+        .when(s < 8, 2)        # db_fetched
+        .when(s == 8, 6)       # db_notmodified
+        .otherwise(3)          # db_gone
+    ).cast("int")
+    return docs.select(
+        _url_col().alias("url"),
+        status.alias("status"),
+        (F.lit(FT_BASE) + (F.col("doc_id") % 1000) * 3600000).cast("long").alias("fetch_time"),
+        (F.col("doc_id") % 3).cast("int").alias("retries"),
+        F.lit(2592000).cast("int").alias("fetch_interval"),
+        ((F.col("doc_id") % 64) / 4.0).cast("float").alias("score"),
+        F.when((s >= 5) & (s <= 8), F.md5("text")).alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.expr("map()").cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        F.lit(None).cast("string").alias("repr_url"),
+        *[F.col(c) for c in extra],
+    )
+
+
+# the same derivation as a DuckDB CTE (oracle side)
+_CRAWLDB_CTE = """
+crawldb AS (
+  SELECT
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    CAST(CASE WHEN doc_id % 10 < 5 THEN 1
+              WHEN doc_id % 10 < 8 THEN 2
+              WHEN doc_id % 10 = 8 THEN 6
+              ELSE 3 END AS INTEGER) AS status,
+    CAST(1700000000000 + (doc_id % 1000) * 3600000 AS BIGINT) AS fetch_time,
+    CAST(doc_id % 3 AS INTEGER) AS retries,
+    CAST(2592000 AS INTEGER) AS fetch_interval,
+    (doc_id % 64) / 4.0 AS score,
+    CASE WHEN doc_id % 10 BETWEEN 5 AND 8 THEN md5(text) END AS signature,
+    CAST(0 AS BIGINT) AS modified_time,
+    doc_id,
+    text
+  FROM documents
+)
+"""
+
+_DATUM_SELECT = [
+    "url", "status", "fetch_time", "retries", "fetch_interval", "score",
+    "signature", "modified_time", "metadata", "gen_time", "repr_url",
+]
+
+
+def _empty_meta():
+    return F.expr("map()").cast("map<string,string>")
+
+
+def _seg_row(df, status, *, sig, ft, retries, iv, score):
+    return df.select(
+        _url_col().alias("url"),
+        F.lit(status).cast("int").alias("status"),
+        F.lit(ft).cast("long").alias("fetch_time"),
+        retries.cast("int").alias("retries"),
+        F.lit(iv).cast("int").alias("fetch_interval"),
+        score.cast("float").alias("score"),
+        sig.alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        _empty_meta().alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        F.lit(None).cast("string").alias("repr_url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl queries (SURVEY §2: J1 J2 J4 J5, G1/G2, A1-A5)
+# ---------------------------------------------------------------------------
+
+def q_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 inject merge (Injector.java:292-348): full-outer seeds ⟗ db."""
+    from nutch_spark.operators.inject import inject
+
+    docs = _docs(spark, sf_dir)
+    old = _crawldb(docs.filter(F.col("doc_id") % 2 == 0))
+    seeds = docs.filter(F.col("doc_id") % 3 == 0).select(
+        _url_col().alias("url"),
+        F.lit(UPD_NOW).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(2592000).cast("int").alias("fetch_interval"),
+        F.lit(2.0).cast("float").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        _empty_meta().alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        F.lit(None).cast("string").alias("repr_url"),
+    )
+    out = inject(old, seeds, CFG)
+    return out.select(
+        "url", "status", "fetch_time", "retries", "fetch_interval",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def q_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2 generate: eligibility (fork: unfetched only,
+    Generator.java:234-237), per-host maxCount with segment spill
+    (:509-552), per-segment topN (:396-397)."""
+    from nutch_spark.operators.generate import generate
+
+    cfg = replace(CFG, generate_max_count=5, generate_count_mode="host")
+    db = _crawldb(_docs(spark, sf_dir))
+    fl = generate(db, cfg, GEN_NOW, top_n=150, max_num_segments=2, num_lists=8)
+    return fl.select("url", F.col("segnum").cast("int").alias("segnum"))
+
+
+def q_updatedb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + §2.4 state machine (CrawlDbReducer.java:64-324): union of
+    old db + fetch (success/gone/retry) + linked datums, grouped by url,
+    merged by the normative state machine with DefaultFetchSchedule."""
+    from nutch_spark.operators.updatedb import updatedb
+
+    docs = _docs(spark, sf_dir)
+    old = _crawldb(docs.filter(F.col("doc_id") % 3 != 0))
+    seg = docs.filter(F.col("doc_id") % 5 != 4)
+    k = F.col("doc_id") % 4
+    score = (F.col("doc_id") % 64) / 4.0
+
+    succ = _seg_row(
+        seg.filter(k == 0), 0x21,
+        sig=F.when(F.col("doc_id") % 8 == 0, F.md5("text")).otherwise(
+            F.md5(F.concat(F.col("text"), F.lit("x")))),
+        ft=FETCH_TS, retries=F.lit(0), iv=2592000, score=score,
+    )
+    gone = _seg_row(
+        seg.filter(k == 1), 0x25,
+        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
+        iv=2592000, score=score,
+    )
+    retry = _seg_row(
+        seg.filter(k == 2), 0x22,
+        sig=F.lit(None).cast("string"), ft=FETCH_TS,
+        retries=(F.col("doc_id") % 3), iv=2592000, score=score,
+    )
+    linked = _seg_row(
+        seg.filter(k == 3), 0x43,
+        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
+        iv=2592000, score=F.lit(0.25),
+    )
+    seg_rows = succ.unionByName(gone).unionByName(retry).unionByName(linked).unionByName(linked)
+    out = updatedb(old, seg_rows, CFG, UPD_NOW)
+    return out.select(
+        "url", "status", "fetch_time", "retries", "fetch_interval",
+        F.col("score").cast("double").alias("score"), "signature",
+    )
+
+
+def q_merge_crawldbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 CrawlDbMerger (CrawlDbMerger.java:81-118): newest
+    calculateLastFetchTime wins, tie-break max fetchTime."""
+    from nutch_spark.operators.merger import merge_crawldbs
+
+    docs = _docs(spark, sf_dir)
+    db1 = _crawldb(docs)
+    shift = F.when(F.col("doc_id") % 4 == 0, 1000).otherwise(-999_999_999_000)
+    db2 = (
+        _crawldb(docs.filter(F.col("doc_id") % 2 == 0), extra=("doc_id",))
+        .withColumn("fetch_time", (F.col("fetch_time") + shift).cast("long"))
+        .withColumn("score", (F.col("score") + F.lit(0.25)).cast("float"))
+        .drop("doc_id")
+    )
+    out = merge_crawldbs([db1, db2], CFG)
+    return out.select(
+        "url", "status", "fetch_time",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 DeduplicationJob (:65-413): group by signature, keep-best by
+    score desc, fetchTime desc, decoded-url-length asc; losers marked
+    db_duplicate."""
+    from nutch_spark.operators.dedup import dedup
+
+    docs = _docs(spark, sf_dir)
+    db = _crawldb(docs, extra=("doc_id",))
+    db = db.withColumn(
+        "signature",
+        F.when(
+            F.col("status").isin(2, 6),
+            F.md5(F.floor(F.col("doc_id") / 5).cast("long").cast("string")),
+        ),
+    ).drop("doc_id")
+    return dedup(db, CFG).select("url", "status")
+
+
+def q_linkdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 LinkDb invert (LinkDb.java:102-171): explode outlinks, drop
+    internal links, dedup, cap inlinks per target
+    (LinkDbMerger.java:88); output re-exploded for comparison."""
+    from nutch_spark.operators.linkdb import invert_links
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    cfg = replace(CFG, linkdb_max_inlinks=4)
+    ks = docs.select("doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"))
+    tid = (F.col("doc_id") * 7 + F.col("k") * 13 + 1) % n
+    outlinks = ks.select(
+        _url_col().alias("url"),
+        _url_col(tid).alias("to_url"),
+        F.concat(F.lit("a"), F.col("k").cast("string")).alias("anchor"),
+    )
+    inv = invert_links(outlinks, cfg)
+    return inv.select("url", F.explode("inlinks").alias("l")).select(
+        "url", F.col("l.from_url").alias("from_url"), F.col("l.anchor").alias("anchor")
+    )
+
+
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 readdb -stats (CrawlDbReader.java:369-471)."""
+    from nutch_spark.operators.stats import crawldb_stats
+
+    out = crawldb_stats(_crawldb(_docs(spark, sf_dir)))
+    return out.select(
+        "status", "status_name", "count",
+        F.col("min_score").cast("double").alias("min_score"),
+        F.col("max_score").cast("double").alias("max_score"),
+        "avg_score", "sum_score",
+        "min_fetch_time", "max_fetch_time", "min_interval", "max_interval",
+    )
+
+
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 readdb -topN (CrawlDbReader.java:964-1010) as TakeOrdered."""
+    from nutch_spark.operators.stats import top_n
+
+    out = top_n(_crawldb(_docs(spark, sf_dir)), 100)
+    return out.select("url", F.col("score").cast("double").alias("score"))
+
+
+def q_hostdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 HostDb update (UpdateHostDbReducer.java:49-370): per-host
+    status counts and aggregates."""
+    from nutch_spark.operators.stats import hostdb_update
+
+    out = hostdb_update(_crawldb(_docs(spark, sf_dir)), CFG)
+    return out.select(
+        "host", "n_urls", "n_db_unfetched", "n_db_fetched", "n_db_gone",
+        "n_db_notmodified", "n_tried", "last_fetch_time",
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, BPE-ish counts, language ID,
+    normalized-text MD5 fingerprint (ml/text.py)."""
+    from nutch_spark.ml.text import analyze
+
+    return analyze(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "fingerprint"
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features + blended score (ml/text.py)."""
+    from nutch_spark.ml.text import quality_features, quality_score
+
+    d = _docs(spark, sf_dir)
+    f = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["alpha_ratio"].alias("alpha_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+
+
+def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-text MD5 (ml/dedup.py)."""
+    from nutch_spark.ml.dedup import exact_duplicates
+
+    return exact_duplicates(_doubled_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word 3-shingle) Jaccard similarity pairs ≥ 0.8
+    (ml/dedup.py) — the exact verification primitive behind MinHash."""
+    from nutch_spark.ml.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8, k=3)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table
+    (ml/similarity.py); double-precision, sequential fold — exactly
+    mirrored by the list_reduce oracle."""
+    from nutch_spark.ml.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, q, k=10)
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregation over the events stream table (batch
+    form of the Structured-Streaming windowed agg); exact decimal sum."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long").alias("hour_ts"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (politeness simulation, LSH/minhash/simhash, media,
+# full crawl cycle) — not ANSI-SQL-expressible; driver does rows-only check
+# ---------------------------------------------------------------------------
+
+def _web(spark: SparkSession, sf_dir: str, n_hosts: int = 20):
+    """Deterministic fetchable web derived from documents.parquet, in
+    the BASELINE.json input_hint shape (doc_id, spans[])."""
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    host_id = F.col("doc_id") % n_hosts
+
+    def url_of(did):
+        return F.concat(
+            F.lit("http://host"), (did % n_hosts).cast("string"),
+            F.lit(".example.com/doc/"), did.cast("string"),
+        )
+
+    tgt = (F.col("doc_id") * 7 + 1) % n
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.substring("text", 1, 120).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("link").alias("kind"),
+            F.concat(F.lit("anchor "), tgt.cast("string")).alias("text"),
+            url_of(tgt).alias("media_ref"),
+            F.lit(1).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("img").alias("text"),
+            F.concat(
+                F.lit("http://host"), host_id.cast("string"),
+                F.lit(".example.com/media/"), F.col("doc_id").cast("string"),
+                F.lit(".img"),
+            ).alias("media_ref"),
+            F.lit(2).cast("int").alias("offset"),
+        ),
+    )
+    docs = d.select(
+        url_of(F.col("doc_id")).alias("doc_id"),
+        spans.alias("spans"),
+        (F.col("doc_id") % 23 != 0).alias("is_canonical"),
+        F.col("doc_id").alias("_did"),
+    )
+    robots = spark.range(n_hosts).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")).alias("host"),
+        F.when(F.col("id") % 13 == 0, F.array(F.lit("/private/")))
+        .otherwise(F.array().cast("array<string>")).alias("disallow"),
+        F.when(F.col("id") % 11 == 0, F.lit(8.0)).otherwise(F.lit(None).cast("double")).alias("crawl_delay"),
+        F.lit(False).alias("defer_visits"),
+        F.lit(False).alias("forbid_all"),
+    )
+    did = F.col("_did")
+    outcome = (
+        F.when(did % 17 == 0, F.lit("gone"))
+        .when(did % 29 == 0, F.lit("retry"))
+        .when(did % 23 == 0, F.lit("moved"))
+        .otherwise(F.lit("success"))
+    )
+    outcomes = docs.select(
+        F.col("doc_id").alias("url"),
+        outcome.alias("outcome"),
+        F.when(did % 23 == 0, url_of((did + 1) % n)).otherwise(F.lit(None).cast("string")).alias("redirect_to"),
+        (50 + did % 100).cast("long").alias("latency_ms"),
+    )
+    seeds = docs.filter(did < n_hosts * 2).select(F.col("doc_id").alias("value"))
+    return docs.drop("_did"), robots, outcomes, seeds
+
+
+def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: two full crawl cycles (bin/crawl macro-loop,
+    SURVEY §3.1) over the parquet-derived web; returns the final
+    CrawlDb. Politeness / redirects / parse are per the fetch + parse
+    operator semantics — not SQL-expressible (rows-only check)."""
+    from nutch_spark.operators.fetchsim import fetch, fetched_content
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject_full
+    from nutch_spark.operators.parse import parse
+    from nutch_spark.operators.updatedb import updatedb
+
+    cfg = replace(CFG, fetch_partitions=8)
+    docs, robots, outcomes, seeds = _web(spark, sf_dir)
+    db = inject_full(spark, None, seeds, cfg, GEN_NOW)
+    now = GEN_NOW
+    for _ in range(2):
+        fl = generate(db, cfg, now, top_n=200, num_lists=8)
+        crawl_fetch, redirect_links = fetch(fl, robots, outcomes, cfg, now)
+        content = fetched_content(crawl_fetch, docs)
+        parsed = parse(content, cfg)
+        seg = (
+            crawl_fetch.select(*_DATUM_SELECT)
+            .unionByName(parsed["crawl_parse"].select(*_DATUM_SELECT))
+            .unionByName(redirect_links.select(*_DATUM_SELECT))
+        )
+        db = updatedb(db, seg, cfg, now + 3_600_000)
+        now += 7_200_000
+    return db.select(
+        "url", "status", "retries", "fetch_interval",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F8: politeness-simulated fetch of one generate batch; virtual
+    per-host clock = prefix sum over the url-hash interleave
+    (FetchItemQueue.java:119-170). Rows-only check."""
+    from nutch_spark.operators.fetchsim import fetch
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject_full
+
+    cfg = replace(CFG, fetch_partitions=8)
+    docs, robots, outcomes, seeds = _web(spark, sf_dir)
+    db = inject_full(spark, None, seeds, cfg, GEN_NOW)
+    fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=8)
+    crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW)
+    return crawl_fetch.select("url", "status", "fetch_time")
+
+
+def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (shingle → minhash → band →
+    bucket-join → Jaccard verify), ml/dedup.py. Rows-only check."""
+    from nutch_spark.ml.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(_doubled_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups with byte-band pigeonhole bucketing,
+    ml/dedup.py. Rows-only check."""
+    from nutch_spark.ml.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_doubled_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: sign-LSH bucketing + exact re-rank,
+    ml/similarity.py. Rows-only check."""
+    from nutch_spark.ml.similarity import lsh_bucket_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucket_topk(e, q, k=10, dim=64, n_bits=6, tables=2)
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media refs from interleaved spans →
+    synthetic bytes → Arrow-batched feature extraction (stubbed decode),
+    ml/multimodal.py. Rows-only check."""
+    from nutch_spark.ml.multimodal import extract_features, media_refs_from_docs, synth_media
+
+    docs, _, _, _ = _web(spark, sf_dir)
+    refs = media_refs_from_docs(docs)
+    media = synth_media(spark, refs)
+    return extract_features(media).select("media_ref", F.size("feature").alias("feature_dim"))
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_crawl_cycle(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "inject_merge": q_inject,
+        "generate_quota": q_generate,
+        "updatedb_states": q_updatedb,
+        "merge_crawldbs": q_merge_crawldbs,
+        "dedup_mark": q_dedup,
+        "linkdb_invert": q_linkdb,
+        "crawldb_stats": q_stats,
+        "readdb_topn": q_topn,
+        "hostdb_stats": q_hostdb,
+        "text_analysis": q_text_analysis,
+        "quality_score": q_quality,
+        "exact_dup_groups": q_exact_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "events_window": q_events_window,
+        "crawl_cycle": q_crawl_cycle,
+        "fetch_politeness": q_fetch_politeness,
+        "minhash_near_dups": q_minhash_dups,
+        "simhash_near_dups": q_simhash_dups,
+        "lsh_topk": q_lsh_topk,
+        "multimodal_features": q_multimodal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_LANGS = {
+    "en": ["the", "and", "with", "that"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["les", "des", "est", "une"],
+    "es": ["los", "las", "que", "para"],
+}
+
+
+def _cnt_sql(word: str, col: str = "lower(text)") -> str:
+    return f"(len(regexp_split_to_array({col}, '\\b{word}\\b')) - 1)"
+
+
+def _lang_cnt(lang: str) -> str:
+    return "(" + " + ".join(_cnt_sql(w) for w in _LANGS[lang]) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_best = "GREATEST(" + ", ".join(f"c_{g}" for g in _LANGS) + ")"
+    lang_case = "CASE WHEN " + lang_best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN c_{g} = {lang_best} THEN '{g}'" for g in _LANGS
+    ) + " ELSE 'und' END"
+    lang_counts = ", ".join(f"{_lang_cnt(g)} AS c_{g}" for g in _LANGS)
+    en_stop = _lang_cnt("en")
+
+    return {
+        # ---- J1 inject ----------------------------------------------------
+        "inject_merge": f"""
+WITH {_CRAWLDB_CTE},
+old AS (SELECT * FROM crawldb WHERE doc_id % 2 = 0),
+seeds AS (SELECT url FROM crawldb WHERE doc_id % 3 = 0)
+SELECT COALESCE(o.url, s.url) AS url,
+  CAST(CASE WHEN o.url IS NULL THEN 1 ELSE o.status END AS INTEGER) AS status,
+  CAST(CASE WHEN o.url IS NULL THEN {UPD_NOW} ELSE o.fetch_time END AS BIGINT) AS fetch_time,
+  CAST(CASE WHEN o.url IS NULL THEN 0 ELSE o.retries END AS INTEGER) AS retries,
+  CAST(CASE WHEN o.url IS NULL THEN 2592000 ELSE o.fetch_interval END AS INTEGER) AS fetch_interval,
+  CAST(CASE WHEN o.url IS NULL THEN 2.0 ELSE o.score END AS DOUBLE) AS score
+FROM old o FULL OUTER JOIN seeds s ON o.url = s.url
+""",
+        # ---- G1/G2 generate ----------------------------------------------
+        "generate_quota": f"""
+WITH {_CRAWLDB_CTE},
+elig AS (
+  SELECT url, score,
+    'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host_key
+  FROM crawldb WHERE status = 1 AND fetch_time <= {GEN_NOW}
+),
+h AS (
+  SELECT *, row_number() OVER (PARTITION BY host_key ORDER BY score DESC, url) AS rn_host
+  FROM elig
+),
+seg AS (
+  SELECT url, score, CAST(FLOOR((rn_host - 1) / 5.0) AS INTEGER) + 1 AS segnum
+  FROM h WHERE rn_host <= 10
+),
+s2 AS (
+  SELECT *, row_number() OVER (PARTITION BY segnum ORDER BY score DESC, url) AS rn_seg
+  FROM seg
+)
+SELECT url, segnum FROM s2 WHERE rn_seg <= 150
+""",
+        # ---- J2 updatedb state machine -----------------------------------
+        "updatedb_states": f"""
+WITH d AS (
+  SELECT doc_id, text,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    doc_id % 4 AS k,
+    (doc_id % 3 <> 0) AS has_old,
+    (doc_id % 5 <> 4) AS has_seg,
+    1700000000000 + (doc_id % 1000) * 3600000 AS old_ft,
+    CAST(doc_id % 3 AS INTEGER) AS old_retries,
+    (doc_id % 64) / 4.0 AS fscore,
+    CASE WHEN doc_id % 10 < 5 THEN 1 WHEN doc_id % 10 < 8 THEN 2
+         WHEN doc_id % 10 = 8 THEN 6 ELSE 3 END AS old_status,
+    CASE WHEN doc_id % 10 BETWEEN 5 AND 8 THEN md5(text) END AS old_sig,
+    CASE WHEN doc_id % 8 = 0 THEN md5(text) ELSE md5(text || 'x') END AS new_sig
+  FROM documents
+),
+m AS (
+  SELECT *,
+    CASE WHEN k = 0 AND has_seg AND has_old AND old_sig IS NOT NULL
+         THEN (CASE WHEN old_sig <> new_sig THEN 'MOD' ELSE 'NOTMOD' END)
+         ELSE 'UNKNOWN' END AS mod_state,
+    (k = 2 AND old_retries + 1 >= 3) AS exhausted
+  FROM d WHERE has_old OR has_seg
+)
+SELECT url,
+  CAST(CASE
+    WHEN NOT has_seg THEN old_status
+    WHEN k = 3 AND has_old THEN old_status
+    WHEN k = 3 THEN 1
+    WHEN k = 0 AND mod_state = 'NOTMOD' THEN 6
+    WHEN k = 0 THEN 2
+    WHEN k = 2 THEN (CASE WHEN exhausted THEN 3 ELSE 1 END)
+    ELSE 3 END AS INTEGER) AS status,
+  CAST(CASE
+    WHEN NOT has_seg THEN old_ft
+    WHEN k = 3 AND has_old THEN old_ft
+    WHEN k = 3 THEN {UPD_NOW}
+    WHEN k = 0 THEN {FETCH_TS} + 2592000000
+    WHEN k = 1 THEN {FETCH_TS} + 3888000000
+    WHEN k = 2 AND exhausted THEN {FETCH_TS} + 3888000000
+    ELSE {FETCH_TS} + 86400000 END AS BIGINT) AS fetch_time,
+  CAST(CASE
+    WHEN NOT has_seg THEN old_retries
+    WHEN k = 3 AND has_old THEN old_retries
+    WHEN k = 3 THEN 0
+    WHEN k = 2 THEN old_retries + 1
+    ELSE 0 END AS INTEGER) AS retries,
+  CAST(CASE
+    WHEN NOT has_seg THEN 2592000
+    WHEN k = 3 THEN 2592000
+    WHEN k = 0 THEN 2592000
+    WHEN k = 1 THEN 3888000
+    WHEN k = 2 AND exhausted THEN 3888000
+    ELSE 2592000 END AS INTEGER) AS fetch_interval,
+  CAST(CASE
+    WHEN NOT has_seg THEN fscore
+    WHEN k = 3 AND has_old THEN fscore + 0.5
+    WHEN k = 3 THEN 0.5
+    ELSE fscore END AS DOUBLE) AS score,
+  CASE
+    WHEN NOT has_seg THEN old_sig
+    WHEN k = 3 AND has_old THEN old_sig
+    WHEN k = 3 THEN NULL
+    WHEN k = 0 AND mod_state = 'NOTMOD' THEN old_sig
+    WHEN k = 0 THEN new_sig
+    WHEN has_old THEN old_sig
+    ELSE NULL END AS signature
+FROM m
+""",
+        # ---- J4 merger ----------------------------------------------------
+        "merge_crawldbs": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url,
+  status,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN fetch_time + 1000 ELSE fetch_time END AS BIGINT) AS fetch_time,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN score + 0.25 ELSE score END AS DOUBLE) AS score
+FROM crawldb
+""",
+        # ---- A3 dedup -----------------------------------------------------
+        "dedup_mark": f"""
+WITH {_CRAWLDB_CTE},
+c2 AS (
+  SELECT url, status, fetch_time, score,
+    CASE WHEN status IN (2, 6)
+         THEN md5(CAST(CAST(FLOOR(doc_id / 5.0) AS BIGINT) AS VARCHAR)) END AS signature
+  FROM crawldb
+),
+el AS (
+  SELECT url, rank() OVER (
+    PARTITION BY signature ORDER BY score DESC, fetch_time DESC, length(url) ASC
+  ) AS rk
+  FROM c2 WHERE status IN (2, 6) AND signature IS NOT NULL
+),
+dup AS (SELECT url FROM el WHERE rk > 1)
+SELECT c2.url, CAST(CASE WHEN dup.url IS NOT NULL THEN 7 ELSE c2.status END AS INTEGER) AS status
+FROM c2 LEFT JOIN dup ON c2.url = dup.url
+""",
+        # ---- J5 linkdb ----------------------------------------------------
+        "linkdb_invert": """
+WITH dn AS (SELECT COUNT(*) AS n FROM documents),
+o AS (
+  SELECT
+    'http://host' || CAST(d.doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(d.doc_id AS VARCHAR) AS from_url,
+    d.doc_id % 40 AS fh,
+    (d.doc_id * 7 + k.k * 13 + 1) % dn.n AS tid,
+    'a' || CAST(k.k AS VARCHAR) AS anchor
+  FROM documents d, (SELECT unnest([0, 1, 2]) AS k) k, dn
+),
+ol AS (
+  SELECT 'http://host' || CAST(tid % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(tid AS VARCHAR) AS url, from_url, anchor
+  FROM o WHERE tid % 40 <> fh
+),
+dd AS (SELECT DISTINCT url, from_url, anchor FROM ol),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY from_url, anchor) AS rn FROM dd
+)
+SELECT url, from_url, anchor FROM r WHERE rn <= 4
+""",
+        # ---- A1 stats -----------------------------------------------------
+        "crawldb_stats": f"""
+WITH {_CRAWLDB_CTE}
+SELECT status,
+  CASE status WHEN 1 THEN 'db_unfetched' WHEN 2 THEN 'db_fetched'
+              WHEN 3 THEN 'db_gone' WHEN 6 THEN 'db_notmodified' END AS status_name,
+  COUNT(*) AS count,
+  CAST(MIN(score) AS DOUBLE) AS min_score,
+  CAST(MAX(score) AS DOUBLE) AS max_score,
+  CAST(AVG(score) AS DOUBLE) AS avg_score,
+  CAST(SUM(score) AS DOUBLE) AS sum_score,
+  MIN(fetch_time) AS min_fetch_time,
+  MAX(fetch_time) AS max_fetch_time,
+  MIN(fetch_interval) AS min_interval,
+  MAX(fetch_interval) AS max_interval
+FROM crawldb GROUP BY status
+""",
+        # ---- A2 topN ------------------------------------------------------
+        "readdb_topn": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url, CAST(score AS DOUBLE) AS score
+FROM crawldb ORDER BY score DESC, url ASC LIMIT 100
+""",
+        # ---- A4 hostdb ----------------------------------------------------
+        "hostdb_stats": f"""
+WITH {_CRAWLDB_CTE}
+SELECT 'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+  COUNT(*) AS n_urls,
+  COUNT(*) FILTER (WHERE status = 1) AS n_db_unfetched,
+  COUNT(*) FILTER (WHERE status = 2) AS n_db_fetched,
+  COUNT(*) FILTER (WHERE status = 3) AS n_db_gone,
+  COUNT(*) FILTER (WHERE status = 6) AS n_db_notmodified,
+  SUM(CASE WHEN status <> 1 THEN 1 ELSE 0 END) AS n_tried,
+  MAX(fetch_time) AS last_fetch_time
+FROM crawldb GROUP BY 1
+""",
+        # ---- text analysis ------------------------------------------------
+        "text_analysis": f"""
+WITH base AS (
+  SELECT doc_id, text, {lang_counts}
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+  {lang_case} AS lang_pred,
+  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM base
+""",
+        # ---- quality ------------------------------------------------------
+        "quality_score": f"""
+WITH f0 AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    {en_stop} AS n_stop
+  FROM documents
+),
+f1 AS (
+  SELECT *, CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END AS safe,
+         CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END AS safe_tok
+  FROM f0
+),
+f2 AS (
+  SELECT doc_id, n_chars,
+    round(CAST(n_alpha AS DOUBLE) / safe, 6) AS alpha_ratio,
+    round(CAST(n_punct AS DOUBLE) / safe, 6) AS punct_ratio,
+    round(CAST(n_stop AS DOUBLE) / safe_tok, 6) AS stopword_ratio
+  FROM f1
+)
+SELECT doc_id, alpha_ratio, stopword_ratio,
+  round(
+    0.4 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+    + 0.3 * LEAST(alpha_ratio * 1.25, 1.0)
+    + 0.2 * LEAST(stopword_ratio * 5.0, 1.0)
+    + 0.1 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)),
+  6) AS quality
+FROM f2
+""",
+        # ---- exact dedup --------------------------------------------------
+        "exact_dup_groups": """
+WITH dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+fp AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM dd
+)
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM fp GROUP BY fp HAVING COUNT(*) > 1
+""",
+        # ---- ngram jaccard ------------------------------------------------
+        "ngram_jaccard": """
+WITH dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt FROM dd
+),
+w AS (SELECT doc_id, nt, string_split(nt, ' ') AS words FROM norm),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+         THEN list_distinct(list_transform(range(1, len(words) - 1),
+              i -> array_to_string(words[i:i+2], ' ')))
+         ELSE [nt] END AS grams
+  FROM w
+),
+sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b,
+    round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+""",
+        # ---- embedding topk ----------------------------------------------
+        "embedding_topk": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+p AS (
+  SELECT q.query_id, e.vec_id,
+    list_reduce(list_transform(list_zip(e.emb, q.qe), z -> z[1] * z[2]),
+                (x, y) -> x + y) AS dp,
+    sqrt(list_reduce(list_transform(e.emb, x -> x * x), (x, y) -> x + y)) AS na,
+    sqrt(list_reduce(list_transform(q.qe, x -> x * x), (x, y) -> x + y)) AS nq
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, round(dp / (na * nq), 6) AS cosine_sim,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY round(dp / (na * nq), 6) DESC, vec_id ASC
+    ) AS INTEGER) AS rank
+  FROM p
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 10
+""",
+        # ---- events window ------------------------------------------------
+        "events_window": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+  event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+""",
+    }
