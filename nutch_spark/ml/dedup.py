@@ -61,17 +61,24 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams of the normalized text."""
-    words = F.split(normalized_text(text), " ")
+    """Distinct word k-grams of the normalized text.
+
+    Built by zipping k shifted slices of the word array rather than by
+    indexed lookups inside a ``transform`` lambda: Spark evaluates
+    higher-order-function lambdas in interpreted mode with no common-
+    subexpression elimination, so each ``element_at(words, i)`` inside a
+    lambda would re-run the whole normalize+split chain — O(n·L) per
+    row. Slices reference the word array a constant k times instead.
+    """
+    nt = normalized_text(text)
+    words = F.split(nt, " ")
     n = F.size(words)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(3)]),
-        ),
-    ).otherwise(F.array(normalized_text(text)))
-    return F.array_distinct(grams)
+    cnt = n - (k - 1)
+    shifted = [F.slice(words, i + 1, cnt) for i in range(k)]
+    grams = shifted[0]
+    for s in shifted[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(nt)))
 
 
 def ngram_jaccard_pairs(
@@ -108,27 +115,55 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """Array of num_hashes minhashes: h_i = min over shingles of
-    md5(i || ':' || shingle)  (hex-string min == numeric min)."""
-    shingles = word_shingles(text, k)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
-            for i in range(num_hashes)
-        ]
+_MAX_LONG = (1 << 63) - 1
+
+
+def _minhash_fold(shingles: Column, num_hashes: int, finish=None) -> Column:
+    """One pass over the shingle array: fold element-wise minima of
+    xxhash64(shingle, i) for the num_hashes hash functions. The shingle
+    expression is evaluated exactly once (it is the aggregate input);
+    inside the lambdas only bound variables are referenced, which are
+    cheap value lookups."""
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+        finish if finish is not None else (lambda acc: acc),
     )
 
 
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """Array of num_hashes minhashes: h_i = min over shingles of
+    xxhash64(shingle, i)."""
+    return _minhash_fold(word_shingles(text, k), num_hashes)
+
+
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
-    """Band values: concat of `rows` consecutive minhashes per band."""
-    return F.array(
-        *[
-            F.concat_ws("", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
-            for b in range(bands)
-        ]
+    """Band values from a *bound* signature array: hash of `rows`
+    consecutive minhashes per band. Prefer ``minhash_band_values`` when
+    starting from text — it fuses signature + banding in one pass."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")),
+            )
+        ),
+    )
+
+
+def minhash_band_values(text: Column, num_hashes: int, bands: int, k: int = 3) -> Column:
+    """Signature + banding fused: the finish lambda sees the signature
+    as a bound value, so banding never re-evaluates the minhash fold."""
+    rows = num_hashes // bands
+    return _minhash_fold(
+        word_shingles(text, k), num_hashes, finish=lambda sig: minhash_bands(sig, bands, rows)
     )
 
 
@@ -137,13 +172,11 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     bands*rows == num_hashes; collision prob ≈ 1-(1-j^rows)^bands."""
-    rows = num_hashes // bands
-    sig = documents.select(
-        "doc_id", minhash_signature(F.col("text"), num_hashes, k).alias("sig")
-    )
-    banded = sig.select(
+    banded = documents.select(
         "doc_id",
-        F.posexplode(minhash_bands(F.col("sig"), bands, rows)).alias("band_idx", "band_val"),
+        F.posexplode(
+            minhash_band_values(F.col("text"), num_hashes, bands, k)
+        ).alias("band_idx", "band_val"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -196,25 +229,36 @@ def _token_h32(tok: Column) -> Column:
 def simhash32(text: Column) -> Column:
     """32-bit SimHash over the normalized words: bit b is 1 iff the sum
     of per-token votes (+1 if token hash has bit b, else -1) is > 0.
-    Duplicate tokens vote once per occurrence."""
+    Duplicate tokens vote once per occurrence.
+
+    Single fold over the token-hash array (one md5 per token): the
+    accumulator is 33 ints — 32 per-bit one-counts plus the token count
+    — and the finish lambda assembles the fingerprint from the bound
+    accumulator, so nothing in the chain is re-evaluated."""
     words = F.filter(F.split(normalized_text(text), " "), lambda w: w != "")
     hashes = F.transform(words, _token_h32)
-    n = F.size(hashes)
+    init = F.array_repeat(F.lit(0), 33)
 
-    def bit_expr(b: int) -> Column:
-        ones = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0),
+    def merge(acc: Column, h: Column) -> Column:
+        votes = F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0)
+                for b in range(32)
+            ],
+            F.lit(1),
         )
-        # vote = ones - (n - ones) > 0  <=>  2*ones > n
-        return F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        return F.zip_with(acc, votes, lambda a, v: a + v)
 
-    out = bit_expr(0)
-    for b in range(1, 32):
-        out = out + bit_expr(b)
-    return F.when(n > 0, out).otherwise(F.lit(0).cast("long"))
+    def finish(acc: Column) -> Column:
+        n = F.element_at(acc, 33)
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            out = out + F.when(
+                F.element_at(acc, b + 1) * 2 > n, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    return F.aggregate(hashes, init, merge, finish)
 
 
 def hamming32(a: Column, b: Column) -> Column:
