@@ -304,6 +304,79 @@ def q_hostdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawldb_404_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 CrawlDbFilter 404-purge (CrawlDbFilter.java:74-117)."""
+    from nutch_spark.operators.updatedb import crawldb_filter
+
+    db = _crawldb(_docs(spark, sf_dir))
+    return crawldb_filter(db, CFG, purge_404=True).select("url", "status")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 CrawlCompletionStats / DomainStatistics by host."""
+    from nutch_spark.operators.stats import domain_stats
+
+    return domain_stats(_crawldb(_docs(spark, sf_dir)), mode="host")
+
+
+def q_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 SegmentMerger (segment/SegmentMerger.java): latest generation
+    wins per URL across segments."""
+    from nutch_spark.operators.merger import merge_segments
+
+    docs = _docs(spark, sf_dir)
+    s1 = _crawldb(docs).withColumn("gen_time", F.lit(10).cast("long"))
+    s2 = (
+        _crawldb(docs.filter(F.col("doc_id") % 2 == 0))
+        .withColumn("gen_time", F.lit(20).cast("long"))
+        .withColumn("status", F.lit(2).cast("int"))
+        .withColumn("fetch_time", (F.col("fetch_time") + 5000).cast("long"))
+    )
+    out = merge_segments([s1, s2])
+    return out.select("url", "status", "fetch_time", "gen_time")
+
+
+def q_free_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 FreeGenerator (tools/FreeGenerator.java): fetch list straight
+    from seed text with nutch.score metadata."""
+    from nutch_spark.operators.generate import free_generate
+
+    docs = _docs(spark, sf_dir)
+    lines = docs.select(
+        F.concat(
+            _url_col(), F.lit("\tnutch.score="), (F.col("doc_id") % 7).cast("string")
+        ).alias("value")
+    )
+    fl = free_generate(spark, lines, CFG, UPD_NOW, num_lists=4)
+    return fl.select(
+        "url", F.col("score").cast("double").alias("score"), "fetch_interval", "gen_time"
+    )
+
+
+def q_text_profile_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 TextProfileSignature (crawl/TextProfileSignature.java:87-161),
+    JVM-side tokenize + quantize + profile-MD5."""
+    from nutch_spark.operators.signatures import text_profile_signature
+
+    return text_profile_signature(_docs(spark, sf_dir))
+
+
+def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 LinkRank (scoring/webgraph/LinkRank.java): 2 iterations,
+    damping 0.85, rankOne = 1/#nodes; double-precision variant with
+    9-dp iteration rounding (deviation documented in webgraph.py)."""
+    from nutch_spark.operators.webgraph import build_webgraph, linkrank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ks = docs.select("doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"))
+    tid = (F.col("doc_id") * 7 + F.col("k") * 13 + 1) % n
+    outlinks = ks.select(_url_col().alias("url"), _url_col(tid).alias("to_url"))
+    g = build_webgraph(outlinks)
+    out = linkrank(g, iterations=2, limit_domains=False)
+    return out.select("url", F.round("score", 6).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings / events)
 # ---------------------------------------------------------------------------
@@ -567,6 +640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawldb_stats": q_stats,
         "readdb_topn": q_topn,
         "hostdb_stats": q_hostdb,
+        "crawldb_404_purge": q_crawldb_404_purge,
+        "domain_stats": q_domain_stats,
+        "segment_merge": q_segment_merge,
+        "free_generate": q_free_generate,
+        "text_profile_sig": q_text_profile_sig,
+        "linkrank": q_linkrank,
         "text_analysis": q_text_analysis,
         "quality_score": q_quality,
         "exact_dup_groups": q_exact_dups,
@@ -803,6 +882,104 @@ SELECT 'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
   SUM(CASE WHEN status <> 1 THEN 1 ELSE 0 END) AS n_tried,
   MAX(fetch_time) AS last_fetch_time
 FROM crawldb GROUP BY 1
+""",
+        # ---- T7 404 purge -------------------------------------------------
+        "crawldb_404_purge": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url, status FROM crawldb WHERE status <> 3
+""",
+        # ---- A5 domain stats ----------------------------------------------
+        "domain_stats": f"""
+WITH {_CRAWLDB_CTE}
+SELECT 'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS key,
+  COUNT(*) AS n_urls,
+  COUNT(*) FILTER (WHERE status = 2) AS n_fetched,
+  COUNT(*) FILTER (WHERE status = 1) AS n_unfetched
+FROM crawldb GROUP BY 1
+""",
+        # ---- J7 segment merge ---------------------------------------------
+        "segment_merge": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE status END AS INTEGER) AS status,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN fetch_time + 5000 ELSE fetch_time END AS BIGINT) AS fetch_time,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 20 ELSE 10 END AS BIGINT) AS gen_time
+FROM crawldb
+""",
+        # ---- S10 free generator -------------------------------------------
+        "free_generate": f"""
+SELECT
+  'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  CAST(doc_id % 7 AS DOUBLE) AS score,
+  CAST(2592000 AS INTEGER) AS fetch_interval,
+  CAST({UPD_NOW} AS BIGINT) AS gen_time
+FROM documents
+""",
+        # ---- T13 text profile signature -----------------------------------
+        "text_profile_sig": """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       t -> length(t) > 2)) AS tok
+  FROM documents
+),
+counts AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+q AS (SELECT *, MAX(cnt) OVER (PARTITION BY doc_id) AS maxf FROM counts),
+q2 AS (
+  SELECT *, CASE WHEN CAST(FLOOR(maxf * 0.01 + 0.5) AS BIGINT) >= 2
+                 THEN CAST(FLOOR(maxf * 0.01 + 0.5) AS BIGINT)
+                 WHEN maxf > 1 THEN 2 ELSE 1 END AS qq
+  FROM q
+),
+kept AS (
+  SELECT doc_id, tok, (cnt // qq) * qq AS qcnt, qq FROM q2
+  WHERE (cnt // qq) * qq >= qq
+),
+prof AS (
+  SELECT doc_id,
+    string_agg(tok || ' ' || CAST(qcnt AS VARCHAR), chr(10) ORDER BY qcnt DESC, tok) AS p
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, md5(COALESCE(prof.p, '')) AS signature
+FROM documents d LEFT JOIN prof ON prof.doc_id = d.doc_id
+""",
+        # ---- A6 linkrank (2 unrolled iterations) --------------------------
+        "linkrank": """
+WITH links AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+        || CAST(doc_id AS VARCHAR) AS src,
+      'http://host' || CAST(tid % 40 AS VARCHAR) || '.example.com/doc/'
+        || CAST(tid AS VARCHAR) AS dst
+    FROM (SELECT doc_id, (doc_id * 7 + k * 13 + 1) % (SELECT COUNT(*) FROM documents) AS tid
+          FROM documents, (SELECT unnest([0, 1, 2]) AS k))
+  ) WHERE src <> dst
+),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM links GROUP BY src),
+nodes AS (SELECT DISTINCT url FROM
+          (SELECT src AS url FROM links UNION ALL SELECT dst FROM links)),
+params AS (SELECT 1.0 / COUNT(*) AS rank_one FROM nodes),
+s0 AS (SELECT url, 1.0 AS score FROM nodes),
+t1 AS (
+  SELECT l.dst, round(SUM(s.score / od.outdeg), 9) AS tot
+  FROM links l JOIN s0 s ON s.url = l.src JOIN outdeg od ON od.src = l.src
+  GROUP BY l.dst
+),
+s1 AS (
+  SELECT n.url, round((1.0 - 0.85) + 0.85 * (p.rank_one + COALESCE(t1.tot, 0.0)), 9) AS score
+  FROM nodes n CROSS JOIN params p LEFT JOIN t1 ON t1.dst = n.url
+),
+t2 AS (
+  SELECT l.dst, round(SUM(s.score / od.outdeg), 9) AS tot
+  FROM links l JOIN s1 s ON s.url = l.src JOIN outdeg od ON od.src = l.src
+  GROUP BY l.dst
+),
+s2 AS (
+  SELECT n.url, round((1.0 - 0.85) + 0.85 * (p.rank_one + COALESCE(t2.tot, 0.0)), 9) AS score
+  FROM nodes n CROSS JOIN params p LEFT JOIN t2 ON t2.dst = n.url
+)
+SELECT url, round(score, 6) AS score FROM s2
 """,
         # ---- text analysis ------------------------------------------------
         "text_analysis": f"""

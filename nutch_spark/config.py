@@ -52,6 +52,10 @@ class NutchConfig:
     generate_max_interval: int = -1  # generate.restrict.interval (-1 off)
     generate_restrict_status: str | None = None  # generate.restrict.status
     generate_update_crawldb: bool = False  # generate.update.crawldb
+    # numReduceTasks of the select job: the reducer budget is
+    # topN/numReduceTasks per partition (Generator.java:396-397); >1
+    # makes the windowed quota fully partition-parallel (scale mode)
+    generate_num_reducers: int = 1
     crawl_gen_delay_ms: int = 604800000  # crawl.gen.delay = 7 d
     partition_url_mode: str = "byHost"  # partition.url.mode: byHost|byDomain|byIP
 

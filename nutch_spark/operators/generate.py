@@ -100,11 +100,31 @@ def _host_key(cfg: NutchConfig) -> F.Column:
 
 
 def apply_quota_windowed(
-    df: DataFrame, cfg: NutchConfig, top_n: int, max_num_segments: int
+    df: DataFrame, cfg: NutchConfig, top_n: int, max_num_segments: int,
+    num_reducers: int = 1,
 ) -> DataFrame:
-    """G2 scale mode. Adds ``segnum`` (1-based); drops over-quota rows."""
+    """G2 scale mode. Adds ``segnum`` (1-based); drops over-quota rows.
+
+    ``num_reducers`` mirrors the reference exactly: the SelectorReducer
+    budget is ``limit = topN / numReduceTasks`` applied *independently
+    per reducer partition* (Generator.java:396-397) — the reference's
+    top-N is per-partition, not global. With num_reducers=1 (default,
+    the oracle/test configuration) the quota is the exact global one;
+    with R>1 rows are partitioned by host hash (hosts never split, so
+    per-host caps stay exact) and every window below is
+    partition-parallel — no global sort anywhere, which is what lets
+    this scale to a 10^10-row frontier.
+    """
     max_count = cfg.generate_max_count
     order = [F.desc("sort"), F.asc("url")]  # deterministic tie-break
+    if num_reducers > 1:
+        limit = max(1, top_n // num_reducers)
+        part = F.pmod(F.xxhash64("host_key", F.lit(cfg.partition_url_seed)), num_reducers)
+        df = df.withColumn("_red", part)
+        red = ["_red"]
+    else:
+        limit = top_n
+        red = []
     if max_count > 0:
         w_host = Window.partitionBy("host_key").orderBy(*order)
         df = df.withColumn("rn_host", F.row_number().over(w_host))
@@ -112,13 +132,19 @@ def apply_quota_windowed(
         df = df.withColumn(
             "segnum", ((F.col("rn_host") - 1) / max_count).cast("int") + 1
         )
-        # per-segment global budget (reducer `limit`, :396-397 with one reducer)
-        w_seg = Window.partitionBy("segnum").orderBy(*order)
+        # per-segment reducer budget (`limit`, :396-397)
+        w_seg = Window.partitionBy(*red, "segnum").orderBy(*order)
         df = df.withColumn("rn_seg", F.row_number().over(w_seg)).filter(
-            F.col("rn_seg") <= top_n
+            F.col("rn_seg") <= limit
         )
-        return df.drop("rn_host", "rn_seg")
-    # no per-host cap: global TakeOrdered prune, then exact segment ranks
+        return df.drop("rn_host", "rn_seg", *red)
+    if num_reducers > 1:
+        w = Window.partitionBy(*red).orderBy(*order)
+        df = df.withColumn("rn", F.row_number().over(w))
+        df = df.filter(F.col("rn") <= limit * max_num_segments)
+        df = df.withColumn("segnum", ((F.col("rn") - 1) / limit).cast("int") + 1)
+        return df.filter(F.col("segnum") <= max_num_segments).drop("rn", *red)
+    # single reducer: global TakeOrdered prune, then exact segment ranks
     pruned = df.orderBy(*order).limit(top_n * max_num_segments)
     w = Window.orderBy(*order)
     pruned = pruned.withColumn("rn", F.row_number().over(w))
@@ -214,7 +240,9 @@ def generate(
     if cfg.generator_parity_mode:
         df = apply_quota_parity(df, cfg, top_n, max_num_segments)
     else:
-        df = apply_quota_windowed(df, cfg, top_n, max_num_segments)
+        df = apply_quota_windowed(
+            df, cfg, top_n, max_num_segments, num_reducers=cfg.generate_num_reducers
+        )
 
     df = df.withColumn("gen_time", F.lit(gen_time).cast("long"))
 
@@ -239,3 +267,39 @@ def mark_generated(crawldb: DataFrame, fetchlist: DataFrame) -> DataFrame:
     return out.withColumn(
         "gen_time", F.coalesce(F.col("_new_gen_time"), F.col("gen_time"))
     ).drop("_new_gen_time")
+
+
+def free_generate(
+    spark,
+    seed_path_or_df,
+    cfg: NutchConfig,
+    now_ms: int,
+    *,
+    num_lists: int | None = None,
+    url_filter_rules: list[str] | None = None,
+) -> DataFrame:
+    """FreeGenerator (S10, ``tools/FreeGenerator.java:1-240``): build a
+    fetch list straight from seed text, skipping the CrawlDb — parse +
+    normalize + filter the lines, dedup per url, then apply the same G3
+    politeness partitioning as the regular generator."""
+    from nutch_spark.operators.inject import parse_seeds
+
+    num_lists = num_lists or cfg.fetch_partitions
+    seeds = parse_seeds(
+        spark, seed_path_or_df, cfg, now_ms, url_filter_rules=url_filter_rules
+    )
+    df = seeds.groupBy("url").agg(
+        F.max_by(
+            F.struct(*[c for c in seeds.columns if c != "url"]),
+            F.struct("score", "fetch_time"),
+        ).alias("d")
+    )
+    df = df.select("url", *[F.col("d." + c).alias(c) for c in seeds.columns if c != "url"])
+    df = df.withColumn("status", F.lit(STATUS_DB_UNFETCHED).cast("int"))
+    df = df.withColumn("gen_time", F.lit(now_ms).cast("long"))
+    part_host = F.lower(host_udf()(F.col("url")))
+    df = df.withColumn(
+        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_host)
+    )
+    df = df.withColumn("url_hash", url_hash32_udf()(F.col("url")))
+    return df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")

@@ -55,3 +55,30 @@ def merge_crawldbs(dbs: list[DataFrame], cfg: NutchConfig) -> DataFrame:
         return F.col("best." + c).alias(c)
 
     return agg.select(*[out_col(c) for c in dbs[0].columns])
+
+
+def merge_segments(segments: list[DataFrame], slice_size: int | None = None) -> DataFrame:
+    """Segment merger (J7, ``segment/SegmentMerger.java:1-811``): union N
+    segments' datum rows; per URL the row from the *latest generation*
+    wins (max gen_time, tie-break max fetch_time — the merger's
+    "newest segment wins" rule). ``slice_size`` re-slices the output
+    into numbered slices like ``-slice`` (segment_id = row-hash bucket,
+    cheap stand-in for the output-size slicing).
+    """
+    unioned = reduce(lambda a, b: a.unionByName(b), segments)
+    datum = F.struct(*[c for c in unioned.columns if c != "url"])
+    out = unioned.groupBy("url").agg(
+        F.max_by(
+            datum,
+            F.struct(F.coalesce("gen_time", F.lit(0)).alias("g"), F.col("fetch_time")),
+        ).alias("best")
+    )
+    cols = [F.col("url")] + [
+        F.col("best." + c).alias(c) for c in unioned.columns if c != "url"
+    ]
+    out = out.select(*cols)
+    if slice_size:
+        out = out.withColumn(
+            "slice_id", F.pmod(F.xxhash64("url"), F.lit(slice_size)).cast("int")
+        )
+    return out

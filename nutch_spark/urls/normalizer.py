@@ -329,11 +329,37 @@ def normalize(url: str | None, scope: str = "default") -> str | None:
     return regex_normalize(u)
 
 
+# Already-canonical fast path: URLs matching this shape are fixed points
+# of the whole Basic+Regex chain — lowercase scheme/host, no port,
+# userinfo, query, fragment, %-escape, or char needing escaping; path
+# present and composed of unreserved chars. The extra vectorized checks
+# below exclude dot-segments ("/."), duplicate slashes, and a trailing
+# '.' (regex rule "strip trailing [?&.]"). Everything else takes the
+# exact per-string slow path. On crawl corpora the hit rate is the
+# overwhelming majority — this is what makes normalization Arrow-speed
+# instead of Python-speed at 10^10 URLs.
+_FAST_CANONICAL = re.compile(r"^https?://[a-z0-9.\-]+/[A-Za-z0-9._~\-/]*$")
+
+
+def normalize_series(urls: pd.Series, scope: str = "default") -> pd.Series:
+    fast = (
+        urls.str.match(_FAST_CANONICAL, na=False)
+        & ~urls.str.contains("/.", regex=False, na=True)
+        & ~urls.str.endswith(".", na=True)
+        & ~urls.str.slice(8).str.contains("//", regex=False, na=True)
+    )
+    out = urls.copy()
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(lambda u: normalize(u, scope))
+    return out
+
+
 def normalize_udf(scope: str = "default"):
     """Arrow-batched pandas UDF: url -> normalized url (null if malformed)."""
 
     @F.pandas_udf("string")
     def _norm(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: normalize(u, scope))
+        return normalize_series(urls, scope)
 
     return _norm

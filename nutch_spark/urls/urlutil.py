@@ -160,36 +160,79 @@ def partition_index(key: str, seed: int, num_partitions: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def host_series(urls: pd.Series) -> pd.Series:
+    """Vectorized get_host: one C-level regex pass over the batch."""
+    h = urls.str.extract(_HOST_RE, expand=False).str.lower()
+    return h.where(h.notna() & (h != ""), None)
+
+
 def host_udf():
     @F.pandas_udf("string")
     def _host(urls: pd.Series) -> pd.Series:
-        return urls.map(get_host)
+        return host_series(urls)
 
     return _host
 
 
 def domain_udf():
+    """get_domain with a per-batch unique-value cache: hosts repeat
+    heavily across a frontier, so the suffix walk runs once per host."""
+
     @F.pandas_udf("string")
     def _domain(urls: pd.Series) -> pd.Series:
-        return urls.map(get_domain)
+        uniq = urls.dropna().unique()
+        table = {u: get_domain(u) for u in uniq}
+        return urls.map(table)
 
     return _domain
+
+
+def nutch_url_hash32_series(urls: pd.Series) -> pd.Series:
+    """Vectorized HashComparator hash: group URLs by byte length, run
+    the signed-byte Horner loop column-wise in numpy with int32
+    wraparound per step (exactly Generator.java:627-634)."""
+    import numpy as np
+
+    enc = urls.map(lambda u: u.encode("utf-8") if u is not None else None)
+    lens = enc.map(lambda b: len(b) if b is not None else -1).to_numpy()
+    out = np.zeros(len(enc), dtype=np.int64)
+    out[lens == 0] = 1  # empty string: Horner init value
+    vals = enc.to_numpy()
+    for length in np.unique(lens):
+        if length <= 0:
+            continue
+        idx = np.nonzero(lens == length)[0]
+        mat = np.frombuffer(b"".join(vals[idx]), dtype=np.uint8).reshape(
+            len(idx), length
+        ).astype(np.int64)
+        sb = np.where(mat > 127, mat - 256, mat)
+        h = np.ones(len(idx), dtype=np.int64)
+        for col in range(length - 1, -1, -1):
+            h = 31 * h + sb[:, col]
+            h = ((h + (1 << 31)) & ((1 << 32) - 1)) - (1 << 31)  # int32 wrap
+        out[idx] = h
+    return pd.Series(out, index=urls.index)
 
 
 def url_hash32_udf():
     @F.pandas_udf("int")
     def _h(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: nutch_url_hash32(u) if u is not None else 0)
+        return nutch_url_hash32_series(urls)
 
     return _h
 
 
 def partition_hash_udf(seed: int, num_partitions: int):
-    """Partition id per URLPartitioner semantics, over the queue key column."""
+    """Partition id per URLPartitioner semantics, over the queue key
+    column. Unique-value cache: one Java-hashCode walk per distinct
+    host/domain key in the batch, not per row."""
 
     @F.pandas_udf("int")
     def _p(keys: pd.Series) -> pd.Series:
-        return keys.map(lambda k: partition_index(k or "", seed, num_partitions))
+        uniq = keys.dropna().unique()
+        table = {k: partition_index(k, seed, num_partitions) for k in uniq}
+        default = partition_index("", seed, num_partitions)
+        return keys.map(lambda k: table[k] if k is not None else default).astype("int32")
 
     return _p
 
