@@ -209,6 +209,46 @@ def q_updatedb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_updatedb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same inputs and oracle as updatedb_states, through the
+    bloom/fingerprint URL-seen split path (urls/urlseen.py): untouched
+    rows bypass the merge shuffle; result must be row-identical."""
+    from nutch_spark.operators.updatedb import updatedb_incremental
+
+    docs = _docs(spark, sf_dir)
+    old = _crawldb(docs.filter(F.col("doc_id") % 3 != 0))
+    seg = docs.filter(F.col("doc_id") % 5 != 4)
+    k = F.col("doc_id") % 4
+    score = (F.col("doc_id") % 64) / 4.0
+    succ = _seg_row(
+        seg.filter(k == 0), 0x21,
+        sig=F.when(F.col("doc_id") % 8 == 0, F.md5("text")).otherwise(
+            F.md5(F.concat(F.col("text"), F.lit("x")))),
+        ft=FETCH_TS, retries=F.lit(0), iv=2592000, score=score,
+    )
+    gone = _seg_row(
+        seg.filter(k == 1), 0x25,
+        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
+        iv=2592000, score=score,
+    )
+    retry = _seg_row(
+        seg.filter(k == 2), 0x22,
+        sig=F.lit(None).cast("string"), ft=FETCH_TS,
+        retries=(F.col("doc_id") % 3), iv=2592000, score=score,
+    )
+    linked = _seg_row(
+        seg.filter(k == 3), 0x43,
+        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
+        iv=2592000, score=F.lit(0.25),
+    )
+    seg_rows = succ.unionByName(gone).unionByName(retry).unionByName(linked).unionByName(linked)
+    out = updatedb_incremental(old, seg_rows, CFG, UPD_NOW, membership="bloom")
+    return out.select(
+        "url", "status", "fetch_time", "retries", "fetch_interval",
+        F.col("score").cast("double").alias("score"), "signature",
+    )
+
+
 def q_merge_crawldbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 CrawlDbMerger (CrawlDbMerger.java:81-118): newest
     calculateLastFetchTime wins, tie-break max fetchTime."""
@@ -634,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inject_merge": q_inject,
         "generate_quota": q_generate,
         "updatedb_states": q_updatedb,
+        "updatedb_incremental": q_updatedb_incremental,
         "merge_crawldbs": q_merge_crawldbs,
         "dedup_mark": q_dedup,
         "linkdb_invert": q_linkdb,
@@ -689,6 +730,14 @@ def oracle_sql() -> dict[str, str]:
     lang_counts = ", ".join(f"{_lang_cnt(g)} AS c_{g}" for g in _LANGS)
     en_stop = _lang_cnt("en")
 
+    oracles = _build_oracles(lang_best, lang_case, lang_counts, en_stop)
+    # the incremental path must produce row-identical output to the
+    # exact merge — same oracle, different physical plan
+    oracles["updatedb_incremental"] = oracles["updatedb_states"]
+    return oracles
+
+
+def _build_oracles(lang_best, lang_case, lang_counts, en_stop) -> dict[str, str]:
     return {
         # ---- J1 inject ----------------------------------------------------
         "inject_merge": f"""

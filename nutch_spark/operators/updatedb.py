@@ -379,3 +379,45 @@ def crawldb_filter(
     if url_filter_rules is not None:
         df = df.filter(url_filter_udf(url_filter_rules)(F.col("url")))
     return df
+
+
+def updatedb_incremental(
+    crawldb: DataFrame | None,
+    segment_rows: DataFrame,
+    cfg: NutchConfig,
+    now_ms: int,
+    *,
+    membership: str = "fingerprint",
+    bloom_fpp: float = 0.01,
+    **kw,
+) -> DataFrame:
+    """Bloom/fingerprint-accelerated updatedb (north rule: URL-seen
+    membership as a shuffle accelerator).
+
+    At frontier scale the plain merge shuffles the entire CrawlDb every
+    cycle even though a cycle touches ≤ topN + discovered-outlink URLs.
+    Here the CrawlDb is split with a broadcast membership structure
+    over the *segment's* URLs:
+
+    - untouched rows (provably not in the segment — membership has no
+      false negatives) bypass the merge entirely: no shuffle, emitted
+      as-is, exactly the reducer's "no new data, emit old" path
+      (CrawlDbReducer.java:155-172);
+    - touched rows (including false positives) go through the exact
+      :func:`updatedb` state machine; a false positive has no segment
+      rows, lands in keep_old_only, and comes out unchanged.
+
+    Result is row-identical to ``updatedb(crawldb, segment_rows, ...)``.
+    """
+    if crawldb is None:
+        return updatedb(None, segment_rows, cfg, now_ms, **kw)
+    from nutch_spark.urls.urlseen import BloomBitmap, FingerprintSet
+
+    seg_urls = segment_rows.select("url")
+    if membership == "bloom":
+        seen = BloomBitmap(seg_urls, fpp=bloom_fpp)
+    else:
+        seen = FingerprintSet(seg_urls)
+    touched, untouched = seen.split(crawldb)
+    merged = updatedb(touched, segment_rows, cfg, now_ms, **kw)
+    return merged.unionByName(untouched.select(*merged.columns))

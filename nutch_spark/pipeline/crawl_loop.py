@@ -33,7 +33,7 @@ from nutch_spark.operators.fetchsim import fetch, fetched_content
 from nutch_spark.operators.generate import generate, mark_generated
 from nutch_spark.operators.inject import inject_full
 from nutch_spark.operators.parse import parse
-from nutch_spark.operators.updatedb import updatedb
+from nutch_spark.operators.updatedb import updatedb_incremental
 from nutch_spark.schema import STATUS_NAMES
 
 CRAWLDB = "crawldb"
@@ -119,7 +119,9 @@ class Crawler:
         )
 
         base_db = mark_generated(crawldb, fl) if self.cfg.generate_update_crawldb else crawldb
-        newdb = updatedb(base_db, segment_rows, self.cfg, now_ms)
+        # bloom/fingerprint URL-seen split: untouched CrawlDb rows bypass
+        # the merge shuffle (north rule; row-identical to plain updatedb)
+        newdb = updatedb_incremental(base_db, segment_rows, self.cfg, now_ms)
 
         # metrics (one extra pass each over small aggregates)
         fetched = crawl_fetch.count()
@@ -181,3 +183,76 @@ class Crawler:
             if res.generated == 0:
                 break
         return results
+
+
+def main(argv: list[str] | None = None) -> int:
+    """spark-submit entry point:
+
+        spark-submit --py-files nutch_spark.zip \
+            -m ... nutch_spark/pipeline/crawl_loop.py \
+            --warehouse /tmp/crawl_wh --cycles 3 --top-n 50000 \
+            --n-docs 100000 --n-hosts 2000 [--resume]
+
+    Builds the deterministic synthetic web (FIXTURES.md) as the corpus,
+    injects one seed per host, runs N cycles, printing one JSON line of
+    metrics per cycle. With --resume it picks up from the warehouse's
+    current crawldb snapshot (mid-crawl resumability, north rule).
+    """
+    import argparse
+    import json as _json
+
+    from nutch_spark.data.frontier import synth_web
+    from nutch_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="Nutch-semantics crawl loop on Spark")
+    p.add_argument("--warehouse", required=True, help="snapshot catalog root")
+    p.add_argument("--cycles", type=int, default=3)
+    p.add_argument("--top-n", type=int, default=50_000)
+    p.add_argument("--n-docs", type=int, default=100_000)
+    p.add_argument("--n-hosts", type=int, default=2_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--start-ms", type=int, default=1_704_000_000_000)
+    p.add_argument("--cycle-ms", type=int, default=3_600_000)
+    p.add_argument("--num-reducers", type=int, default=0,
+                   help="generate quota reducers (0 = one, exact-global)")
+    p.add_argument("--write-segments", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the warehouse's current crawldb snapshot")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="nutch_spark_crawl")
+    cfg = NutchConfig(
+        generate_num_reducers=max(1, args.num_reducers)
+    )
+    web = synth_web(spark, n_docs=args.n_docs, n_hosts=args.n_hosts, seed=args.seed)
+    catalog = SnapshotCatalog(args.warehouse)
+    crawler = Crawler(
+        spark, catalog, cfg, web["docs"], web["robots"], web["outcomes"],
+        write_segments=args.write_segments,
+    )
+    if args.resume and catalog.exists(CRAWLDB):
+        done = sum(
+            1 for s in catalog.snapshots(CRAWLDB)
+            if s.lineage.get("stage") == "updatedb"
+        )
+        start_cycle = done + 1
+    else:
+        crawler.inject(web["seeds"], args.start_ms)
+        start_cycle = 1
+    for i in range(start_cycle, start_cycle + args.cycles):
+        res = crawler.run_cycle(i, args.start_ms + i * args.cycle_ms, top_n=args.top_n)
+        print(_json.dumps({
+            "cycle": res.cycle_id, "generated": res.generated,
+            "fetched": res.fetched, "db_size": res.db_size,
+            "virtual_makespan_ms": res.virtual_makespan_ms,
+            "wall_seconds": round(res.wall_seconds, 2),
+            "snapshot_id": res.snapshot_id,
+            "status_counts": res.status_counts,
+        }))
+        if res.generated == 0:
+            break
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

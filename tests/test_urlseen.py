@@ -1,0 +1,70 @@
+"""URL-seen membership accelerators (bloom / fingerprint split)."""
+
+from pyspark.sql import functions as F
+
+from nutch_spark.config import NutchConfig
+from nutch_spark.operators.updatedb import updatedb, updatedb_incremental
+from nutch_spark.urls.urlseen import BloomBitmap, FingerprintSet
+
+
+def _urls(spark, n, prefix="http://h.example.com/"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("url")
+    )
+
+
+def test_fingerprint_split_partitions_exactly(spark):
+    big = _urls(spark, 1000)
+    small = _urls(spark, 100).filter(F.col("url").endswith("7"))
+    maybe, not_in = FingerprintSet(small).split(big)
+    m = {r["url"] for r in maybe.collect()}
+    n = {r["url"] for r in not_in.collect()}
+    assert m | n == {r["url"] for r in big.collect()}
+    assert not (m & n)
+    assert {r["url"] for r in small.collect()} <= m
+
+
+def test_bloom_split_no_false_negatives(spark):
+    big = _urls(spark, 2000)
+    small = big.filter(F.col("url").endswith("3"))
+    bloom = BloomBitmap(small, fpp=0.01)
+    maybe, not_in = bloom.split(big)
+    m = {r["url"] for r in maybe.collect()}
+    n = {r["url"] for r in not_in.collect()}
+    truth = {r["url"] for r in small.collect()}
+    assert truth <= m  # no false negatives, ever
+    assert m | n == {r["url"] for r in big.collect()} and not (m & n)
+    # false-positive rate in the ballpark of fpp (generous bound)
+    fp = len(m - truth) / max(1, len(n) + len(m - truth))
+    assert fp < 0.05
+
+
+def test_updatedb_incremental_equals_exact(spark):
+    cfg = NutchConfig()
+    cols = (
+        "url string, status int, fetch_time long, retries int, fetch_interval int,"
+        " score float, signature string, modified_time long,"
+        " metadata map<string,string>, gen_time long, repr_url string"
+    )
+    old = spark.createDataFrame(
+        [
+            ("u1", 1, 1000, 0, 3600, 1.0, None, 0, {}, None, None),
+            ("u2", 2, 1000, 0, 3600, 2.0, "sig2", 0, {}, None, None),
+            ("u3", 1, 1000, 1, 3600, 0.5, None, 0, {}, None, None),
+        ],
+        cols,
+    )
+    seg = spark.createDataFrame(
+        [
+            ("u1", 0x21, 5000, 0, 3600, 1.0, "new", 0, {}, None, None),
+            ("u9", 0x43, 5000, 0, 3600, 0.25, None, 0, {}, None, None),
+        ],
+        cols,
+    )
+    def snap(df):
+        return sorted(
+            (r["url"], r["status"], r["fetch_time"], r["score"]) for r in df.collect()
+        )
+    exact = snap(updatedb(old, seg, cfg, 9000))
+    for kind in ("fingerprint", "bloom"):
+        assert snap(updatedb_incremental(old, seg, cfg, 9000, membership=kind)) == exact
