@@ -43,6 +43,8 @@ class NutchConfig:
     adaptive_max_interval: float = 31536000.0  # 365 d
     adaptive_sync_delta: bool = True
     adaptive_sync_delta_rate: float = 0.3
+    # db.fetch.schedule.mime.file rows: ((mime, inc_rate, dec_rate), ...)
+    mime_schedule_rates: tuple = ()
 
     # --- generate (Generator.java + nutch-default.xml) ---
     generate_max_count: int = -1  # generate.max.count (-1 = unlimited)

@@ -96,7 +96,15 @@ def fetch(
       (next-cycle discovery, http.redirect.max=0 semantics) carrying
       ``repr_url``.
     """
-    fl = fetchlist.withColumn("host", host_col(F.col("url")))
+    # queue id = host or domain per fetcher.queue.mode
+    # (FetchItem.create, fetcher/FetchItem.java:87-121); byIP needs DNS
+    # resolution (out of scope, fixture-driven per SURVEY A4)
+    if cfg.fetcher_queue_mode == "byDomain":
+        from nutch_spark.urls.urlutil import domain_udf
+        queue_key = F.lower(domain_udf()(F.col("url")))
+    else:
+        queue_key = host_col(F.col("url"))
+    fl = fetchlist.withColumn("host", queue_key)
 
     fl = fl.join(F.broadcast(robots), "host", "left")
     fl = fl.join(outcomes, "url", "left")

@@ -250,9 +250,14 @@ def generate(
     # URLPartitioner hash (byHost) with injected seed; repartition on it so
     # a host never spans two fetch lists. AQE never coalesces an explicit
     # repartition-by-column with a fixed N.
-    part_host = F.lower(host_udf()(F.col("url")))
+    # partition key per partition.url.mode (URLPartitioner.java:76-108);
+    # byIP out of scope (DNS fixture)
+    if cfg.partition_url_mode == "byDomain":
+        part_key = F.lower(domain_udf()(F.col("url")))
+    else:
+        part_key = F.lower(host_udf()(F.col("url")))
     df = df.withColumn(
-        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_host)
+        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_key)
     )
     df = df.withColumn("url_hash", url_hash32_udf()(F.col("url")))
     df = df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")
@@ -297,9 +302,14 @@ def free_generate(
     df = df.select("url", *[F.col("d." + c).alias(c) for c in seeds.columns if c != "url"])
     df = df.withColumn("status", F.lit(STATUS_DB_UNFETCHED).cast("int"))
     df = df.withColumn("gen_time", F.lit(now_ms).cast("long"))
-    part_host = F.lower(host_udf()(F.col("url")))
+    # partition key per partition.url.mode (URLPartitioner.java:76-108);
+    # byIP out of scope (DNS fixture)
+    if cfg.partition_url_mode == "byDomain":
+        part_key = F.lower(domain_udf()(F.col("url")))
+    else:
+        part_key = F.lower(host_udf()(F.col("url")))
     df = df.withColumn(
-        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_host)
+        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_key)
     )
     df = df.withColumn("url_hash", url_hash32_udf()(F.col("url")))
     return df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")

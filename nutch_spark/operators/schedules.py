@@ -60,22 +60,36 @@ def adaptive_fetch_schedule(
     interval: Column,
     state: Column,
     metadata: Column,
+    *,
+    inc_rate: Column | None = None,
+    dec_rate: Column | None = None,
 ) -> dict[str, Column]:
     """AdaptiveFetchSchedule.setFetchSchedule (fork config values).
 
     interval *= (1-dec_rate) on MODIFIED, *= (1+inc_rate) on NOTMODIFIED;
     ``fixedInterval`` metadata overrides; SYNC_DELTA shifts the reference
     time toward the modification time; clamp [min_interval, max_interval].
+    ``inc_rate``/``dec_rate`` columns override the config rates per row
+    (the MimeAdaptive hook, MimeAdaptiveFetchSchedule.java:103-127).
     """
     iv0 = _f32(F.when(interval == 0, F.lit(cfg.db_fetch_interval_default)).otherwise(interval))
     fixed = F.element_at(metadata, META_FIXED_INTERVAL).cast("float")
     has_fixed = fixed.isNotNull()
 
+    if dec_rate is None:
+        dec_factor = _f32(F.lit(1.0 - cfg.adaptive_dec_rate))
+    else:
+        dec_factor = _f32(F.lit(1.0).cast("float") - _f32(dec_rate))
+    if inc_rate is None:
+        inc_factor = _f32(F.lit(1.0 + cfg.adaptive_inc_rate))
+    else:
+        inc_factor = _f32(F.lit(1.0).cast("float") + _f32(inc_rate))
+
     # --- non-fixed branch ---
     mt0 = F.when(fetch_modified_time <= 0, fetch_time).otherwise(fetch_modified_time)
     iv1 = (
-        F.when(state == STATUS_MODIFIED, _f32(iv0 * _f32(F.lit(1.0 - cfg.adaptive_dec_rate))))
-        .when(state == STATUS_NOTMODIFIED, _f32(iv0 * _f32(F.lit(1.0 + cfg.adaptive_inc_rate))))
+        F.when(state == STATUS_MODIFIED, _f32(iv0 * dec_factor))
+        .when(state == STATUS_NOTMODIFIED, _f32(iv0 * inc_factor))
         .otherwise(iv0)
     )
     mt1 = F.when(state == STATUS_MODIFIED, fetch_time).otherwise(mt0)
@@ -161,3 +175,32 @@ def should_fetch(
     adj_ft = F.when(far_future, F.lit(cur_time).cast("long")).otherwise(fetch_time)
     eligible = adj_ft <= F.lit(cur_time)
     return eligible, adj_ft, adj_iv
+
+
+def mime_adaptive_fetch_schedule(
+    cfg: NutchConfig,
+    fetch_time: Column,
+    fetch_modified_time: Column,
+    interval: Column,
+    state: Column,
+    metadata: Column,
+    mime_rates: dict[str, tuple[float, float]] | None = None,
+) -> dict[str, Column]:
+    """MimeAdaptiveFetchSchedule (crawl/MimeAdaptiveFetchSchedule.java
+    :103-127): per-MIME (inc, dec) rates looked up from the datum's
+    Content-Type metadata (cleaned: parameters stripped, lowercased —
+    MimeUtil.cleanMimeType); unknown/absent MIME falls back to the
+    adaptive defaults. ``mime_rates``: {mime: (inc_rate, dec_rate)}."""
+    if mime_rates is None:
+        mime_rates = {m: (i, d) for m, i, d in (cfg.mime_schedule_rates or ())}
+    ct = F.element_at(metadata, "Content-Type")
+    mime = F.lower(F.trim(F.substring_index(ct, ";", 1)))
+    inc: Column = F.lit(float(cfg.adaptive_inc_rate)).cast("float")
+    dec: Column = F.lit(float(cfg.adaptive_dec_rate)).cast("float")
+    for m, (i, d) in mime_rates.items():
+        inc = F.when(mime == m, F.lit(float(i)).cast("float")).otherwise(inc)
+        dec = F.when(mime == m, F.lit(float(d)).cast("float")).otherwise(dec)
+    return adaptive_fetch_schedule(
+        cfg, fetch_time, fetch_modified_time, interval, state, metadata,
+        inc_rate=inc, dec_rate=dec,
+    )

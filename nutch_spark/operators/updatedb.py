@@ -201,6 +201,10 @@ def updatedb(
         sched = S.adaptive_fetch_schedule(
             cfg, f("fetch_time"), f("modified_time"), f("fetch_interval"), mod_state, succ_meta
         )
+    elif cfg.db_fetch_schedule == "mime_adaptive":
+        sched = S.mime_adaptive_fetch_schedule(
+            cfg, f("fetch_time"), f("modified_time"), f("fetch_interval"), mod_state, succ_meta
+        )
     else:
         sched = S.default_fetch_schedule(
             cfg, f("fetch_time"), f("modified_time"), f("fetch_interval"), mod_state

@@ -102,3 +102,39 @@ def test_should_fetch(spark):
     assert [r["e"] for r in rows] == [True, False, True]
     assert rows[2]["ft"] == cur
     assert rows[2]["iv"] == round(CFG.db_fetch_interval_max * 0.9)
+
+
+def test_mime_adaptive_rates(spark):
+    """MimeAdaptiveFetchSchedule: per-MIME inc/dec from Content-Type
+    metadata, defaults when mime unknown/absent
+    (MimeAdaptiveFetchSchedule.java:103-127)."""
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.schedules import (
+        STATUS_NOTMODIFIED as NM,
+        mime_adaptive_fetch_schedule,
+    )
+    from pyspark.sql import functions as F
+
+    cfg = NutchConfig(adaptive_sync_delta=False)
+    rates = {"text/html": (0.1, 0.5), "image/png": (1.0, 0.9)}
+    df = spark.createDataFrame(
+        [
+            ("html", {"Content-Type": "text/html; charset=utf-8"}),
+            ("png", {"Content-Type": "IMAGE/PNG"}),
+            ("unknown", {"Content-Type": "application/pdf"}),
+            ("absent", {}),
+        ],
+        "name string, metadata map<string,string>",
+    )
+    out = df.select(
+        "name",
+        mime_adaptive_fetch_schedule(
+            cfg, F.lit(1_000_000_000).cast("long"), F.lit(0).cast("long"),
+            F.lit(1000), F.lit(NM), F.col("metadata"), rates,
+        )["fetch_interval"].alias("iv"),
+    )
+    iv = {r["name"]: r["iv"] for r in out.collect()}
+    assert iv["html"] == 1100      # 1000 * (1 + 0.1)
+    assert iv["png"] == 2000       # 1000 * (1 + 1.0), mime lowercased
+    assert iv["unknown"] == 1400   # default inc 0.4
+    assert iv["absent"] == 1400
