@@ -620,6 +620,15 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_fetch.select("url", "status", "fetch_time")
 
 
+def q_fetch_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7: robots gating + protocol-status -> fetch-status switch
+    (FetcherThread.java:319-487) — the status outcome of the same fetch
+    as q_fetch_politeness, which IS ANSI-SQL-derivable (the virtual
+    politeness clock is not; that stays rows-only)."""
+    crawl_fetch = q_fetch_politeness(spark, sf_dir)
+    return crawl_fetch.select("url", "status")
+
+
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → minhash → band →
     bucket-join → Jaccard verify), ml/dedup.py. Rows-only check."""
@@ -695,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "crawl_cycle": q_crawl_cycle,
         "fetch_politeness": q_fetch_politeness,
+        "fetch_statuses": q_fetch_statuses,
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
@@ -1147,6 +1157,20 @@ r AS (
   FROM p
 )
 SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 10
+""",
+        # ---- F6/F7 fetch statuses -----------------------------------------
+        # seeds = doc_id < 40 (2 per host over 20 hosts); robots fixtures
+        # never gate them (host0's /private/ disallow matches no seed path,
+        # crawl_delay 8s < fetcher.max.crawl.delay 30s); statuses follow
+        # the scripted outcome chain of _web()
+        "fetch_statuses": """
+SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  CAST(CASE WHEN doc_id % 17 = 0 THEN 37
+            WHEN doc_id % 29 = 0 THEN 34
+            WHEN doc_id % 23 = 0 THEN 36
+            ELSE 33 END AS INTEGER) AS status
+FROM documents WHERE doc_id < 40
 """,
         # ---- events window ------------------------------------------------
         "events_window": """

@@ -48,3 +48,56 @@ def test_seed_stream_incremental_injection(spark, tmp_path):
     # lineage recorded per micro-batch
     stages = [s.lineage.get("stage") for s in catalog.snapshots("crawldb")]
     assert stages.count("inject_stream") >= 2
+
+
+def test_event_stream_matches_batch(spark, tmp_path):
+    """Streaming windowed agg == batch agg over the same closed input."""
+    from nutch_spark.streaming.event_stream import (
+        start_event_stream,
+        windowed_event_counts,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    edir = str(tmp_path / "events")
+    events.write.parquet(edir)
+
+    q = start_event_stream(
+        spark, edir, str(tmp_path / "ckpt_ev"), query_name="ev_win_test"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["hour_ts"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("ev_win_test").collect()
+    }
+    want = {
+        (r["hour_ts"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(spark.read.parquet(edir)).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_event_stream_append_watermark(spark, tmp_path):
+    """Append mode withholds only unfinalized trailing windows."""
+    from nutch_spark.streaming.event_stream import (
+        start_event_stream,
+        windowed_event_counts,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    edir = str(tmp_path / "events2")
+    events.write.parquet(edir)
+    q = start_event_stream(
+        spark, edir, str(tmp_path / "ckpt_ev2"), query_name="ev_win_append",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["hour_ts"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("ev_win_append").collect()
+    }
+    want = {
+        (r["hour_ts"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(spark.read.parquet(edir)).collect()
+    }
+    assert set(got) <= set(want)
+    assert all(got[k] == want[k] for k in got)  # every emitted window exact
