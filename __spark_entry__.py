@@ -597,6 +597,10 @@ def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(redirect_links.select(*_DATUM_SELECT))
         )
         db = updatedb(db, seg, cfg, now + 3_600_000)
+        # flatten lineage between cycles (state hand-off, as the real
+        # loop does through catalog snapshots) — without this, cycle 2
+        # re-executes cycle 1's whole plan
+        db = db.localCheckpoint(eager=True)
         now += 7_200_000
     return db.select(
         "url", "status", "retries", "fetch_interval",

@@ -110,10 +110,29 @@ def fetch(
     fl = fl.join(outcomes, "url", "left")
 
     path = F.regexp_replace("url", r"^https?://[^/]*", "")
-    robots_denied = F.when(
-        F.col("disallow").isNotNull(),
-        F.exists("disallow", lambda p: path.startswith(p)),
-    ).otherwise(F.lit(False)) | F.coalesce(F.col("forbid_all"), F.lit(False))
+
+    def _best_match(col):
+        # longest-matching rule prefix length, -1 when nothing matches
+        arr = F.coalesce(col, F.array().cast("array<string>"))
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    arr, lambda p: F.when(path.startswith(p), F.length(p)).otherwise(-1)
+                )
+            ),
+            F.lit(-1),
+        )
+
+    if "allow" in robots.columns:
+        # longest-match-wins with Allow winning ties (urls/robots.py
+        # semantics, crawler-commons / SimpleRobotRulesParser)
+        rule_denied = _best_match(F.col("disallow")) > _best_match(F.col("allow"))
+    else:
+        rule_denied = F.when(
+            F.col("disallow").isNotNull(),
+            F.exists("disallow", lambda p: path.startswith(p)),
+        ).otherwise(F.lit(False))
+    robots_denied = rule_denied | F.coalesce(F.col("forbid_all"), F.lit(False))
     delay_skip = F.coalesce(F.col("crawl_delay"), F.lit(0.0)) > cfg.fetcher_max_crawl_delay
     deferred = F.coalesce(F.col("defer_visits"), F.lit(False))
     is_exception = F.col("outcome") == "exception"
