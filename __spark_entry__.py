@@ -679,11 +679,26 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_crawl_cycle(spark, "/root/testdata/sf0.001")
+    return _with_engine_conf(q_crawl_cycle)(spark, "/root/testdata/sf0.001")
+
+
+def _with_engine_conf(fn: Callable) -> Callable:
+    """The engine's map merges rely on LAST_WIN key dedup (metadata
+    "newer overrides older", CrawlDbReducer.java:182-189); set it on
+    whatever session the driver hands us."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "inject_merge": q_inject,
         "generate_quota": q_generate,
         "updatedb_states": q_updatedb,

@@ -83,8 +83,12 @@ def updatedb(
     *,
     additions_allowed: bool | None = None,
     max_inlinks: int = 10000,
+    link_shards: int = 0,
 ) -> DataFrame:
     """Merge segment output into the CrawlDb; returns the new CrawlDb.
+
+    ``link_shards`` > 1 enables the two-phase sharded top-K pre-cap for
+    link rows (skew safety for mega-hot URLs; result-identical).
 
     ``segment_rows``: union of crawl_fetch and crawl_parse rows (fetch
     statuses + linked/signature/parse_meta transients), crawldb schema.
@@ -117,6 +121,38 @@ def updatedb(
         F.col("fetch_interval").alias("fetch_interval"),
         F.col("modified_time").alias("modified_time"),
     )
+
+    if link_shards and link_shards > 1:
+        # two-phase top-K for mega-hot URLs (SURVEY §4: Spark's partial
+        # aggregation does not truncate collect_list, so a URL with 10^8
+        # inlink rows would materialize them all in one reducer). Pre-cap
+        # per (url, shard): each shard keeps its local top-K, bounding
+        # the main aggregation to <= link_shards * max_inlinks link rows
+        # per URL. Exact: the struct order is total (score first, then
+        # the remaining fields), so the global top-K multiset equals the
+        # top-K of the shard-wise top-Ks.
+        linked_rows = both.filter(is_link)
+        rest = both.filter(F.col("status") != STATUS_LINKED)
+        shard = F.pmod(F.xxhash64(F.col("url"), F.lit(9173)), F.lit(link_shards))
+        pre = linked_rows.groupBy("url", shard.alias("_s")).agg(
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list(link_struct))), 1, max_inlinks
+            ).alias("_arr")
+        )
+        exploded = pre.select("url", F.explode("_arr").alias("l")).select(
+            F.col("url"),
+            F.lit(STATUS_LINKED).cast("int").alias("status"),
+            F.col("l.fetch_time").alias("fetch_time"),
+            F.col("l.retries").alias("retries"),
+            F.col("l.fetch_interval").alias("fetch_interval"),
+            F.col("l.score").alias("score"),
+            F.lit(None).cast("string").alias("signature"),
+            F.col("l.modified_time").alias("modified_time"),
+            F.expr(_EMPTY_MAP).alias("metadata"),
+            F.lit(None).cast("long").alias("gen_time"),
+            F.lit(None).cast("string").alias("repr_url"),
+        )
+        both = rest.unionByName(exploded.select("url", *_DATUM_COLS))
 
     agg = both.groupBy("url").agg(
         F.max_by(F.when(is_db, _datum_struct()), F.when(is_db, F.col("fetch_time"))).alias("old"),

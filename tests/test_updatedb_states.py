@@ -247,3 +247,37 @@ def test_gone_schedule_growth(spark):
     )
     row2 = updatedb(db2, seg2, cfg, NOW).collect()[0]
     assert row2["fetch_interval"] == round(cfg.db_fetch_interval_max * 0.9)
+
+
+def test_link_shards_equivalence(spark):
+    """Two-phase sharded link top-K == plain collect+slice (skew-safety
+    pre-cap, SURVEY §4); exercised past the max_inlinks cutoff."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.updatedb import updatedb
+
+    cfg = NutchConfig()
+    cols = (
+        "url string, status int, fetch_time long, retries int, fetch_interval int,"
+        " score float, signature string, modified_time long,"
+        " metadata map<string,string>, gen_time long, repr_url string"
+    )
+    # hot url with 40 inlink rows (scores 0..39 quarters), cap at 5
+    links = [
+        ("hot", 0x43, 1000 + i, 0, 3600, i / 4.0, None, 0, {}, None, None)
+        for i in range(40)
+    ] + [("cold", 0x43, 1000, 0, 3600, 0.25, None, 0, {}, None, None)]
+    seg = spark.createDataFrame(links, cols)
+    plain = updatedb(None, seg, cfg, 5000, max_inlinks=5)
+    sharded = updatedb(None, seg, cfg, 5000, max_inlinks=5, link_shards=8)
+
+    def snap(df):
+        return sorted(
+            (r["url"], r["status"], r["fetch_time"], r["score"]) for r in df.collect()
+        )
+
+    assert snap(plain) == snap(sharded)
+    hot = {r["url"]: r["score"] for r in sharded.collect()}["hot"]
+    # top-5 scores 39..35 quarters = (39+38+37+36+35)/4
+    assert hot == (39 + 38 + 37 + 36 + 35) / 4.0
