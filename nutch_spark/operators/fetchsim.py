@@ -144,12 +144,20 @@ def fetch(
     )
     # gated items never enter the host queue => zero politeness cost
     gated = robots_denied | delay_skip | deferred
-    delay_ms = (
+    # per-host delay precedence: hostdb variable fetch delay stamped in
+    # datum metadata (FetchItemQueue.java:94-111) > robots Crawl-Delay >
+    # fetcher.server.delay
+    var_delay = F.element_at(
+        F.coalesce(F.col("metadata"), F.expr(_EMPTY_MAP)),
+        F.lit("_variableFetchDelay_"),
+    ).cast("long")
+    delay_ms = F.coalesce(
+        var_delay,
         F.when(
             F.col("crawl_delay").isNotNull() & ~delay_skip, F.col("crawl_delay") * 1000
         )
         .otherwise(F.lit(cfg.fetcher_server_delay * 1000))
-        .cast("long")
+        .cast("long"),
     )
     cost = F.when(gated, F.lit(0).cast("long")).otherwise(
         F.coalesce(F.col("latency_ms"), F.lit(0).cast("long")) + delay_ms

@@ -125,12 +125,24 @@ def apply_quota_windowed(
     else:
         limit = top_n
         red = []
-    if max_count > 0:
+    has_hdb = "_hdb_max_count" in df.columns
+    if max_count > 0 or has_hdb:
+        # per-row cap: hostdb override first (variable maxCount,
+        # Generator.java:445-457), else the config cap; null = uncapped
+        if has_hdb and max_count > 0:
+            capc = F.coalesce(F.col("_hdb_max_count"), F.lit(max_count).cast("int"))
+        elif has_hdb:
+            capc = F.col("_hdb_max_count")
+        else:
+            capc = F.lit(max_count).cast("int")
         w_host = Window.partitionBy("host_key").orderBy(*order)
         df = df.withColumn("rn_host", F.row_number().over(w_host))
-        df = df.filter(F.col("rn_host") <= max_count * max_num_segments)
+        df = df.filter(capc.isNull() | (F.col("rn_host") <= capc * max_num_segments))
         df = df.withColumn(
-            "segnum", ((F.col("rn_host") - 1) / max_count).cast("int") + 1
+            "segnum",
+            F.when(capc.isNull(), F.lit(1)).otherwise(
+                ((F.col("rn_host") - 1) / capc).cast("int") + 1
+            ),
         )
         # per-segment reducer budget (`limit`, :396-397)
         w_seg = Window.partitionBy(*red, "segnum").orderBy(*order)
@@ -223,10 +235,14 @@ def generate(
     num_lists: int | None = None,
     url_filter_rules: list[str] | None = None,
     expr: str | None = None,
+    hostdb: DataFrame | None = None,
 ) -> DataFrame:
     """Full generate: returns the fetchlist with columns = crawldb schema
     + (sort, host_key, segnum, part_id, url_hash). Rows are stamped with
     ``gen_time`` (the ``_ngt_`` mark, :296-298).
+
+    ``hostdb``: optional (host[, max_count][, fetch_delay_ms]) table for
+    per-host budget overrides (windowed quota mode).
 
     Issue order within a fetch partition = ascending ``url_hash``
     (HashComparator interleave); the fetch stage sorts on it.
@@ -237,12 +253,45 @@ def generate(
     df = select_eligible(crawldb, cfg, cur_time, url_filter_rules=url_filter_rules, expr=expr)
     df = df.withColumn("host_key", _host_key(cfg)).filter(F.col("host_key").isNotNull())
 
+    # hostdb-driven per-host budgets (Generator.java:431-475): a hostdb
+    # row may override generate.max.count (variable maxCount) and supply
+    # a per-host fetch delay stamped into datum metadata as
+    # ``_variableFetchDelay_`` (picked up by the fetch politeness clock,
+    # FetchItemQueue.java:94-111). The reference evaluates JEXL over the
+    # HostDatum; callers here pre-compute the (host, max_count,
+    # fetch_delay_ms) columns with Spark SQL expressions (T14).
+    if hostdb is not None:
+        h = hostdb.select(
+            F.lower(F.col("host")).alias("host_key"),
+            *( [F.col("max_count").cast("int").alias("_hdb_max_count")]
+               if "max_count" in hostdb.columns else [] ),
+            *( [F.col("fetch_delay_ms").cast("long").alias("_hdb_fetch_delay")]
+               if "fetch_delay_ms" in hostdb.columns else [] ),
+        )
+        df = df.join(F.broadcast(h), "host_key", "left")
+
     if cfg.generator_parity_mode:
         df = apply_quota_parity(df, cfg, top_n, max_num_segments)
     else:
         df = apply_quota_windowed(
             df, cfg, top_n, max_num_segments, num_reducers=cfg.generate_num_reducers
         )
+
+    if hostdb is not None and "_hdb_fetch_delay" in df.columns:
+        from nutch_spark.schema import META_VARIABLE_FETCH_DELAY
+
+        stamped = F.when(
+            F.col("_hdb_fetch_delay").isNotNull(),
+            F.map_concat(
+                F.coalesce(F.col("metadata"), F.expr("cast(map() as map<string,string>)")),
+                F.map_from_arrays(
+                    F.array(F.lit(META_VARIABLE_FETCH_DELAY)),
+                    F.array(F.col("_hdb_fetch_delay").cast("string")),
+                ),
+            ),
+        ).otherwise(F.col("metadata"))
+        df = df.withColumn("metadata", stamped)
+    df = df.drop("_hdb_max_count", "_hdb_fetch_delay")
 
     df = df.withColumn("gen_time", F.lit(gen_time).cast("long"))
 

@@ -116,3 +116,17 @@ def domain_stats(crawldb: DataFrame, mode: str = "domain") -> DataFrame:
             F.count(F.when(F.col("status") == STATUS_DB_UNFETCHED, 1)).alias("n_unfetched"),
         )
     )
+
+
+def segment_stats(segment_rows: DataFrame) -> DataFrame:
+    """SegmentReader -list (A7, segment/SegmentReader.java): per-status
+    counts + fetch-time span of one segment's datum rows."""
+    return (
+        segment_rows.groupBy("status")
+        .agg(
+            F.count("*").alias("count"),
+            F.min("fetch_time").alias("min_fetch_time"),
+            F.max("fetch_time").alias("max_fetch_time"),
+        )
+        .withColumn("status_name", status_name_col(F.col("status")))
+    )

@@ -163,3 +163,56 @@ def test_mark_generated_roundtrip(spark):
     marked_df = db(spark, [tuple(r) for r in marked])
     fl2 = generate(marked_df, cfg, NOW + 1000, num_lists=1)
     assert fl2.count() == 1  # only the unmarked URL
+
+
+def test_hostdb_variable_budgets(spark):
+    """Hostdb-driven per-host maxCount override + _variableFetchDelay_
+    stamping (Generator.java:431-475) and its politeness effect
+    (FetchItemQueue.java:94-111)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.fetchsim import fetch
+    from nutch_spark.operators.generate import generate
+
+    cfg = NutchConfig(generate_max_count=3, fetch_partitions=2)
+    rows = [
+        (f"http://h{h}.example.com/doc/{i}", 1, 0, 0, 3600, 1.0 + i / 4.0,
+         None, 0, {}, None, None)
+        for h in (1, 2) for i in range(6)
+    ]
+    db = spark.createDataFrame(
+        rows,
+        "url string, status int, fetch_time long, retries int, fetch_interval int,"
+        " score float, signature string, modified_time long,"
+        " metadata map<string,string>, gen_time long, repr_url string",
+    )
+    hostdb = spark.createDataFrame(
+        [("h1.example.com", 5, 100)],  # h1: cap 5 and a 100ms fetch delay
+        "host string, max_count int, fetch_delay_ms long",
+    )
+    fl = generate(db, cfg, 1_000, top_n=100, num_lists=2, hostdb=hostdb)
+    per_host = {r["h"]: r["count"] for r in
+                fl.select(F.col("host_key").alias("h")).groupBy("h").count().collect()}
+    assert per_host == {"h1.example.com": 5, "h2.example.com": 3}  # override vs default
+    meta = {r["url"]: r["metadata"] for r in fl.collect()}
+    h1 = [u for u in meta if "h1" in u]
+    assert all(meta[u].get("_variableFetchDelay_") == "100" for u in h1)
+    assert all("_variableFetchDelay_" not in meta[u] for u in meta if "h2" in u)
+
+    # the delay flows into the politeness clock: h1 gaps 100ms, h2 gaps 5s
+    robots = spark.createDataFrame(
+        [], "host string, disallow array<string>, crawl_delay double,"
+            " defer_visits boolean, forbid_all boolean")
+    outcomes = fl.select(
+        "url", F.lit("success").alias("outcome"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.lit(0).cast("long").alias("latency_ms"))
+    cf, _ = fetch(fl, robots, outcomes, cfg, 0)
+    times = {}
+    for r in cf.collect():
+        times.setdefault(r["url"].split(".")[0], []).append(r["fetch_time"])
+    gaps = {h: sorted(set(t2 - t1 for t1, t2 in zip(sorted(ts), sorted(ts)[1:])))
+            for h, ts in times.items()}
+    assert gaps["http://h1"] == [100]
+    assert gaps["http://h2"] == [5000]

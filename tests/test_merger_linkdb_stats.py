@@ -114,3 +114,15 @@ def test_hostdb_and_domain_stats(spark):
     assert doms["example.com"]["n_urls"] == 3
     assert doms["example.com"]["n_fetched"] == 1
     assert doms["example.com"]["n_unfetched"] == 1
+
+
+def test_segment_stats(spark):
+    from nutch_spark.operators.stats import segment_stats
+
+    seg = spark.createDataFrame(
+        [("a", 0x21, 100), ("b", 0x21, 200), ("c", 0x25, 150)],
+        "url string, status int, fetch_time long",
+    )
+    rows = {r["status"]: r for r in segment_stats(seg).collect()}
+    assert rows[0x21]["count"] == 2 and rows[0x21]["max_fetch_time"] == 200
+    assert rows[0x25]["status_name"] == "fetch_gone"
