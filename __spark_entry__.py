@@ -481,6 +481,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=10)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6h gap) over events — the batch twin of
+    the applyInPandasWithState streaming operator
+    (streaming/sessionize.py)."""
+    from nutch_spark.streaming.sessionize import batch_sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return batch_sessionize(e, gap_ms=21_600_000)
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour aggregation over the events stream table (batch
     form of the Structured-Streaming windowed agg); exact decimal sum."""
@@ -721,6 +731,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "events_window": q_events_window,
+        "sessionize": q_sessionize,
         "crawl_cycle": q_crawl_cycle,
         "fetch_politeness": q_fetch_politeness,
         "fetch_statuses": q_fetch_statuses,
@@ -1190,6 +1201,28 @@ SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
             WHEN doc_id % 23 = 0 THEN 36
             ELSE 33 END AS INTEGER) AS status
 FROM documents WHERE doc_id < 40
+""",
+        # ---- sessionization -----------------------------------------------
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+    CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                      > 21600000 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ms) AS sid FROM m
+)
+SELECT user_id,
+  MIN(ms) AS session_start_ms,
+  MAX(ms) AS session_end_ms,
+  COUNT(*) AS n_events,
+  CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
 """,
         # ---- events window ------------------------------------------------
         "events_window": """

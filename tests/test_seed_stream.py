@@ -101,3 +101,45 @@ def test_event_stream_append_watermark(spark, tmp_path):
     }
     assert set(got) <= set(want)
     assert all(got[k] == want[k] for k in got)  # every emitted window exact
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Stateful sessionization (applyInPandasWithState) emits exactly
+    the sessions the batch twin computes, for every session the
+    watermark has sealed."""
+    from nutch_spark.streaming.sessionize import batch_sessionize, stream_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    edir = str(tmp_path / "ev")
+    events.write.parquet(edir)
+
+    GAP = 6 * 3600 * 1000  # 6h gap => several sessions per user
+    src = spark.readStream.schema(events.schema).parquet(edir)
+    q = (
+        stream_sessionize(src, gap_ms=GAP)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["user_id"], r["session_start_ms"]):
+            (r["session_end_ms"], r["n_events"], round(r["sum_value"], 6))
+        for r in spark.table("sess_test").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start_ms"]):
+            (r["session_end_ms"], r["n_events"], round(r["sum_value"], 6))
+        for r in batch_sessionize(events, gap_ms=GAP).collect()
+    }
+    assert len(got) > 0
+    # every emitted session is exactly a batch session
+    assert set(got) <= set(want)
+    for k in got:
+        assert got[k] == want[k], k
+    # only trailing (unsealed) sessions may be withheld
+    max_end = max(e for e, _, _ in want.values())
+    for k, (end, _, _) in want.items():
+        if k not in got:
+            assert end + GAP >= max_end - 3_600_000  # within watermark horizon
