@@ -634,6 +634,43 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_fetch.select("url", "status", "fetch_time")
 
 
+def _web_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, _, _, _ = _web(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("url"),
+        F.lit(1.0).cast("float").alias("score"),
+        F.lit(FETCH_TS).cast("long").alias("fetch_time"),
+        F.lit(None).cast("long").alias("gen_time"),
+        "spans",
+        "is_canonical",
+    )
+
+
+def q_parse_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16/T17 + OPIC distributeScoreToOutlinks: span-order outlink
+    extraction with per-page dedup/caps and score/validCount link
+    scores (parse stage, ParseOutputFormat.java:295-344,
+    OPICScoringFilter.java:128-172)."""
+    from nutch_spark.operators.parse import parse
+
+    parsed = parse(_web_content(spark, sf_dir), CFG)
+    return parsed["outlinks"].select(
+        "url", "to_url", "anchor", "pos",
+        F.col("link_score").cast("double").alias("link_score"),
+    )
+
+
+def q_span_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 span signature: MD5 over the canonical span serialization —
+    the per-document content digest driving notmodified detection."""
+    from nutch_spark.operators.parse import span_signature
+
+    docs, _, _, _ = _web(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("url"), span_signature(F.col("spans")).alias("signature")
+    )
+
+
 def q_fetch_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/F7: robots gating + protocol-status -> fetch-status switch
     (FetcherThread.java:319-487) — the status outcome of the same fetch
@@ -735,6 +772,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "crawl_cycle": q_crawl_cycle,
         "fetch_politeness": q_fetch_politeness,
         "fetch_statuses": q_fetch_statuses,
+        "parse_outlinks": q_parse_outlinks,
+        "span_signature": q_span_signature,
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
@@ -1201,6 +1240,52 @@ SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
             WHEN doc_id % 23 = 0 THEN 36
             ELSE 33 END AS INTEGER) AS status
 FROM documents WHERE doc_id < 40
+""",
+        # ---- T16/T17 parse outlinks + OPIC link scores --------------------
+        # every _web doc has exactly one link span (to (doc*7+1)%n) and
+        # one media span -> validCount 2, link_score = 1.0/2
+        "parse_outlinks": """
+WITH dn AS (SELECT COUNT(*) AS n FROM documents),
+b AS (
+  SELECT doc_id, doc_id % 20 AS h, (doc_id * 7 + 1) % dn.n AS tgt
+  FROM documents, dn
+)
+SELECT 'http://host' || CAST(h AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  'http://host' || CAST(tgt % 20 AS VARCHAR) || '.example.com/doc/'
+    || CAST(tgt AS VARCHAR) AS to_url,
+  'anchor ' || CAST(tgt AS VARCHAR) AS anchor,
+  CAST(0 AS INTEGER) AS pos, CAST(0.5 AS DOUBLE) AS link_score
+FROM b
+UNION ALL
+SELECT 'http://host' || CAST(h AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR),
+  'http://host' || CAST(h AS VARCHAR) || '.example.com/media/'
+    || CAST(doc_id AS VARCHAR) || '.img',
+  'img', CAST(1 AS INTEGER), CAST(0.5 AS DOUBLE)
+FROM b
+""",
+        # ---- T12 span signature -------------------------------------------
+        "span_signature": """
+WITH dn AS (SELECT COUNT(*) AS n FROM documents),
+b AS (
+  SELECT doc_id, text, doc_id % 20 AS h, (doc_id * 7 + 1) % dn.n AS tgt
+  FROM documents, dn
+)
+SELECT 'http://host' || CAST(h AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  md5(
+    'text' || chr(30) || substr(text, 1, 120) || chr(30) || '' || chr(30) || '0'
+    || chr(31) ||
+    'link' || chr(30) || 'anchor ' || CAST(tgt AS VARCHAR) || chr(30)
+      || 'http://host' || CAST(tgt % 20 AS VARCHAR) || '.example.com/doc/'
+      || CAST(tgt AS VARCHAR) || chr(30) || '1'
+    || chr(31) ||
+    'media' || chr(30) || 'img' || chr(30)
+      || 'http://host' || CAST(h AS VARCHAR) || '.example.com/media/'
+      || CAST(doc_id AS VARCHAR) || '.img' || chr(30) || '2'
+  ) AS signature
+FROM b
 """,
         # ---- sessionization -----------------------------------------------
         "sessionize": """
