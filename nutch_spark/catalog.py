@@ -108,7 +108,11 @@ class SnapshotCatalog:
             raise ConcurrentCommitError(
                 f"{table}: current={meta['current_snapshot_id']} expected={expected_parent}"
             )
-        snap_id = (meta["current_snapshot_id"] or 0) + 1
+        # ids must be unique across the whole history: after rollback()
+        # current may be lower than already-used ids, and read() resolves
+        # by id — so allocate past the global max, not current+1
+        used = [s["snapshot_id"] for s in meta["snapshots"]]
+        snap_id = max([meta["current_snapshot_id"] or 0, *used], default=0) + 1
         rel = f"snap-{snap_id:06d}-{uuid.uuid4().hex[:8]}"
         snap_dir = os.path.join(self.root, table, rel)
         df.write.mode("overwrite").parquet(snap_dir)

@@ -50,8 +50,9 @@ class NutchConfig:
     generate_max_count: int = -1  # generate.max.count (-1 = unlimited)
     generate_count_mode: str = "host"  # generate.count.mode: host | domain
     generate_min_score: float = 0.0  # generate.min.score
-    generate_min_interval: int = -1  # generate.min.interval
-    generate_max_interval: int = -1  # generate.restrict.interval (-1 off)
+    # generate.min.interval: only datums with fetchInterval <= this are
+    # generated (Generator.java:287-291); -1 = off
+    generate_min_interval: int = -1
     generate_restrict_status: str | None = None  # generate.restrict.status
     generate_update_crawldb: bool = False  # generate.update.crawldb
     # numReduceTasks of the select job: the reducer budget is

@@ -197,7 +197,9 @@ def fetch(
         deadline = cycle_start_ms + cfg.fetcher_timelimit_mins * 60_000
         fl = fl.filter(F.col("gated") | (F.col("fetch_start") <= deadline))
 
-    fl = fl.persist()
+    # no internal persist: callers materialize crawl_fetch/redirect_links
+    # themselves, and an unreachable cached handle would leak one block-
+    # manager entry per crawl cycle
 
     crawl_fetch = fl.select(
         "url",

@@ -88,8 +88,10 @@ def select_eligible(
         df = df.filter(F.col("status") == code)
     if cfg.generate_min_score > 0.0:
         df = df.filter(F.col("sort") >= F.lit(cfg.generate_min_score).cast("float"))
-    if cfg.generate_max_interval != -1:
-        df = df.filter(F.col("fetch_interval") <= cfg.generate_max_interval)
+    # generate.min.interval: only entries with fetchInterval <= threshold
+    # are generated (INTERVAL_REJECTED, Generator.java:287-291)
+    if cfg.generate_min_interval != -1:
+        df = df.filter(F.col("fetch_interval") <= cfg.generate_min_interval)
     return df
 
 

@@ -208,4 +208,4 @@ def inject_full(
     })
     return inject(crawldb, seeds, cfg, **{
         k: v for k, v in kw.items() if k in ("overwrite", "update")
-    }).withColumn("url", F.col("url"))
+    })

@@ -35,7 +35,12 @@ def merge_crawldbs(dbs: list[DataFrame], cfg: NutchConfig) -> DataFrame:
     # metadata union, newer (by fetch_time) wins: structs holding maps are
     # not orderable, so sort (ft, entry-array) structs and rebuild the map
     # with LAST_WIN dedup (map_from_entries honors spark.sql.mapKeyDedupPolicy)
+    # precedence must follow the same (lastFetchTime, fetchTime) order
+    # that picks the winning datum (isNewer, :107-111) — sorting by
+    # fetch_time alone would let an unfetched-but-recent loser's
+    # metadata override the fetched winner's
     meta_entries = F.struct(
+        F.col("_lft").alias("lft"),
         F.col("fetch_time").alias("ft"),
         F.map_entries(F.coalesce(F.col("metadata"), F.expr(_EMPTY_MAP))).alias("entries"),
     )

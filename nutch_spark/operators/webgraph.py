@@ -68,13 +68,14 @@ def linkrank(
     limit_domains: bool = True,
 ) -> DataFrame:
     """Returns (url, score). ``links`` from :func:`build_webgraph`."""
+    if limit_domains:
+        # compute the (pandas-UDF) domain column BEFORE persisting so it
+        # is cached once, not re-evaluated by every iteration's join
+        links = links.withColumn("src_domain", domain_udf()(F.col("src")))
     links = links.persist()
     nodes = webgraph_nodes(links).persist()
     n_nodes = nodes.count()
     rank_one = 1.0 / n_nodes if n_nodes else 0.0
-
-    if limit_domains:
-        links = links.withColumn("src_domain", domain_udf()(F.col("src")))
 
     scores = nodes.withColumn("score", F.lit(float(initial_score)))
     for i in range(iterations):

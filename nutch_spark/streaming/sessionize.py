@@ -108,7 +108,20 @@ def _session_fn(gap_ms: int):
                      "sum_value": float(cur[3])}
                 )
                 cur = [ms, ms, 1, dv]
+            elif ms < cur[0] - gap_ms:
+                # in-watermark event older than the open session by more
+                # than the gap: a disjoint earlier session — emit it
+                # eagerly (it could only grow from events even older,
+                # which the batch twin would also place before it)
+                out.append(
+                    {"user_id": user_id, "session_start_ms": ms,
+                     "session_end_ms": ms, "n_events": 1,
+                     "sum_value": float(dv)}
+                )
             else:
+                # in-watermark out-of-order event merges into the open
+                # session from either side (min start, max end)
+                cur[0] = min(cur[0], ms)
                 cur[1] = max(cur[1], ms)
                 cur[2] += 1
                 cur[3] += dv

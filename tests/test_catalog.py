@@ -44,3 +44,18 @@ def test_expire_snapshots(spark, tmp_path):
     assert dropped == 3
     assert [s.snapshot_id for s in cat.snapshots("t")] == [4, 5]
     assert cat.read(spark, "t").count() == 1
+
+
+def test_commit_after_rollback_allocates_fresh_id(spark, tmp_path):
+    """Snapshot ids stay unique across history: a commit after rollback
+    must not collide with an already-used id (read() resolves by id)."""
+    from nutch_spark.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    for i in (1, 2, 3):
+        cat.commit(spark.range(i).selectExpr("id"), "t", now_ms=i)
+    cat.rollback("t", 1)
+    snap = cat.commit(spark.range(10).selectExpr("id"), "t", now_ms=9)
+    assert snap.snapshot_id == 4  # past the global max, not current+1
+    assert cat.read(spark, "t").count() == 10  # resolves the NEW snapshot
+    assert cat.read(spark, "t", snapshot_id=2).count() == 2  # history intact

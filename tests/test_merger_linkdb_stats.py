@@ -126,3 +126,28 @@ def test_segment_stats(spark):
     rows = {r["status"]: r for r in segment_stats(seg).collect()}
     assert rows[0x21]["count"] == 2 and rows[0x21]["max_fetch_time"] == 200
     assert rows[0x25]["status_name"] == "fetch_gone"
+
+
+def test_merge_metadata_follows_winner_order(spark):
+    """Metadata precedence tracks (lastFetchTime, fetchTime) like the
+    winning datum — an unfetched-but-recent loser must not override the
+    fetched winner's values (CrawlDbMerger isNewer, :107-111)."""
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.merger import merge_crawldbs
+
+    cols = (
+        "url string, status int, fetch_time long, retries int, fetch_interval int,"
+        " score float, signature string, modified_time long,"
+        " metadata map<string,string>, gen_time long, repr_url string"
+    )
+    # A: unfetched (lft=0) but newer fetch_time, metadata k=loser
+    a = spark.createDataFrame(
+        [("x", 1, 9_000, 0, 100, 1.0, None, 0, {"k": "loser"}, None, None)], cols
+    )
+    # B: fetched -> lft = 5000-100*1000 ... use small interval: lft>0 wins
+    b = spark.createDataFrame(
+        [("x", 2, 5_000, 0, 1, 1.0, None, 0, {"k": "winner"}, None, None)], cols
+    )
+    out = merge_crawldbs([a, b], NutchConfig()).collect()[0]
+    assert out["status"] == 2  # fetched datum wins (lft 4000 > 0)
+    assert out["metadata"]["k"] == "winner"
