@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from nutch_spark.config import NutchConfig
 from nutch_spark.schema import (
+    META_VARIABLE_FETCH_DELAY,
     STATUS_FETCH_GONE,
     STATUS_FETCH_NOTMODIFIED,
     STATUS_FETCH_REDIR_PERM,
@@ -149,7 +150,7 @@ def fetch(
     # fetcher.server.delay
     var_delay = F.element_at(
         F.coalesce(F.col("metadata"), F.expr(_EMPTY_MAP)),
-        F.lit("_variableFetchDelay_"),
+        F.lit(META_VARIABLE_FETCH_DELAY),
     ).cast("long")
     delay_ms = F.coalesce(
         var_delay,

@@ -81,6 +81,10 @@ def select_eligible(
     df = df.withColumn("sort", (F.col("score") * F.lit(1.0).cast("float")).cast("float"))
     if expr:
         df = df.filter(F.expr(expr))
+    # NOTE: per the fork rule above, restrict-status is only reachable
+    # for db_unfetched — the reference's own mapper returns early for
+    # every other status before this check (Generator.java:234-237 vs
+    # :274-277), and we mirror that ordering exactly
     if cfg.generate_restrict_status:
         from nutch_spark import schema as S
 
@@ -184,6 +188,7 @@ def apply_quota_parity(
         limit = top_n
         seg_counts = [0] * max_num_segments
         host_state: dict[str, list[int]] = {}
+        has_hdb = "_hdb_max_count" in pdf.columns
         count, current_seg = 0, 1
         keep_idx, segnums = [], []
         for idx, row in pdf.iterrows():
@@ -196,13 +201,18 @@ def apply_quota_parity(
             hk = row["host_key"]
             if hk is None:
                 continue
-            if max_count > 0:
+            # hostdb variable maxCount overrides the config cap per host
+            # (Generator.java:445-457), same as the windowed mode
+            mc = max_count
+            if has_hdb and pd.notna(row["_hdb_max_count"]):
+                mc = int(row["_hdb_max_count"])
+            if mc > 0:
                 st = host_state.setdefault(hk, [1, 0])
                 st[1] += 1
                 while seg_counts[st[0] - 1] >= limit and st[0] < max_num_segments:
                     st[0] += 1
                     st[1] = 0
-                if st[1] > max_count:
+                if st[1] > mc:
                     if st[0] < max_num_segments:
                         st[0] += 1
                         st[1] = 1

@@ -48,8 +48,12 @@ def merge_linkdbs(existing: DataFrame | None, new: DataFrame, cfg: NutchConfig) 
         return new
     both = existing.unionByName(new)
     return both.groupBy("url").agg(
+        # sort before the cap: collect_list order is nondeterministic,
+        # and which inlinks survive linkdb.max.inlinks must not vary
+        # between runs (replay invariant; matches invert_links's
+        # sorted-inlinks output)
         F.slice(
-            F.array_distinct(F.flatten(F.collect_list("inlinks"))),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("inlinks")))),
             1,
             cfg.linkdb_max_inlinks,
         ).alias("inlinks")

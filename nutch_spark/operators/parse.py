@@ -34,7 +34,6 @@ from nutch_spark.config import NutchConfig
 from nutch_spark.schema import (
     STATUS_FETCH_SUCCESS,
     STATUS_LINKED,
-    STATUS_PARSE_META,
     STATUS_SIGNATURE,
 )
 from nutch_spark.urls.filters import url_filter_udf

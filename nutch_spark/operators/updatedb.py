@@ -156,7 +156,15 @@ def updatedb(
 
     agg = both.groupBy("url").agg(
         F.max_by(F.when(is_db, _datum_struct()), F.when(is_db, F.col("fetch_time"))).alias("old"),
-        F.max_by(F.when(is_fetch, _datum_struct()), F.when(is_fetch, F.col("fetch_time"))).alias("fetch"),
+        # tie-break by (fetch_time, fetch_interval, retries): the fork's
+        # synthetic non-canonical success rows (ParseOutputFormat.java
+        # :365-377) share the real fetch row's fetch_time but carry
+        # interval/retries 0 — the richer real datum must win
+        # deterministically (replay invariant)
+        F.max_by(
+            F.when(is_fetch, _datum_struct()),
+            F.when(is_fetch, F.struct("fetch_time", "fetch_interval", "retries")),
+        ).alias("fetch"),
         F.slice(
             F.reverse(F.array_sort(F.collect_list(F.when(is_link, link_struct)))),
             1,
@@ -205,7 +213,6 @@ def updatedb(
     # ---- merged base (result.set(fetch) + metadata/modifiedTime merge, :174-194)
     signature = F.coalesce(F.col("sig_datum"), f("signature"))
     prev_modified = F.when(has_old, o("modified_time")).otherwise(F.lit(0).cast("long"))
-    prev_fetch = F.when(has_old, o("fetch_time")).otherwise(F.lit(0).cast("long"))
     base_meta = F.map_concat(
         F.coalesce(o("metadata"), F.expr(_EMPTY_MAP)),
         F.coalesce(f("metadata"), F.expr(_EMPTY_MAP)),

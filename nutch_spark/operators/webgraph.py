@@ -101,6 +101,12 @@ def linkrank(
         )
         if i % 3 == 2:  # keep the iterative lineage bounded
             scores = scores.localCheckpoint(eager=False)
+    # materialize the result, then release the iteration caches (a
+    # per-cycle caller would otherwise leak two block-manager entries
+    # per invocation)
+    scores = scores.localCheckpoint(eager=True)
+    links.unpersist()
+    nodes.unpersist()
     return scores
 
 

@@ -175,14 +175,17 @@ def host_udf():
 
 
 def domain_udf():
-    """get_domain with a per-batch unique-value cache: hosts repeat
-    heavily across a frontier, so the suffix walk runs once per host."""
+    """get_domain via vectorized host extraction + per-batch unique-HOST
+    cache: one C-level regex pass pulls the hosts, and the Python suffix
+    walk runs once per distinct host (not once per URL — fetch lists are
+    all-distinct URLs but only a few thousand hosts)."""
 
     @F.pandas_udf("string")
     def _domain(urls: pd.Series) -> pd.Series:
-        uniq = urls.dropna().unique()
-        table = {u: get_domain(u) for u in uniq}
-        return urls.map(table)
+        has_scheme = urls.str.contains("://", regex=False, na=False)
+        hosts = host_series(urls).where(has_scheme, urls)
+        table = {h: get_domain(h) for h in hosts.dropna().unique()}
+        return hosts.map(table)
 
     return _domain
 

@@ -216,3 +216,34 @@ def test_hostdb_variable_budgets(spark):
             for h, ts in times.items()}
     assert gaps["http://h1"] == [100]
     assert gaps["http://h2"] == [5000]
+
+
+def test_hostdb_budgets_parity_mode(spark):
+    """Parity-mode replay honors hostdb per-host maxCount overrides the
+    same way the windowed mode does."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.generate import generate
+
+    cfg = NutchConfig(generate_max_count=3, fetch_partitions=2,
+                      generator_parity_mode=True)
+    rows = [
+        (f"http://h{h}.example.com/doc/{i}", 1, 0, 0, 3600, 1.0 + i / 4.0,
+         None, 0, {}, None, None)
+        for h in (1, 2) for i in range(6)
+    ]
+    db = spark.createDataFrame(
+        rows,
+        "url string, status int, fetch_time long, retries int, fetch_interval int,"
+        " score float, signature string, modified_time long,"
+        " metadata map<string,string>, gen_time long, repr_url string",
+    )
+    hostdb = spark.createDataFrame(
+        [("h1.example.com", 5, None)],
+        "host string, max_count int, fetch_delay_ms long",
+    )
+    fl = generate(db, cfg, 1_000, top_n=100, num_lists=2, hostdb=hostdb)
+    per_host = {r["h"]: r["count"] for r in
+                fl.select(F.col("host_key").alias("h")).groupBy("h").count().collect()}
+    assert per_host == {"h1.example.com": 5, "h2.example.com": 3}
