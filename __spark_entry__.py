@@ -310,6 +310,60 @@ def q_linkdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readdb_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 readdb -dump with status + regex + min-score filters
+    (CrawlDbReader.processDumpJob:834)."""
+    from nutch_spark.operators.stats import dump
+
+    db = _crawldb(_docs(spark, sf_dir))
+    out = dump(db, status=1, regex=r"/doc/\d*[02468]$", min_score=2.0)
+    return out.select(
+        "url", "status", "fetch_time",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def q_mark_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/G4 generate-mark writeback: fetchlist rows stamp ``_ngt_``
+    (gen_time) back into the CrawlDb (Generator.java:640-689)."""
+    from nutch_spark.operators.generate import mark_generated
+
+    db = _crawldb(_docs(spark, sf_dir))
+    fl = db.filter(F.col("status") == 1).select(
+        "url", F.lit(GEN_NOW).cast("long").alias("gen_time")
+    )
+    out = mark_generated(db, fl)
+    return out.select("url", "status", "gen_time")
+
+
+def q_linkdb_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 LinkDbMerger: union inlink lists per target, sorted re-cap at
+    linkdb.max.inlinks (LinkDbMerger.java:88)."""
+    from nutch_spark.operators.linkdb import invert_links, merge_linkdbs
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    cfg = replace(CFG, linkdb_max_inlinks=3)
+
+    def outlinks(mult, koff):
+        ks = docs.select(
+            "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+        )
+        tid = (F.col("doc_id") * mult + F.col("k") * 13 + koff) % n
+        return ks.select(
+            _url_col().alias("url"),
+            _url_col(tid).alias("to_url"),
+            F.concat(F.lit("a"), F.col("k").cast("string")).alias("anchor"),
+        )
+
+    db1 = invert_links(outlinks(7, 1), cfg)
+    db2 = invert_links(outlinks(11, 3), cfg)
+    merged = merge_linkdbs(db1, db2, cfg)
+    return merged.select("url", F.explode("inlinks").alias("l")).select(
+        "url", F.col("l.from_url").alias("from_url"), F.col("l.anchor").alias("anchor")
+    )
+
+
 def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 readdb -stats (CrawlDbReader.java:369-471)."""
     from nutch_spark.operators.stats import crawldb_stats
@@ -753,6 +807,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "merge_crawldbs": q_merge_crawldbs,
         "dedup_mark": q_dedup,
         "linkdb_invert": q_linkdb,
+        "linkdb_merge": q_linkdb_merge,
+        "readdb_dump": q_readdb_dump,
+        "mark_generated": q_mark_generated,
         "crawldb_stats": q_stats,
         "readdb_topn": q_topn,
         "hostdb_stats": q_hostdb,
@@ -974,6 +1031,60 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY url ORDER BY from_url, anchor) AS rn FROM dd
 )
 SELECT url, from_url, anchor FROM r WHERE rn <= 4
+""",
+        # ---- S7 readdb dump -----------------------------------------------
+        "readdb_dump": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url, status, fetch_time, CAST(score AS DOUBLE) AS score
+FROM crawldb
+WHERE status = 1 AND regexp_matches(url, '/doc/\\d*[02468]$') AND score >= 2.0
+""",
+        # ---- J3 generate-mark writeback ------------------------------------
+        "mark_generated": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url, status,
+  CAST(CASE WHEN status = 1 THEN {GEN_NOW} END AS BIGINT) AS gen_time
+FROM crawldb
+""",
+        # ---- J5 linkdb merge ----------------------------------------------
+        "linkdb_merge": """
+WITH dn AS (SELECT COUNT(*) AS n FROM documents),
+ks AS (SELECT doc_id FROM documents),
+o1 AS (
+  SELECT 'http://host' || CAST(tid % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(tid AS VARCHAR) AS url,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS from_url,
+    'a' || CAST(k AS VARCHAR) AS anchor, doc_id % 40 AS fh, tid % 40 AS th
+  FROM (SELECT doc_id, k, (doc_id * 7 + k * 13 + 1) % dn.n AS tid
+        FROM ks, (SELECT unnest([0, 1]) AS k), dn)
+),
+o2 AS (
+  SELECT 'http://host' || CAST(tid % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(tid AS VARCHAR) AS url,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS from_url,
+    'a' || CAST(k AS VARCHAR) AS anchor, doc_id % 40 AS fh, tid % 40 AS th
+  FROM (SELECT doc_id, k, (doc_id * 11 + k * 13 + 3) % dn.n AS tid
+        FROM ks, (SELECT unnest([0, 1]) AS k), dn)
+),
+inv1 AS (
+  SELECT url, from_url, anchor FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY from_url, anchor) AS rn
+    FROM (SELECT DISTINCT url, from_url, anchor FROM o1 WHERE fh <> th)
+  ) WHERE rn <= 3
+),
+inv2 AS (
+  SELECT url, from_url, anchor FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY from_url, anchor) AS rn
+    FROM (SELECT DISTINCT url, from_url, anchor FROM o2 WHERE fh <> th)
+  ) WHERE rn <= 3
+),
+u AS (SELECT DISTINCT * FROM (SELECT * FROM inv1 UNION ALL SELECT * FROM inv2)),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY from_url, anchor) AS rn FROM u
+)
+SELECT url, from_url, anchor FROM r WHERE rn <= 3
 """,
         # ---- A1 stats -----------------------------------------------------
         "crawldb_stats": f"""
