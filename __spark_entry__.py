@@ -209,6 +209,30 @@ def q_updatedb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_updatedb_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 AdaptiveFetchSchedule through updatedb: NOTMODIFIED grows
+    the interval ×(1+inc), MODIFIED shrinks ×(1-dec), UNKNOWN keeps it
+    (AdaptiveFetchSchedule.java:97-147). Rates are dyadic (0.5/0.25) so
+    the float32 arithmetic is exact and SQL-mirrorable."""
+    from nutch_spark.operators.updatedb import updatedb
+
+    cfg = replace(
+        CFG, db_fetch_schedule="adaptive", adaptive_inc_rate=0.5,
+        adaptive_dec_rate=0.25, adaptive_sync_delta=False,
+    )
+    docs = _docs(spark, sf_dir)
+    old = _crawldb(docs.filter(F.col("doc_id") % 3 != 0))
+    seg = _seg_row(
+        docs, 0x21,
+        sig=F.when(F.col("doc_id") % 2 == 0, F.md5("text")).otherwise(
+            F.md5(F.concat(F.col("text"), F.lit("x")))),
+        ft=FETCH_TS, retries=F.lit(0), iv=2592000,
+        score=(F.col("doc_id") % 64) / 4.0,
+    )
+    out = updatedb(old, seg, cfg, UPD_NOW)
+    return out.select("url", "status", "fetch_time", "fetch_interval", "signature")
+
+
 def q_updatedb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same inputs and oracle as updatedb_states, through the
     bloom/fingerprint URL-seen split path (urls/urlseen.py): untouched
@@ -803,6 +827,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "inject_merge": q_inject,
         "generate_quota": q_generate,
         "updatedb_states": q_updatedb,
+        "updatedb_adaptive": q_updatedb_adaptive,
         "updatedb_incremental": q_updatedb_incremental,
         "merge_crawldbs": q_merge_crawldbs,
         "dedup_mark": q_dedup,
@@ -980,6 +1005,40 @@ SELECT url,
     WHEN has_old THEN old_sig
     ELSE NULL END AS signature
 FROM m
+""",
+        # ---- §2.4 adaptive schedule through updatedb ----------------------
+        # every doc has a success seg row; old exists for doc%3<>0; the
+        # modification state needs an old signature (old status 2/6, i.e.
+        # doc%10 in 5..8): same sig (%2=0) -> NOTMODIFIED (iv*1.5 with
+        # inc=0.5), different -> MODIFIED (iv*0.75 with dec=0.25); else
+        # UNKNOWN keeps iv. All products exact (dyadic rates).
+        "updatedb_adaptive": f"""
+WITH d AS (
+  SELECT doc_id, text,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    (doc_id % 3 <> 0) AS has_old,
+    (doc_id % 10 BETWEEN 5 AND 8) AS old_has_sig,
+    (doc_id % 2 = 0) AS sig_same,
+    md5(text) AS sig_a,
+    md5(text || 'x') AS sig_b
+  FROM documents
+)
+SELECT url,
+  CAST(CASE WHEN has_old AND old_has_sig AND sig_same THEN 6 ELSE 2 END AS INTEGER) AS status,
+  CAST(CASE
+    WHEN has_old AND old_has_sig AND sig_same THEN {FETCH_TS} + 3888000000
+    WHEN has_old AND old_has_sig THEN {FETCH_TS} + 1944000000
+    ELSE {FETCH_TS} + 2592000000 END AS BIGINT) AS fetch_time,
+  CAST(CASE
+    WHEN has_old AND old_has_sig AND sig_same THEN 3888000
+    WHEN has_old AND old_has_sig THEN 1944000
+    ELSE 2592000 END AS INTEGER) AS fetch_interval,
+  CASE
+    WHEN has_old AND old_has_sig AND sig_same THEN sig_a
+    WHEN sig_same THEN sig_a
+    ELSE sig_b END AS signature
+FROM d
 """,
         # ---- J4 merger ----------------------------------------------------
         "merge_crawldbs": f"""
