@@ -776,10 +776,15 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: sign-LSH bucketing + exact re-rank,
-    ml/similarity.py. Rows-only check."""
+    ml/similarity.py. The hyperplanes are deterministic (splitmix of
+    (table,bit,dim)), so the DuckDB oracle replays the exact bucketing
+    with the same plane literals; double precision on both sides."""
     from nutch_spark.ml.similarity import lsh_bucket_topk
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -789,13 +794,20 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media refs from interleaved spans →
     synthetic bytes → Arrow-batched feature extraction (stubbed decode),
-    ml/multimodal.py. Rows-only check."""
+    ml/multimodal.py. The fake features are md5-derived byte arithmetic,
+    so the exploded (ref, dim, value) rows have an exact DuckDB oracle
+    verifying the full byte → feature chain, not just the shape."""
     from nutch_spark.ml.multimodal import extract_features, media_refs_from_docs, synth_media
 
     docs, _, _, _ = _web(spark, sf_dir)
     refs = media_refs_from_docs(docs)
     media = synth_media(spark, refs)
-    return extract_features(media).select("media_ref", F.size("feature").alias("feature_dim"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_ref", F.posexplode("feature").alias("dim_idx", "_v")
+    ).select(
+        "media_ref", "dim_idx", F.round(F.col("_v").cast("double"), 6).alias("feature_val")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -883,6 +895,250 @@ def _lang_cnt(lang: str) -> str:
     return "(" + " + ".join(_cnt_sql(w) for w in _LANGS[lang]) + ")"
 
 
+# fold an n-hex-char string into its unsigned integer value (DuckDB has
+# no conv(); strpos over the hex alphabet is exact and branch-free)
+def _hexfold(h: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({h}, ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+# Generator.HashComparator.hash (Generator.java:627-634): signed-int32
+# Horner fold over the REVERSED utf-8 bytes, init 1 — ASCII URLs, so
+# byte == code point and unicode() is exact
+_URLHASH_SQL = (
+    "list_reduce(list_prepend(CAST(1 AS BIGINT), "
+    "list_transform(string_split(reverse(url), ''), "
+    "c -> CAST(unicode(c) AS BIGINT))), "
+    "(a, b) -> ((31 * a + b + 2147483648) % 4294967296 + 4294967296) "
+    "% 4294967296 - 2147483648)"
+)
+
+# doubled-docs + normalized text + distinct word-3-shingles — the same
+# CTE chain the (green) ngram_jaccard oracle uses
+_SHINGLE_CTES = """
+dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt FROM dd
+),
+w AS (SELECT doc_id, nt, string_split(nt, ' ') AS words FROM norm),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+         THEN list_distinct(list_transform(range(1, len(words) - 1),
+              i -> array_to_string(words[i:i+2], ' ')))
+         ELSE [nt] END AS grams
+  FROM w
+)"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    """DuckDB twin of ml/dedup.py minhash_near_duplicates: md5-derived
+    signature (h_i = 8-hex slice of md5((i//4) || ':' || shingle)),
+    md5 band values, bucket-join candidates, true-Jaccard verify."""
+    rows = num_hashes // bands
+    return f"""
+WITH {_SHINGLE_CTES},
+sig AS (
+  SELECT doc_id, grams,
+    list_transform(generate_series(0, {num_hashes - 1}), i ->
+      list_min(list_transform(grams, s ->
+        substr(md5(CAST(i // 4 AS VARCHAR) || ':' || s), (i % 4) * 8 + 1, 8)))) AS sig
+  FROM g
+),
+bx AS (SELECT doc_id, sig, unnest(generate_series(0, {bands - 1})) AS b FROM sig),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+    md5(array_to_string(list_slice(sig, b * {rows} + 1, b * {rows} + {rows}), ',')) AS band_val
+  FROM bx
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2
+    ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+    round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+      / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6)
+      AS jaccard
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.doc_a
+  JOIN g gb ON gb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of ml/dedup.py simhash_near_duplicates: per-token
+    32-bit md5 hash, per-bit majority vote, byte-band pigeonhole
+    bucketing, Hamming verify."""
+    ones = ",\n    ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE 0 END) AS o{b}"
+        for b in range(32)
+    )
+    sh_sum = " + ".join(
+        f"CASE WHEN 2 * o{b} > n THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    return f"""
+WITH dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt FROM dd
+),
+w AS (SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS ws FROM norm),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+th AS (SELECT doc_id, {_hexfold("substr(md5(tok), 1, 8)")} AS h FROM tok),
+bits AS (
+  SELECT doc_id, COUNT(*) AS n,
+    {ones}
+  FROM th GROUP BY doc_id
+),
+shv AS (SELECT doc_id, CAST({sh_sum} AS BIGINT) AS sh FROM bits),
+allsh AS (
+  SELECT w.doc_id, COALESCE(s.sh, 0) AS sh
+  FROM w LEFT JOIN shv s ON w.doc_id = s.doc_id
+),
+bx AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS band_idx FROM allsh),
+bands AS (
+  SELECT doc_id, sh, band_idx, (sh >> (8 * band_idx)) & 255 AS band_val FROM bx
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+# ml/multimodal.py synth_media + _fake_features replay: bytes are the
+# md5(ref || seed) digest repeated 4x, so folded[i] = 4 * digest_byte[i]
+# and feature[i] = float32((4*b % 251) / 251) — REAL cast replicates the
+# numpy float32 rounding exactly
+_MULTIMODAL_ORACLE = f"""
+WITH refs AS (
+  SELECT DISTINCT 'http://host' || CAST(doc_id % 20 AS VARCHAR)
+    || '.example.com/media/' || CAST(doc_id AS VARCHAR) || '.img' AS media_ref
+  FROM documents
+),
+h AS (SELECT media_ref, md5(media_ref || '42') AS hx FROM refs),
+ex AS (SELECT media_ref, hx, unnest(generate_series(0, 15)) AS i FROM h),
+b AS (
+  SELECT media_ref, CAST(i AS INTEGER) AS dim_idx,
+    (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1 AS byte
+  FROM ex
+)
+SELECT media_ref, dim_idx,
+  round(CAST(CAST(CAST((4 * byte) % 251 AS DOUBLE) / 251.0 AS REAL) AS DOUBLE), 6)
+    AS feature_val
+FROM b
+"""
+
+
+# q_fetch_politeness replay: 40 seed urls over 20 hosts, nothing gated
+# (the /private/ disallow matches no /doc/ path; 8 s crawl-delay < the
+# 30 s cap), no exceptions — so fetch_time is exactly cycle_start +
+# per-host prefix sum of (latency + delay) in (url_hash, url) order
+# (FetchItemQueue.java:119-170 virtual clock; delay = robots Crawl-Delay
+# 8 s on hosts 0/11, else fetcher.server.delay 5 s)
+_FETCH_POLITENESS_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id AS did, doc_id % 20 AS host_id,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 40
+),
+h AS (
+  SELECT url, host_id, did,
+    {_URLHASH_SQL} AS url_hash,
+    CAST(CASE WHEN did % 17 = 0 THEN 37 WHEN did % 29 = 0 THEN 34
+              WHEN did % 23 = 0 THEN 36 ELSE 33 END AS INTEGER) AS status,
+    50 + did % 100 AS latency,
+    CASE WHEN host_id % 11 = 0 THEN 8000 ELSE 5000 END AS delay_ms
+  FROM f
+),
+c AS (
+  SELECT url, status,
+    COALESCE(SUM(latency + delay_ms) OVER (
+      PARTITION BY host_id ORDER BY url_hash, url
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM h
+)
+SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time FROM c
+"""
+
+
+def _lsh_oracle(dim: int = 64, n_bits: int = 6, tables: int = 2, k: int = 10) -> str:
+    """DuckDB twin of ml/similarity.py lsh_bucket_topk: the hyperplane
+    components are deterministic Python floats, inlined as literals, so
+    the oracle replays the exact sign-bit bucketing; candidate pairs are
+    re-ranked by the same sequential-fold cosine as embedding_topk."""
+    from nutch_spark.ml.similarity import _hyperplane
+
+    def dot_sql(emb: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(v) for v in plane)
+        return (
+            f"list_reduce(list_transform(list_zip({emb}, [{lits}]), "
+            "z -> z[1] * z[2]), (x, y) -> x + y)"
+        )
+
+    def bucket_sql(emb: str, t: int) -> str:
+        terms = [
+            f"CASE WHEN {dot_sql(emb, [_hyperplane(dim, t, b, d) for d in range(dim)])}"
+            f" > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(n_bits)
+        ]
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, emb, {t} AS t, {bucket_sql('emb', t)} AS bucket FROM e"
+        for t in range(tables)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT query_id, qe, {t} AS t, {bucket_sql('qe', t)} AS bucket FROM q"
+        for t in range(tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+cb AS ({cb}),
+qb AS ({qb}),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+    AND cb.vec_id <> qb.query_id
+),
+p AS (
+  SELECT c.query_id, c.vec_id,
+    list_reduce(list_transform(list_zip(e.emb, q.qe), z -> z[1] * z[2]),
+                (x, y) -> x + y) AS dp,
+    sqrt(list_reduce(list_transform(e.emb, x -> x * x), (x, y) -> x + y)) AS na,
+    sqrt(list_reduce(list_transform(q.qe, x -> x * x), (x, y) -> x + y)) AS nq
+  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+),
+r AS (
+  SELECT query_id, vec_id, round(dp / (na * nq), 6) AS cosine_sim,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY round(dp / (na * nq), 6) DESC, vec_id ASC
+    ) AS INTEGER) AS rank
+  FROM p
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_best = "GREATEST(" + ", ".join(f"c_{g}" for g in _LANGS) + ")"
     lang_case = "CASE WHEN " + lang_best + " <= 0 THEN 'und' " + " ".join(
@@ -895,6 +1151,11 @@ def oracle_sql() -> dict[str, str]:
     # the incremental path must produce row-identical output to the
     # exact merge — same oracle, different physical plan
     oracles["updatedb_incremental"] = oracles["updatedb_states"]
+    oracles["minhash_near_dups"] = _minhash_oracle()
+    oracles["simhash_near_dups"] = _simhash_oracle()
+    oracles["multimodal_features"] = _MULTIMODAL_ORACLE
+    oracles["fetch_politeness"] = _FETCH_POLITENESS_ORACLE
+    oracles["lsh_topk"] = _lsh_oracle()
     return oracles
 
 
@@ -1177,7 +1438,7 @@ SELECT 'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
   COUNT(*) FILTER (WHERE status = 2) AS n_db_fetched,
   COUNT(*) FILTER (WHERE status = 3) AS n_db_gone,
   COUNT(*) FILTER (WHERE status = 6) AS n_db_notmodified,
-  SUM(CASE WHEN status <> 1 THEN 1 ELSE 0 END) AS n_tried,
+  COUNT(*) FILTER (WHERE status <> 1) AS n_tried,
   MAX(fetch_time) AS last_fetch_time
 FROM crawldb GROUP BY 1
 """,

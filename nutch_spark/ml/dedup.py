@@ -4,8 +4,9 @@ n-gram Jaccard.
 All hashing is MD5-derived so every operator has a bit-identical ANSI
 SQL oracle (DuckDB) — no engine-specific hash functions:
 
-    h_i(s) = md5(i || ':' || s)          (hex string; lexicographic min
-                                          == numeric min at fixed width)
+    h_i(s) = substr(md5((i//4) || ':' || s), (i%4)*8+1, 8)
+             (8-hex-char string; one md5 yields four 32-bit hash fns;
+              lexicographic min == numeric min at fixed width)
     int32(s) = conv(substr(md5(s),1,8), 16, 10)
 
 Scale shapes (100 TB corpus):
@@ -115,22 +116,29 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-_MAX_LONG = (1 << 63) - 1
-
-
 def _minhash_fold(shingles: Column, num_hashes: int, finish=None) -> Column:
-    """One pass over the shingle array: fold element-wise minima of
-    xxhash64(shingle, i) for the num_hashes hash functions. The shingle
-    expression is evaluated exactly once (it is the aggregate input);
-    inside the lambdas only bound variables are referenced, which are
-    cheap value lookups."""
-    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
-    return F.aggregate(
+    """One pass over the shingle array: fold element-wise minima of the
+    md5-derived hash slices (module contract above — every hash is an
+    md5 hex substring, so lexicographic min == numeric min and DuckDB
+    reproduces the signature bit-for-bit).
+
+    Each shingle contributes ceil(num_hashes/4) md5 digests computed
+    once in the aggregate *input* (``transform``), concatenated to one
+    hex string; h_i is the i-th 8-char slice. Inside the fold lambdas
+    only bound variables are referenced, which are cheap value lookups
+    (Spark HOF lambdas have no CSE)."""
+    n_md5 = (num_hashes + 3) // 4
+    hashed = F.transform(
         shingles,
+        lambda s: F.concat(*[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(n_md5)]),
+    )
+    init = F.array_repeat(F.lit("g" * 8), num_hashes)  # 'g' > any hex char
+    return F.aggregate(
+        hashed,
         init,
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            F.array(*[F.substring(h, i * 8 + 1, 8) for i in range(num_hashes)]),
             lambda a, b: F.least(a, b),
         ),
         finish if finish is not None else (lambda acc: acc),
@@ -138,23 +146,18 @@ def _minhash_fold(shingles: Column, num_hashes: int, finish=None) -> Column:
 
 
 def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """Array of num_hashes minhashes: h_i = min over shingles of
-    xxhash64(shingle, i)."""
+    """Array of num_hashes minhashes (8-hex-char strings): h_i = min
+    over shingles of substr(md5((i//4) || ':' || shingle), (i%4)*8+1, 8)."""
     return _minhash_fold(word_shingles(text, k), num_hashes)
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
-    """Band values from a *bound* signature array: hash of `rows`
+    """Band values from a *bound* signature array: md5 of `rows`
     consecutive minhashes per band. Prefer ``minhash_band_values`` when
     starting from text — it fuses signature + banding in one pass."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")),
-            )
-        ),
+        lambda b: F.md5(F.concat_ws(",", F.slice(sig, b * rows + 1, rows))),
     )
 
 
