@@ -430,6 +430,23 @@ def q_crawldb_404_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawldb_filter(db, CFG, purge_404=True).select("url", "status")
 
 
+def q_urlfilter_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 urlfilter-domain + urlfilter-fast: broadcast-set domain
+    allowlist composed first-veto with a host-scoped DenyPath rule, both
+    pure JVM columns (DomainURLFilter.java:84-110,
+    FastURLFilter.java:60-140)."""
+    from nutch_spark.urls.filters import DomainURLFilter, FastURLFilter
+
+    db = _crawldb(_docs(spark, sf_dir))
+    dom = DomainURLFilter(
+        ["host3.example.com", "host17.example.com", "host21.example.com"]
+    )
+    fast = FastURLFilter(["Domain host17.example.com", "DenyPath ^/doc/1"])
+    return db.filter(dom.cond(F.col("url")) & fast.cond(F.col("url"))).select(
+        "url", "status"
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 CrawlCompletionStats / DomainStatistics by host."""
     from nutch_spark.operators.stats import domain_stats
@@ -712,6 +729,30 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_fetch.select("url", "status", "fetch_time")
 
 
+def q_fetch_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 throughput killer over the politeness fetch
+    (Fetcher.java:311-338): threshold 1 page/s, 3 retries, checking from
+    t=0, one fetch partition — after the first-per-host burst completes
+    in second 0, seconds 1-3 are dry, so the queues drain and every
+    not-yet-started item is dropped with no segment output."""
+    from nutch_spark.operators.fetchsim import fetch
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject_full
+
+    cfg = replace(
+        CFG,
+        fetch_partitions=1,
+        fetcher_throughput_threshold_pages=1,
+        fetcher_throughput_threshold_retries=3,
+        fetcher_throughput_check_after_mins=0,
+    )
+    docs, robots, outcomes, seeds = _web(spark, sf_dir)
+    db = inject_full(spark, None, seeds, cfg, GEN_NOW)
+    fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=1)
+    crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW)
+    return crawl_fetch.select("url", "status", "fetch_time")
+
+
 def _web_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, _, _, _ = _web(spark, sf_dir)
     return docs.select(
@@ -851,6 +892,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "readdb_topn": q_topn,
         "hostdb_stats": q_hostdb,
         "crawldb_404_purge": q_crawldb_404_purge,
+        "urlfilter_domain": q_urlfilter_domain,
         "domain_stats": q_domain_stats,
         "segment_merge": q_segment_merge,
         "free_generate": q_free_generate,
@@ -865,6 +907,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessionize": q_sessionize,
         "crawl_cycle": q_crawl_cycle,
         "fetch_politeness": q_fetch_politeness,
+        "fetch_throughput": q_fetch_throughput,
         "fetch_statuses": q_fetch_statuses,
         "parse_outlinks": q_parse_outlinks,
         "span_signature": q_span_signature,
@@ -1053,8 +1096,7 @@ FROM b
 # per-host prefix sum of (latency + delay) in (url_hash, url) order
 # (FetchItemQueue.java:119-170 virtual clock; delay = robots Crawl-Delay
 # 8 s on hosts 0/11, else fetcher.server.delay 5 s)
-_FETCH_POLITENESS_ORACLE = f"""
-WITH f AS (
+_POLITENESS_CTES = f"""f AS (
   SELECT doc_id AS did, doc_id % 20 AS host_id,
     'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
       || CAST(doc_id AS VARCHAR) AS url
@@ -1070,13 +1112,44 @@ h AS (
   FROM f
 ),
 c AS (
-  SELECT url, status,
+  SELECT url, status, latency,
     COALESCE(SUM(latency + delay_ms) OVER (
       PARTITION BY host_id ORDER BY url_hash, url
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
   FROM h
-)
+)"""
+
+_FETCH_POLITENESS_ORACLE = f"""
+WITH {_POLITENESS_CTES}
 SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time FROM c
+"""
+
+# F10 replay on top of the politeness clock (single fetch partition):
+# per-second completion counts; a second with < 1 completion is bad;
+# the first run of 3 bad seconds kills the queues at (kill_sec+1)*1000
+# and everything not yet started is drained (Fetcher.java:311-338)
+_FETCH_THROUGHPUT_ORACLE = f"""
+WITH {_POLITENESS_CTES},
+ends AS (
+  SELECT url, status, pfx,
+    CAST(floor((pfx + latency) / 1000) AS BIGINT) AS sec
+  FROM c
+),
+secs AS (SELECT sec, COUNT(*) AS n FROM ends GROUP BY sec),
+grid AS (
+  SELECT gs.sec, COALESCE(secs.n, 0) AS n
+  FROM (SELECT unnest(generate_series(0, (SELECT MAX(sec) FROM secs))) AS sec) gs
+  LEFT JOIN secs ON gs.sec = secs.sec
+),
+runs AS (
+  SELECT sec, sec - COALESCE(MAX(CASE WHEN n >= 1 THEN sec END) OVER (
+    ORDER BY sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS run
+  FROM grid
+),
+kill AS (SELECT MIN(sec) AS kill_sec FROM runs WHERE run >= 3)
+SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time
+FROM ends, kill
+WHERE kill.kill_sec IS NULL OR pfx < (kill.kill_sec + 1) * 1000
 """
 
 
@@ -1155,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["simhash_near_dups"] = _simhash_oracle()
     oracles["multimodal_features"] = _MULTIMODAL_ORACLE
     oracles["fetch_politeness"] = _FETCH_POLITENESS_ORACLE
+    oracles["fetch_throughput"] = _FETCH_THROUGHPUT_ORACLE
     oracles["lsh_topk"] = _lsh_oracle()
     return oracles
 
@@ -1446,6 +1520,15 @@ FROM crawldb GROUP BY 1
         "crawldb_404_purge": f"""
 WITH {_CRAWLDB_CTE}
 SELECT url, status FROM crawldb WHERE status <> 3
+""",
+        # ---- T6 domain + fast url filters ---------------------------------
+        # allowlist keeps hosts 3/17/21; the host17-scoped DenyPath ^/doc/1
+        # then vetoes doc ids whose decimal form starts with 1
+        "urlfilter_domain": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url, status FROM crawldb
+WHERE doc_id % 40 IN (3, 17, 21)
+  AND NOT (doc_id % 40 = 17 AND CAST(doc_id AS VARCHAR) LIKE '1%')
 """,
         # ---- A5 domain stats ----------------------------------------------
         "domain_stats": f"""

@@ -71,6 +71,12 @@ class NutchConfig:
     fetcher_max_exceptions_per_queue: int = -1  # fetcher.max.exceptions.per.queue
     fetcher_exceptions_per_queue_delay: float = 10.0  # backoff base, s
     fetcher_timelimit_mins: int = -1  # fetcher.timelimit.mins
+    # throughput killer (Fetcher.java:311-338): kill the task's queues
+    # when pages/sec stays below the threshold for `retries` consecutive
+    # seconds, once `check_after` minutes have elapsed
+    fetcher_throughput_threshold_pages: int = -1  # fetcher.throughput.threshold.pages
+    fetcher_throughput_threshold_retries: int = 5  # fetcher.throughput.threshold.retries
+    fetcher_throughput_check_after_mins: int = 5  # fetcher.throughput.threshold.check.after
     http_redirect_max: int = 0  # http.redirect.max (0 = record as linked)
 
     # --- dedup (DeduplicationJob.java:284) ---

@@ -145,20 +145,22 @@ def fetch(
     )
     # gated items never enter the host queue => zero politeness cost
     gated = robots_denied | delay_skip | deferred
-    # per-host delay precedence: hostdb variable fetch delay stamped in
-    # datum metadata (FetchItemQueue.java:94-111) > robots Crawl-Delay >
-    # fetcher.server.delay
+    # per-host delay: the hostdb variable fetch delay raises the queue's
+    # minimum delay (FetchItemQueue.java:94-111), and the robots
+    # Crawl-Delay is then clamped to at least that minimum
+    # (FetcherThread.java:369-376) — so when both are present the LARGER
+    # wins (greatest skips nulls); neither present => fetcher.server.delay
     var_delay = F.element_at(
         F.coalesce(F.col("metadata"), F.expr(_EMPTY_MAP)),
         F.lit(META_VARIABLE_FETCH_DELAY),
     ).cast("long")
+    robots_delay_ms = F.when(
+        F.col("crawl_delay").isNotNull() & ~delay_skip,
+        (F.col("crawl_delay") * 1000).cast("long"),
+    )
     delay_ms = F.coalesce(
-        var_delay,
-        F.when(
-            F.col("crawl_delay").isNotNull() & ~delay_skip, F.col("crawl_delay") * 1000
-        )
-        .otherwise(F.lit(cfg.fetcher_server_delay * 1000))
-        .cast("long"),
+        F.greatest(var_delay, robots_delay_ms),
+        F.lit(int(cfg.fetcher_server_delay * 1000)).cast("long"),
     )
     cost = F.when(gated, F.lit(0).cast("long")).otherwise(
         F.coalesce(F.col("latency_ms"), F.lit(0).cast("long")) + delay_ms
@@ -193,6 +195,19 @@ def fetch(
         fl = fl.filter(
             F.col("gated") | (F.col("exc_before") <= cfg.fetcher_max_exceptions_per_queue)
         )
+    # F10 throughput killer (Fetcher.java:311-338): once check_after
+    # minutes have elapsed, a run of `retries` consecutive wall seconds
+    # in which the fetcher task completes fewer than `threshold` pages
+    # empties the task's queues; items not yet started at the kill
+    # instant are dropped without segment output (emptyQueues => they
+    # stay db_unfetched; counter hitByThrougputThreshold). Re-expressed
+    # on the virtual clock: per fetch partition, bucket completions by
+    # second, locate the earliest bad run with a running-max window,
+    # drop everything that starts after it.
+    if cfg.fetcher_throughput_threshold_pages > 0:
+        fl = _apply_throughput_killer(fl, cfg, cycle_start_ms)
+        fl = fl.filter(~F.col("hit_throughput"))
+
     # fetch time limit: later items drain unprocessed (stay unfetched)
     if cfg.fetcher_timelimit_mins > 0:
         deadline = cycle_start_ms + cfg.fetcher_timelimit_mins * 60_000
@@ -237,6 +252,78 @@ def fetch(
         _choose_repr_udf()(F.col("url"), F.col("redirect_to"), is_temp).alias("repr_url"),
     )
     return crawl_fetch, redirect_links
+
+
+def _apply_throughput_killer(
+    fl: DataFrame, cfg: NutchConfig, cycle_start_ms: int
+) -> DataFrame:
+    """Adds ``hit_throughput``: True for items the throughput killer
+    drains (Fetcher.java:311-338 semantics on the virtual clock).
+
+    A wall second `s` (bucket [s*1000, s*1000+999] after cycle start) is
+    *bad* when s >= check_after and the task completed < threshold pages
+    in it; `retries` consecutive bad seconds kill the task's queues at
+    the check instant (s+1)*1000, dropping every not-yet-started item.
+
+    Scale shape: one groupBy per (partition, second) — cardinality
+    bounded by partitions x timelimit seconds, tiny next to the
+    fetchlist; the kill table is one row per partition (broadcast
+    join back). Zero Python."""
+    thr = cfg.fetcher_throughput_threshold_pages
+    retries = cfg.fetcher_throughput_threshold_retries
+    check_after_s = cfg.fetcher_throughput_check_after_mins * 60
+    part = F.col("part_id") if "part_id" in fl.columns else F.lit(0)
+    fl = fl.withColumn("_tk_part", part)
+    end_sec = F.floor(
+        (
+            F.col("fetch_start")
+            + F.coalesce(F.col("latency_ms"), F.lit(0).cast("long"))
+            - F.lit(cycle_start_ms)
+        )
+        / 1000
+    ).cast("long")
+    counts = (
+        fl.filter(~F.col("gated"))
+        .select("_tk_part", end_sec.alias("_sec"))
+        .groupBy("_tk_part", "_sec")
+        .agg(F.count("*").alias("_n"))
+    )
+    # dense second grid: an empty second is a bad second, exactly like
+    # the reference's 1 Hz check loop
+    grid = (
+        counts.groupBy("_tk_part")
+        .agg(F.max("_sec").alias("_max_sec"))
+        .select(
+            "_tk_part", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_max_sec"))).alias("_sec")
+        )
+        .join(counts, ["_tk_part", "_sec"], "left")
+        .withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
+    )
+    good = (F.col("_sec") < check_after_s) | (F.col("_n") >= thr)
+    w = (
+        Window.partitionBy("_tk_part")
+        .orderBy("_sec")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.col("_sec") - F.coalesce(
+        F.max(F.when(good, F.col("_sec"))).over(w), F.lit(-1).cast("long")
+    )
+    kills = (
+        grid.withColumn("_run", run)
+        .filter(F.col("_run") >= retries)
+        .groupBy("_tk_part")
+        .agg(F.min("_sec").alias("_kill_sec"))
+    )
+    fl = fl.join(F.broadcast(kills), "_tk_part", "left")
+    kill_wall = F.lit(cycle_start_ms) + (F.col("_kill_sec") + 1) * 1000
+    hit = (
+        F.col("_kill_sec").isNotNull()
+        & ~F.col("gated")
+        & (F.col("fetch_start") >= kill_wall)
+    )
+    return fl.withColumn("hit_throughput", F.coalesce(hit, F.lit(False))).drop(
+        "_tk_part", "_kill_sec"
+    )
 
 
 def fetched_content(crawl_fetch: DataFrame, docs: DataFrame) -> DataFrame:

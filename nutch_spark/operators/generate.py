@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from nutch_spark.config import NutchConfig
 from nutch_spark.operators.schedules import should_fetch
 from nutch_spark.schema import STATUS_DB_UNFETCHED
-from nutch_spark.urls.filters import url_filter_udf
+from nutch_spark.urls.filters import url_filter_cond
 from nutch_spark.urls.urlutil import host_udf, domain_udf, partition_hash_udf, url_hash32_udf
 
 
@@ -62,7 +62,7 @@ def select_eligible(
     """G1: eligibility filters + sort value; returns datums + ``sort`` col."""
     df = crawldb
     if url_filter_rules is not None:
-        df = df.filter(url_filter_udf(url_filter_rules)(F.col("url")))
+        df = df.filter(url_filter_cond(F.col("url"), url_filter_rules))
     # fork: only pick unfetched URLs (Generator.java:234-237)
     df = df.filter(F.col("status") == STATUS_DB_UNFETCHED)
 

@@ -36,7 +36,7 @@ from nutch_spark.schema import (
     STATUS_LINKED,
     STATUS_SIGNATURE,
 )
-from nutch_spark.urls.filters import url_filter_udf
+from nutch_spark.urls.filters import url_filter_cond
 from nutch_spark.urls.normalizer import normalize_udf
 from nutch_spark.urls.urlutil import host_col
 
@@ -112,7 +112,7 @@ def parse(
     else:
         exploded = exploded.withColumn("to_url", to_url)
     if url_filter_rules is not None:
-        exploded = exploded.filter(url_filter_udf(url_filter_rules)(F.col("to_url")))
+        exploded = exploded.filter(url_filter_cond(F.col("to_url"), url_filter_rules))
 
     # internal/external link policy (db.ignore.*.links)
     src_host = host_col(F.col("url"))

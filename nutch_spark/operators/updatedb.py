@@ -408,7 +408,7 @@ def crawldb_filter(
     optional 404-purge (drop db_gone), orphan purge, re-normalize and
     re-filter URLs."""
     from nutch_spark.schema import STATUS_DB_ORPHAN
-    from nutch_spark.urls.filters import url_filter_udf
+    from nutch_spark.urls.filters import url_filter_cond
     from nutch_spark.urls.normalizer import normalize_udf
 
     if purge_404 is None:
@@ -424,7 +424,7 @@ def crawldb_filter(
             F.col("url").isNotNull()
         )
     if url_filter_rules is not None:
-        df = df.filter(url_filter_udf(url_filter_rules)(F.col("url")))
+        df = df.filter(url_filter_cond(F.col("url"), url_filter_rules))
     return df
 
 

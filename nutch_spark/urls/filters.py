@@ -18,6 +18,7 @@ import re
 from typing import Iterable, Sequence
 
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # conf/regex-urlfilter.txt.template (comment/blank lines removed)
@@ -91,7 +92,8 @@ class SuffixURLFilter:
 
 
 def url_filter_udf(rules: Sequence[str] | None = None):
-    """Arrow-batched pandas UDF: url -> boolean accept mask."""
+    """Arrow-batched pandas UDF: url -> boolean accept mask. Fallback
+    path for rules ``url_filter_cond`` can't compile to JVM regex."""
     rule_list = list(rules) if rules is not None else list(DEFAULT_RULES)
 
     @F.pandas_udf("boolean")
@@ -100,3 +102,191 @@ def url_filter_udf(rules: Sequence[str] | None = None):
         return urls.map(filt.accept)
 
     return _filt
+
+
+# Python-only regex constructs java.util.regex can't run (or runs with
+# different semantics): named groups/backrefs (?P...), comments (?#...),
+# local/unicode/ascii inline flags, \Z (Java's \Z tolerates a final
+# newline where Python's does not — Java \z is the strict one)
+_PY_ONLY_RE = re.compile(r"\(\?P[<=]|\(\?#|\(\?[aLu]\)?|\\Z")
+
+
+def java_translatable(pattern: str) -> bool:
+    """True when the Python rule pattern is also a valid-and-equivalent
+    Java regex (the common case: Nutch rule files ARE Java regexes)."""
+    return _PY_ONLY_RE.search(pattern) is None
+
+
+def url_filter_cond(url_col: Column, rules: Sequence[str] | None = None) -> Column:
+    """T4/T5 as a JVM column: the first-match-wins ``[+-]regex`` chain
+    compiled to ``when(url.rlike(r1), a1).when(...).otherwise(False)``
+    — whole-stage-codegen, no Python in the hot path. Catalyst ``rlike``
+    *is* java.util.regex with find() semantics, i.e. exactly the
+    reference's ``RegexURLFilterBase`` matcher, so this is closer to the
+    reference than the Python ``re`` fallback.
+
+    Falls back to the Arrow-batched pandas UDF only when a rule uses a
+    Python-only construct (named groups, ``\\Z``, ...). NULL url =>
+    reject (null rlike => null => when() skips => otherwise(False))."""
+    rule_list = list(rules) if rules is not None else list(DEFAULT_RULES)
+    parsed: list[tuple[bool, str]] = []
+    for line in rule_list:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line[0] not in "+-":
+            raise ValueError(f"rule must start with + or -: {line!r}")
+        parsed.append((line[0] == "+", line[1:]))
+    if not all(java_translatable(rx) for _, rx in parsed):
+        return url_filter_udf(rule_list)(url_col)
+    cond = None
+    for is_accept, rx in parsed:
+        c = url_col.rlike(rx)
+        cond = F.when(c, F.lit(is_accept)) if cond is None else cond.when(c, F.lit(is_accept))
+    if cond is None:
+        return F.lit(False)
+    return cond.otherwise(F.lit(False))  # no match => reject
+
+
+def _host_suffixes(url_col: Column) -> Column:
+    """Array of the url host and all its ancestor domains
+    (``a.b.c.com`` -> [a.b.c.com, b.c.com, c.com, com]); empty array
+    for unparseable/null hosts. Pure JVM."""
+    host = F.lower(F.parse_url(url_col, F.lit("HOST")))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    sufs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n)),
+    )
+    return F.when(host.isNull() | (host == ""), F.array().cast("array<string>")).otherwise(sufs)
+
+
+class DomainURLFilter:
+    """urlfilter-domain / urlfilter-domaindenylist as a broadcast-set
+    suffix lookup (``DomainURLFilter.java:84-110``,
+    ``DomainDenylistURLFilter``): entries are hosts, domains, or domain
+    suffixes; a URL matches when its host or any ancestor domain is
+    listed. ``deny=False`` accepts only matching URLs (allowlist);
+    ``deny=True`` rejects them (denylist).
+
+    The JVM condition tests every dot-suffix of the host against the
+    entry set (arrays_overlap against a literal array — broadcast-sized,
+    no join, no Python). This is a slight superset of the reference's
+    {registry-suffix, registered-domain, host} triple — an entry like
+    ``b.c.com`` here also matches host ``a.b.c.com``, which the
+    reference's triple check would not; real allowlists list registered
+    domains, where the two coincide.
+    """
+
+    def __init__(self, domains: Iterable[str], deny: bool = False):
+        self._set = {d.strip().lower() for d in domains if d.strip()}
+        self._deny = deny
+
+    def cond(self, url_col: Column) -> Column:
+        if not self._set:
+            return F.lit(True)  # no entries => filter inactive
+        host = F.lower(F.parse_url(url_col, F.lit("HOST")))
+        bad = host.isNull() | (host == "")  # unparseable => reject (ref: exception => null)
+        hit = F.coalesce(
+            F.arrays_overlap(
+                _host_suffixes(url_col), F.array(*[F.lit(d) for d in sorted(self._set)])
+            ),
+            F.lit(False),
+        )
+        return F.when(bad, F.lit(False)).otherwise(~hit if self._deny else hit)
+
+    def accept(self, url: str | None) -> bool:
+        """Python twin (tests / driver-side checks)."""
+        if url is None:
+            return False
+        m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)", url, re.I)
+        host = (m.group(1) if m else "").lower()
+        if not host:
+            return False  # unparseable => reject, both modes
+        parts = host.split(".")
+        sufs = {".".join(parts[i:]) for i in range(len(parts))}
+        hit = bool(sufs & self._set)
+        return (not hit) if self._deny else hit
+
+
+_FAST_CATCH_ALL = re.compile(r"^\s*DenyPath(?:Query)?\s+\.[*?]\s*$")
+
+
+class FastURLFilter:
+    """urlfilter-fast (``FastURLFilter.java:60-140``): deny rules
+    (``DenyPath`` / ``DenyPathQuery`` regexes) scoped to ``Host x`` /
+    ``Domain y`` sections; ``Domain .`` scopes globally; a URL is
+    accepted unless some in-scope rule matches its path (or
+    path?query). Compiled to one JVM boolean column: OR over
+    (scope AND target.rlike(regex)) terms, negated."""
+
+    def __init__(self, lines: Iterable[str]):
+        # (kind, name, target, regex) — regex None = catch-all deny
+        self._rules: list[tuple[str, str, str, str | None]] = []
+        kind, name = None, None
+        for raw in lines:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if line.startswith("Host"):
+                kind, name = "host", line.split()[1]
+            elif line.startswith("Domain"):
+                kind, name = "domain", line.split()[1]
+            elif kind is not None:
+                if _FAST_CATCH_ALL.match(line):
+                    self._rules.append((kind, name, "path", None))
+                elif line.startswith("DenyPathQuery"):
+                    self._rules.append((kind, name, "pathquery", line.split(None, 1)[1]))
+                elif line.startswith("DenyPath"):
+                    self._rules.append((kind, name, "path", line.split(None, 1)[1]))
+                # unknown rule lines are skipped, like the reference
+
+    def cond(self, url_col: Column) -> Column:
+        host = F.lower(F.parse_url(url_col, F.lit("HOST")))
+        after = F.regexp_replace(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+        path = F.regexp_extract(after, r"^([^?#]*)", 1)
+        pathquery = F.regexp_extract(after, r"^([^#]*)", 1)
+        deny = F.lit(False)
+        for kind, name, target, rx in self._rules:
+            if kind == "host":
+                scope = host == name.lower()
+            elif name == ".":
+                scope = F.lit(True)
+            else:
+                scope = (host == name.lower()) | host.endswith("." + name.lower())
+            if rx is None:
+                term = scope
+            else:
+                tgt = path if target == "path" else pathquery
+                term = scope & tgt.rlike(rx)
+            deny = deny | F.coalesce(term, F.lit(False))
+        return ~deny
+
+    def accept(self, url: str | None) -> bool:
+        """Python twin of :meth:`cond` for tests."""
+        if url is None:
+            return False
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)(.*)$", url)
+        if not m:
+            return True
+        host = m.group(1).lower()
+        rest = m.group(2)
+        path = re.match(r"^([^?#]*)", rest).group(1)
+        pathquery = re.match(r"^([^#]*)", rest).group(1)
+        for kind, name, target, rx in self._rules:
+            if kind == "host":
+                in_scope = host == name.lower()
+            elif name == ".":
+                in_scope = True
+            else:
+                nl = name.lower()
+                in_scope = host == nl or host.endswith("." + nl)
+            if not in_scope:
+                continue
+            if rx is None:
+                return False
+            tgt = path if target == "path" else pathquery
+            if re.search(rx, tgt):
+                return False
+        return True

@@ -164,3 +164,84 @@ def test_time_limit_drains_remaining(spark):
     cf, _ = fetch(fl, robots_df(spark), out, cfg, NOW)
     # each item costs 6s; only ~11 fit into the 60s budget
     assert cf.count() == 11
+
+
+def test_throughput_killer_drains(spark):
+    """F10 (Fetcher.java:311-338): pages/sec below threshold for
+    `retries` consecutive seconds -> queues emptied, later items dropped
+    with no segment output."""
+    cfg = CFG.with_(
+        fetcher_throughput_threshold_pages=1,
+        fetcher_throughput_threshold_retries=3,
+        fetcher_throughput_check_after_mins=0,
+    )
+    urls = [f"http://slow.example.com/doc/{i}" for i in range(10)]
+    fl = fetchlist(spark, urls)
+    out = outcomes_df(spark, [(u, "success", None, 900) for u in urls])
+    cf, _ = fetch(fl, robots_df(spark), out, cfg, NOW)
+    # item cost = 900 + 5000 ms: first completes in sec 0 (good), secs
+    # 1..3 are empty (bad run of 3) -> kill at wall +4000 ms; only the
+    # first item (started at +0) survives
+    rows = cf.collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == S.STATUS_FETCH_SUCCESS
+    # disabled by default: same input fetches everything
+    cf_all, _ = fetch(fl, robots_df(spark), out, CFG, NOW)
+    assert cf_all.count() == 10
+
+
+def test_throughput_killer_spares_fast_partitions(spark):
+    """The killer is per fetcher task: a partition meeting the threshold
+    is untouched while the slow one drains."""
+    cfg = CFG.with_(
+        fetcher_throughput_threshold_pages=1,
+        fetcher_throughput_threshold_retries=2,
+        fetcher_throughput_check_after_mins=0,
+    )
+    slow = [f"http://slow.example.com/doc/{i}" for i in range(4)]
+    fast = [f"http://fast{i}.example.com/doc/0" for i in range(40)]
+    fl = (
+        fetchlist(spark, slow + fast)
+        # explicit task assignment (generate's G3 partition id)
+        .withColumn(
+            "part_id", F.when(F.col("url").startswith("http://slow"), 0).otherwise(1)
+        )
+    )
+    out = outcomes_df(
+        spark,
+        [(u, "success", None, 900) for u in slow]
+        # 40 hosts in parallel, one page each second they're active
+        + [(u, "success", None, 1000) for u in fast],
+    )
+    cf, _ = fetch(fl, robots_df(spark), out, cfg, NOW)
+    got = [r["url"] for r in cf.collect()]
+    assert all(u in got for u in fast)          # fast partition untouched
+    assert len([u for u in got if u in slow]) == 1  # slow one drained
+
+
+def test_variable_delay_vs_robots_delay(spark):
+    """FetchItemQueue.java:103 + FetcherThread.java:369-376: the hostdb
+    variable delay raises the queue minimum, robots Crawl-Delay is
+    clamped to it -> effective delay is max(robots, variable)."""
+    meta = {S.META_VARIABLE_FETCH_DELAY: "2000"}
+    urls = [f"http://slowrobots.example.com/doc/{i}" for i in range(2)]
+    rows = [
+        (u, S.STATUS_DB_UNFETCHED, NOW - 10_000, 0, 2592000, 1.0, None, 0,
+         meta, NOW, None, nutch_url_hash32(u))
+        for u in urls
+    ]
+    fl = spark.createDataFrame(rows, FL_SCHEMA)
+    out = outcomes_df(spark, [(u, "success", None, 100) for u in urls])
+    robots = robots_df(
+        spark, [("slowrobots.example.com", [], 8.0, False, False)]
+    )
+    cf, _ = fetch(fl, robots, out, CFG, NOW)
+    times = sorted(r["fetch_time"] for r in cf.collect())
+    assert times[1] - times[0] == 100 + 8000  # robots 8s wins over var 2s
+    # and the variable delay wins when it is the larger one
+    meta_big = {S.META_VARIABLE_FETCH_DELAY: "20000"}
+    rows_big = [r[:8] + (meta_big,) + r[9:] for r in rows]
+    fl2 = spark.createDataFrame(rows_big, FL_SCHEMA)
+    cf2, _ = fetch(fl2, robots, out, CFG, NOW)
+    t2 = sorted(r["fetch_time"] for r in cf2.collect())
+    assert t2[1] - t2[0] == 100 + 20000
