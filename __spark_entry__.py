@@ -447,6 +447,76 @@ def q_urlfilter_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 SitemapProcessor (SitemapProcessor.java:256-360): sitemap.xml
+    built from the docs table, parsed with JVM xpath (priority /
+    changefreq / lastmod -> datum mapping), merged into the crawldb.
+    Every 5th doc's sitemap advertises a fresh URL (doc_id+10000, same
+    host) carrying the optional fields; the oracle replays the mapping
+    arithmetically and never sees XML, so a hash match proves the parse
+    chain end-to-end."""
+    from nutch_spark.operators.sitemap import parse_sitemaps, sitemap_merge
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    freqs = ["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]
+    lastmod = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad((1 + did % 28).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    changefreq = F.when(
+        did % 8 < 7,
+        F.concat(
+            F.lit("<changefreq>"),
+            F.element_at(F.array(*[F.lit(x) for x in freqs]), (did % 8 + 1).cast("int")),
+            F.lit("</changefreq>"),
+        ),
+    ).otherwise(F.lit(""))
+    priority = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("<priority>"), ((did % 4) / 4.0).cast("string"), F.lit("</priority>")),
+    ).otherwise(F.lit(""))
+    known = F.concat(F.lit("<url><loc>"), _url_col(), F.lit("</loc></url>"))
+    fresh = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit("<url><loc>"), _url_col(did + 10000), F.lit("</loc>"),
+            lastmod, changefreq, priority, F.lit("</url>"),
+        ),
+    ).otherwise(F.lit(""))
+    # cross-host loc: dropped by the strict SiteMapURL.isValid check
+    bad = F.when(
+        did % 37 == 0,
+        F.concat(
+            F.lit("<url><loc>http://host"), ((did + 1) % 40).cast("string"),
+            F.lit(".example.com/doc/x"), did.cast("string"), F.lit("</loc></url>"),
+        ),
+    ).otherwise(F.lit(""))
+    content = (
+        d.groupBy((did % 40).alias("h"))
+        .agg(F.concat_ws("", F.collect_list(F.concat(known, fresh, bad))).alias("body"))
+        .select(
+            F.concat(
+                F.lit("http://host"), F.col("h").cast("string"),
+                F.lit(".example.com/sitemap.xml"),
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'), F.col("body"), F.lit("</urlset>")
+            ).alias("content"),
+        )
+    )
+    entries, _ = parse_sitemaps(content, CFG)
+    out = sitemap_merge(_crawldb(_docs(spark, sf_dir)), entries, CFG, UPD_NOW)
+    return out.select(
+        "url", "status", "fetch_time", "fetch_interval",
+        F.col("score").cast("double").alias("score"), "modified_time",
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 CrawlCompletionStats / DomainStatistics by host."""
     from nutch_spark.operators.stats import domain_stats
@@ -893,6 +963,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hostdb_stats": q_hostdb,
         "crawldb_404_purge": q_crawldb_404_purge,
         "urlfilter_domain": q_urlfilter_domain,
+        "sitemap_merge": q_sitemap,
         "domain_stats": q_domain_stats,
         "segment_merge": q_segment_merge,
         "free_generate": q_free_generate,
@@ -1529,6 +1600,29 @@ WITH {_CRAWLDB_CTE}
 SELECT url, status FROM crawldb
 WHERE doc_id % 40 IN (3, 17, 21)
   AND NOT (doc_id % 40 = 17 AND CAST(doc_id AS VARCHAR) LIKE '1%')
+""",
+        # ---- S10 sitemap processor ----------------------------------------
+        # overwrite=False: crawldb rows pass through untouched; the fresh
+        # doc_id+10000 urls enter as db_unfetched with the sitemap's
+        # priority (dyadic), changefreq interval table, and UTC lastmod
+        "sitemap_merge": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url, status, fetch_time, fetch_interval,
+  CAST(score AS DOUBLE) AS score, modified_time
+FROM crawldb
+UNION ALL
+SELECT
+  'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id + 10000 AS VARCHAR) AS url,
+  1 AS status,
+  CAST({UPD_NOW} AS BIGINT) AS fetch_time,
+  CAST(CASE doc_id % 8 WHEN 0 THEN 1 WHEN 1 THEN 3600 WHEN 2 THEN 86400
+       WHEN 3 THEN 604800 WHEN 4 THEN 2592000 WHEN 5 THEN 31536000
+       WHEN 6 THEN 2147483647 ELSE 2592000 END AS INTEGER) AS fetch_interval,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 4) / 4.0 ELSE 0.5 END AS DOUBLE) AS score,
+  CAST(CASE WHEN doc_id % 3 = 0
+       THEN 1704067200000 + (doc_id % 28) * 86400000 ELSE 0 END AS BIGINT) AS modified_time
+FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0
 """,
         # ---- A5 domain stats ----------------------------------------------
         "domain_stats": f"""

@@ -70,17 +70,31 @@ def merge_segments(segments: list[DataFrame], slice_size: int | None = None) -> 
     into numbered slices like ``-slice`` (segment_id = row-hash bucket,
     cheap stand-in for the output-size slicing).
     """
-    unioned = reduce(lambda a, b: a.unionByName(b), segments)
-    datum = F.struct(*[c for c in unioned.columns if c != "url"])
+    # total tie-break beyond (gen_time, fetch_time): the per-segment
+    # ordinal (the reference breaks ties by segment name order — later
+    # segment wins), then the non-map datum fields, so re-merging
+    # already-merged slices is replay-deterministic
+    unioned = reduce(
+        lambda a, b: a.unionByName(b),
+        [s.withColumn("_seg_ord", F.lit(i)) for i, s in enumerate(segments)],
+    )
+    data_cols = [c for c in unioned.columns if c not in ("url", "_seg_ord")]
+    datum = F.struct(*data_cols)
+    orderable = F.struct(
+        *[c for c, t in unioned.dtypes if c in data_cols and not t.startswith("map")]
+    )
     out = unioned.groupBy("url").agg(
         F.max_by(
             datum,
-            F.struct(F.coalesce("gen_time", F.lit(0)).alias("g"), F.col("fetch_time")),
+            F.struct(
+                F.coalesce("gen_time", F.lit(0)).alias("g"),
+                F.col("fetch_time"),
+                F.col("_seg_ord"),
+                orderable.alias("d"),
+            ),
         ).alias("best")
     )
-    cols = [F.col("url")] + [
-        F.col("best." + c).alias(c) for c in unioned.columns if c != "url"
-    ]
+    cols = [F.col("url")] + [F.col("best." + c).alias(c) for c in data_cols]
     out = out.select(*cols)
     if slice_size:
         out = out.withColumn(

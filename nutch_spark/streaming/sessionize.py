@@ -6,12 +6,13 @@ DuckDB oracle in ``__spark_entry__``): a session is a maximal run of a
 user's events where consecutive gaps are <= ``gap_ms``.
 
 ``stream_sessionize`` runs the same semantics incrementally: per-user
-state holds the open session (start, last_ts, n_events, exact decimal
-sum as string); an event-time timeout fires once the watermark passes
-``last_ts + gap`` and emits the closed session. Sessions still open at
-the end of an availableNow drain are withheld (they could still grow) —
-the streaming/batch equivalence is over sessions the watermark has
-sealed.
+state holds EVERY session the watermark has not sealed — the newest one
+plus any disjoint older sessions opened by late-but-in-watermark events
+(which later late events may still join or even bridge together). A
+session is emitted only once the watermark passes its ``end + gap``;
+sessions still open at the end of an availableNow drain are withheld
+(they could still grow) — the streaming/batch equivalence is over
+sessions the watermark has sealed.
 """
 
 from __future__ import annotations
@@ -35,12 +36,18 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# per-user state: ALL sessions the watermark has not sealed yet, sorted
+# by start — not just the latest one. A late-but-in-watermark event can
+# open a session disjoint from (and older than) the current one, and a
+# later in-watermark event may still merge with it; emitting such
+# sessions eagerly would split what the batch twin merges (append-mode
+# output cannot retract). Parallel arrays, one slot per open session.
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_ms", T.LongType()),
-        T.StructField("last_ms", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("sum_str", T.StringType()),  # exact decimal as text
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("lasts", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+        T.StructField("sums", T.ArrayType(T.StringType())),  # exact decimals as text
     ]
 )
 
@@ -74,61 +81,72 @@ def _session_fn(gap_ms: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        out: list[dict[str, Any]] = []
+        cols = [f.name for f in OUTPUT_SCHEMA]
 
-        if state.hasTimedOut:
-            if state.exists:
-                s, last, n, sm = state.get
-                out.append(
-                    {"user_id": user_id, "session_start_ms": s,
-                     "session_end_ms": last, "n_events": n,
-                     "sum_value": float(Decimal(sm))}
-                )
-                state.remove()
-            yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA])
-            return
-
-        rows = pd.concat(list(pdfs))
-        rows = rows.sort_values("ms")
+        # sessions: [start, last, n, Decimal sum], sorted by start
         if state.exists:
-            s, last, n, sm = state.get
-            cur = [s, last, n, Decimal(sm)]
+            st, la, ns, sms = state.get
+            sessions = [[s, l, n, Decimal(m)] for s, l, n, m in zip(st, la, ns, sms)]
         else:
-            cur = None
-        for ms, v in zip(rows["ms"], rows["v"]):
-            ms = int(ms)
-            # match Spark's double -> decimal(18,6) cast (HALF_UP)
-            dv = Decimal(str(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-            if cur is None:
-                cur = [ms, ms, 1, dv]
-            elif ms - cur[1] > gap_ms:
-                out.append(
-                    {"user_id": user_id, "session_start_ms": cur[0],
-                     "session_end_ms": cur[1], "n_events": cur[2],
-                     "sum_value": float(cur[3])}
+            sessions = []
+
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs)).sort_values("ms")
+            for ms, v in zip(rows["ms"], rows["v"]):
+                ms = int(ms)
+                # match Spark's double -> decimal(18,6) cast (HALF_UP)
+                dv = Decimal(str(v)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
                 )
-                cur = [ms, ms, 1, dv]
-            elif ms < cur[0] - gap_ms:
-                # in-watermark event older than the open session by more
-                # than the gap: a disjoint earlier session — emit it
-                # eagerly (it could only grow from events even older,
-                # which the batch twin would also place before it)
-                out.append(
-                    {"user_id": user_id, "session_start_ms": ms,
-                     "session_end_ms": ms, "n_events": 1,
-                     "sum_value": float(dv)}
-                )
-            else:
-                # in-watermark out-of-order event merges into the open
-                # session from either side (min start, max end)
-                cur[0] = min(cur[0], ms)
-                cur[1] = max(cur[1], ms)
-                cur[2] += 1
-                cur[3] += dv
-        state.update((cur[0], cur[1], cur[2], str(cur[3])))
-        # close once the event-time watermark passes last + gap
-        state.setTimeoutTimestamp(cur[1] + gap_ms)
-        yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA])
+                placed = False
+                for sess in sessions:
+                    if sess[0] - gap_ms <= ms <= sess[1] + gap_ms:
+                        sess[0] = min(sess[0], ms)
+                        sess[1] = max(sess[1], ms)
+                        sess[2] += 1
+                        sess[3] += dv
+                        placed = True
+                        break
+                if not placed:
+                    sessions.append([ms, ms, 1, dv])
+                sessions.sort(key=lambda s: s[0])
+                # the event may have bridged two previously-disjoint
+                # sessions — merge adjacent ones now within the gap
+                merged = [sessions[0]]
+                for nxt in sessions[1:]:
+                    curr = merged[-1]
+                    if nxt[0] - curr[1] <= gap_ms:
+                        curr[1] = max(curr[1], nxt[1])
+                        curr[2] += nxt[2]
+                        curr[3] += nxt[3]
+                    else:
+                        merged.append(nxt)
+                sessions = merged
+
+        # seal exactly what the event-time watermark has passed —
+        # whether we got here by timeout or by new data
+        wm = state.getCurrentWatermarkMs()
+        sealed = [s for s in sessions if s[1] + gap_ms <= wm]
+        sessions = [s for s in sessions if s[1] + gap_ms > wm]
+        out: list[dict[str, Any]] = [
+            {"user_id": user_id, "session_start_ms": s[0],
+             "session_end_ms": s[1], "n_events": s[2],
+             "sum_value": float(s[3])}
+            for s in sealed
+        ]
+        if sessions:
+            state.update((
+                [s[0] for s in sessions],
+                [s[1] for s in sessions],
+                [s[2] for s in sessions],
+                [str(s[3]) for s in sessions],
+            ))
+            # earliest instant any open session can close; > wm because
+            # every kept session has last + gap > wm
+            state.setTimeoutTimestamp(min(s[1] + gap_ms for s in sessions))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(out, columns=cols)
 
     return fn
 

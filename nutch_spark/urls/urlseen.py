@@ -13,11 +13,12 @@ Two implementations, same contract:
   semi/anti hash-joins — JVM-side, zero Python. 8 bytes/url; morally a
   cuckoo filter (64-bit fingerprint table). A 64-bit collision behaves
   exactly like a bloom false positive (row takes the slow exact path).
-- ``BloomBitmap``: k-hash bloom bitmap built driver-side from the
-  hashed positions (the small side is bounded — a segment, not the
-  frontier), broadcast as bytes, probed by an Arrow-vectorized numpy
-  UDF. ~1.2 bytes/url at 1% fpp — for when the small side reaches
-  10^8+ urls and 8 bytes/url no longer broadcasts.
+- ``BloomBitmap``: k-hash bloom bitmap built distributively (bit_or
+  aggregation over 64-bit word partials; the driver only materializes
+  the non-zero words, never raw positions), broadcast as bytes, probed
+  by an Arrow-vectorized numpy UDF. ~1.2 bytes/url at 1% fpp — for
+  when the small side reaches 10^8+ urls and 8 bytes/url no longer
+  broadcasts.
 
 Used by ``operators.updatedb.updatedb_incremental``: the 10^10-row
 CrawlDb is split into touched (might be in the segment) and untouched
@@ -52,8 +53,8 @@ class FingerprintSet:
 
 
 class BloomBitmap:
-    """Classic k-hash bloom bitmap; built by collecting the hashed bit
-    positions of the (bounded) small side, probed via Arrow numpy."""
+    """Classic k-hash bloom bitmap; built by a distributed bit_or
+    aggregation over word-indexed partials, probed via Arrow numpy."""
 
     def __init__(
         self,
@@ -70,6 +71,11 @@ class BloomBitmap:
         m = ((m + 63) // 64) * 64
         self.m = m
         self.k = num_hashes
+        # distributed build: per-word bit_or partials (one groupBy on the
+        # 64-bit word index, map-side combined — no distinct shuffle, no
+        # collect() of O(k*n) raw positions). The driver materializes
+        # only the non-zero words: <= m/64 rows of 16 bytes, i.e. the
+        # same order as the bitmap it must hold to broadcast anyway.
         pos = small.select(
             F.explode(
                 F.array(
@@ -79,11 +85,20 @@ class BloomBitmap:
                     ]
                 )
             ).alias("p")
-        ).distinct()
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        arr = np.array([r["p"] for r in pos.collect()], dtype=np.int64)
-        np.bitwise_or.at(bits, arr // 8, (1 << (arr % 8)).astype(np.uint8))
-        self._bits = bits
+        )
+        words = (
+            pos.select(
+                F.expr("p DIV 64").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("b").alias("mask"))
+        )
+        pdf = words.toPandas()
+        bits64 = np.zeros(m // 64, dtype=np.int64)
+        if len(pdf):
+            bits64[pdf["w"].to_numpy()] = pdf["mask"].to_numpy()
+        self._bits = bits64.view(np.uint8)  # little-endian: bit p == byte p//8, bit p%8
 
     def might_contain_udf(self):
         bits, m, k = self._bits, self.m, self.k

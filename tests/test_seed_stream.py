@@ -143,3 +143,89 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     for k, (end, _, _) in want.items():
         if k not in got:
             assert end + GAP >= max_end - 3_600_000  # within watermark horizon
+
+
+class _FakeState:
+    """Minimal GroupState double for driving _session_fn directly."""
+
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+        self._wm = 0
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def remove(self):
+        self._val = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def test_sessionize_late_events_merge_not_split():
+    """A late-but-in-watermark event disjoint from the open session must
+    stay in state: a following late event within gap of it merges into
+    ONE session (the batch twin's answer), not two eager singletons."""
+    import pandas as pd
+
+    from nutch_spark.streaming.sessionize import _session_fn
+
+    fn = _session_fn(300)
+    st = _FakeState()
+
+    def feed(rows, wm=0, timed_out=False):
+        st._wm = wm
+        st.hasTimedOut = timed_out
+        batches = iter([pd.DataFrame(rows, columns=["ms", "v"])]) if rows else iter([])
+        return pd.concat(list(fn((1,), batches, st)))
+
+    out1 = feed([(1000, 1.0)])
+    assert len(out1) == 0
+    out2 = feed([(100, 1.0), (150, 1.0)])      # late, disjoint from 1000
+    assert len(out2) == 0                       # withheld, not eager singletons
+    st.hasTimedOut = True
+    st._wm = 2000
+    out3 = pd.concat(list(fn((1,), iter([]), st)))
+    got = sorted(
+        (r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in out3.itertuples()
+    )
+    assert got == [(100, 150, 2), (1000, 1000, 1)]   # merged late session
+    assert not st.exists
+
+
+def test_sessionize_late_event_bridges_sessions():
+    """One late event can connect two open sessions; all three pieces
+    collapse into a single session."""
+    import pandas as pd
+
+    from nutch_spark.streaming.sessionize import _session_fn
+
+    fn = _session_fn(300)
+    st = _FakeState()
+    st._wm = 0
+
+    list(fn((1,), iter([pd.DataFrame([(1000, 1.0)], columns=["ms", "v"])]), st))
+    list(fn((1,), iter([pd.DataFrame([(200, 1.0)], columns=["ms", "v"])]), st))
+    # 500 extends [200,200] to [200,500]; 750 then lands within gap of
+    # both [200,500] and [1000,1000] and must bridge them into one
+    list(fn((1,), iter([pd.DataFrame([(500, 1.0)], columns=["ms", "v"])]), st))
+    list(fn((1,), iter([pd.DataFrame([(750, 1.0)], columns=["ms", "v"])]), st))
+    st.hasTimedOut = True
+    st._wm = 5000
+    out = pd.concat(list(fn((1,), iter([]), st)))
+    got = [(r.session_start_ms, r.session_end_ms, r.n_events) for r in out.itertuples()]
+    assert got == [(200, 1000, 4)]

@@ -128,3 +128,20 @@ def test_free_generate(spark):
     assert set(rows) == {"http://h1.example.com/a", "http://h2.example.com/b"}
     assert rows["http://h1.example.com/a"]["score"] == 3.0  # max_by dedup
     assert all(r["status"] == 1 and r["gen_time"] == 1_000 for r in rows.values())
+
+
+def test_merge_segments_tie_break_by_segment_order(spark):
+    """Equal (gen_time, fetch_time) ties resolve to the LATER segment
+    (the reference's segment-name order), and re-merging a merged slice
+    is a fixpoint — replay determinism."""
+    cols = "url string, status int, fetch_time long, gen_time long"
+    s1 = spark.createDataFrame([("a", 1, 100, 10)], cols)
+    s2 = spark.createDataFrame([("a", 2, 100, 10)], cols)
+    m = merge_segments([s1, s2])
+    assert [(r["url"], r["status"]) for r in m.collect()] == [("a", 2)]
+    # reversed input order flips the winner — ordinal is the tie key
+    m_rev = merge_segments([s2, s1])
+    assert [(r["url"], r["status"]) for r in m_rev.collect()] == [("a", 1)]
+    # merging the merged output with itself changes nothing
+    again = merge_segments([m, m])
+    assert [(r["url"], r["status"]) for r in again.collect()] == [("a", 2)]
