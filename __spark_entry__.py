@@ -749,8 +749,9 @@ def _web(spark: SparkSession, sf_dir: str, n_hosts: int = 20):
 def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: two full crawl cycles (bin/crawl macro-loop,
     SURVEY §3.1) over the parquet-derived web; returns the final
-    CrawlDb. Politeness / redirects / parse are per the fetch + parse
-    operator semantics — not SQL-expressible (rows-only check)."""
+    CrawlDb. The output omits fetch_time, so the DuckDB oracle replays
+    the whole status machine / OPIC link graph / schedule evolution
+    over integer doc ids without needing the politeness clock."""
     from nutch_spark.operators.fetchsim import fetch, fetched_content
     from nutch_spark.operators.generate import generate
     from nutch_spark.operators.inject import inject_full
@@ -1224,6 +1225,106 @@ WHERE kill.kill_sec IS NULL OR pfx < (kill.kill_sec + 1) * 1000
 """
 
 
+# Two-cycle crawl replay (q_crawl_cycle) over integer doc ids. The
+# output drops fetch_time, so the politeness clock is irrelevant here;
+# what the oracle must replay is the status machine, the OPIC link
+# graph, and the schedules:
+# - cycle-1 seeds d<40: outcome gone(d%17)/retry(d%29)/moved(d%23)/
+#   success; success parses 2 outlinks (doc (7d+1)%n at score/2, own
+#   media at score/2); moved emits a 0-score redirect link to (d+1)%n.
+# - updatedb: success->fetched(iv default), moved->redir_perm,
+#   retry->unfetched(retries+1, fetch_time +1d so NOT re-eligible in
+#   cycle 2), gone->gone(iv*1.5=3888000); linked-new -> unfetched at
+#   score=sum(inlinks); linked-onto-old keeps fields, score+=sum.
+# - cycle 2 generates the cycle-1 discoveries (fetch_time=U1 <= now2);
+#   media urls have no scripted outcome => fetch GONE (the unknown-url
+#   rule); the rest replays identically with halved link scores.
+# All scores are dyadic (1.0/0.5/0.25 sums) => float32 == double.
+_CRAWL_CYCLE_ORACLE = """
+WITH params AS (SELECT COUNT(*) AS n FROM documents),
+o1 AS (
+  SELECT doc_id AS d,
+    CASE WHEN doc_id % 17 = 0 THEN 'gone' WHEN doc_id % 29 = 0 THEN 'retry'
+         WHEN doc_id % 23 = 0 THEN 'moved' ELSE 'success' END AS oc
+  FROM documents WHERE doc_id < 40
+),
+s1 AS (SELECT d FROM o1 WHERE oc = 'success'),
+l1 AS (
+  SELECT (d * 7 + 1) % n AS t, 0.5 AS sc FROM s1, params
+  UNION ALL
+  SELECT (d + 1) % n AS t, 0.0 AS sc FROM o1, params WHERE oc = 'moved'
+),
+l1agg AS (SELECT t, SUM(sc) AS ls FROM l1 GROUP BY t),
+db1_doc AS (
+  SELECT o.d AS id,
+    CASE oc WHEN 'success' THEN 2 WHEN 'moved' THEN 5
+            WHEN 'retry' THEN 1 ELSE 3 END AS status,
+    CASE oc WHEN 'retry' THEN 1 ELSE 0 END AS retries,
+    CASE oc WHEN 'gone' THEN 3888000 ELSE 2592000 END AS iv,
+    1.0 + COALESCE(l.ls, 0) AS score,
+    FALSE AS g2
+  FROM o1 o LEFT JOIN l1agg l ON l.t = o.d
+  UNION ALL
+  SELECT l.t, 1, 0, 2592000, l.ls, TRUE
+  FROM l1agg l LEFT JOIN o1 o ON o.d = l.t WHERE o.d IS NULL
+),
+db1_media AS (SELECT d AS id, 0.5 AS score FROM s1),
+o2 AS (
+  SELECT id, score,
+    CASE WHEN id % 17 = 0 THEN 'gone' WHEN id % 29 = 0 THEN 'retry'
+         WHEN id % 23 = 0 THEN 'moved' ELSE 'success' END AS oc
+  FROM db1_doc WHERE status = 1 AND g2
+),
+s2 AS (SELECT id, score FROM o2 WHERE oc = 'success'),
+l2 AS (
+  SELECT (id * 7 + 1) % n AS t, score / 2 AS sc FROM s2, params
+  UNION ALL
+  SELECT (id + 1) % n AS t, 0.0 AS sc FROM o2, params WHERE oc = 'moved'
+),
+l2agg AS (SELECT t, SUM(sc) AS ls FROM l2 GROUP BY t),
+l2magg AS (SELECT id AS t, score / 2 AS ls FROM s2),
+db2_doc AS (
+  SELECT b.id,
+    CASE WHEN f.oc IS NULL THEN b.status
+         WHEN f.oc = 'success' THEN 2 WHEN f.oc = 'moved' THEN 5
+         WHEN f.oc = 'retry' THEN 1 ELSE 3 END AS status,
+    CASE WHEN f.oc IS NULL THEN b.retries
+         WHEN f.oc = 'retry' THEN b.retries + 1
+         WHEN f.oc = 'gone' THEN b.retries ELSE 0 END AS retries,
+    CASE WHEN f.oc IS NULL THEN b.iv
+         WHEN f.oc = 'gone' THEN 3888000
+         WHEN f.oc = 'retry' THEN b.iv ELSE 2592000 END AS iv,
+    CASE WHEN f.oc IS NULL AND l.ls IS NULL THEN b.score
+         ELSE b.score + COALESCE(l.ls, 0) END AS score
+  FROM db1_doc b
+  LEFT JOIN o2 f ON f.id = b.id
+  LEFT JOIN l2agg l ON l.t = b.id
+  UNION ALL
+  SELECT l.t, 1, 0, 2592000, l.ls
+  FROM l2agg l LEFT JOIN db1_doc b ON b.id = l.t WHERE b.id IS NULL
+),
+db2_media AS (
+  SELECT id, 3 AS status, 0 AS retries, 3888000 AS iv, score FROM db1_media
+  UNION ALL
+  SELECT m.t, 1, 0, 2592000, m.ls
+  FROM l2magg m LEFT JOIN db1_media b ON b.id = m.t WHERE b.id IS NULL
+)
+SELECT
+  'http://host' || CAST(id % 20 AS VARCHAR) || '.example.com/doc/'
+    || CAST(id AS VARCHAR) AS url,
+  CAST(status AS INTEGER) AS status, CAST(retries AS INTEGER) AS retries,
+  CAST(iv AS INTEGER) AS fetch_interval, CAST(score AS DOUBLE) AS score
+FROM db2_doc
+UNION ALL
+SELECT
+  'http://host' || CAST(id % 20 AS VARCHAR) || '.example.com/media/'
+    || CAST(id AS VARCHAR) || '.img' AS url,
+  CAST(status AS INTEGER), CAST(retries AS INTEGER),
+  CAST(iv AS INTEGER), CAST(score AS DOUBLE)
+FROM db2_media
+"""
+
+
 def _lsh_oracle(dim: int = 64, n_bits: int = 6, tables: int = 2, k: int = 10) -> str:
     """DuckDB twin of ml/similarity.py lsh_bucket_topk: the hyperplane
     components are deterministic Python floats, inlined as literals, so
@@ -1300,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["multimodal_features"] = _MULTIMODAL_ORACLE
     oracles["fetch_politeness"] = _FETCH_POLITENESS_ORACLE
     oracles["fetch_throughput"] = _FETCH_THROUGHPUT_ORACLE
+    oracles["crawl_cycle"] = _CRAWL_CYCLE_ORACLE
     oracles["lsh_topk"] = _lsh_oracle()
     return oracles
 

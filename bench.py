@@ -138,6 +138,13 @@ def run_bench(master: str | None = None) -> dict:
     db2, _ = run_cycle("c1", db, 1_704_000_000_000)
     db3, n_fetched = run_cycle("c2", db2, 1_704_007_200_000)
     n_gen = n_fetched
+
+    # warm inject: the first inject above also pays session/codegen
+    # warm-up (it is the first query of the run); this one is the true
+    # steady-state cost of the operator
+    t0 = time.time()
+    _noop(inject_full(spark, None, seeds, cfg, now_ms=1_704_000_000_000))
+    timings["inject_warm"] = time.time() - t0
     shutil.rmtree(tmp, ignore_errors=True)
 
     cycle_sec = sum(
