@@ -800,6 +800,26 @@ def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_fetch.select("url", "status", "fetch_time")
 
 
+def q_fetch_politeness_byip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """byIP politeness (FetchItem.java:97-104 via the dns fixture):
+    host pairs (2k, 2k+1) share an IP and therefore ONE virtual clock;
+    host19 is unresolved and its items are skipped outright."""
+    from nutch_spark.operators.fetchsim import fetch
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject_full
+
+    cfg = replace(CFG, fetch_partitions=8, fetcher_queue_mode="byIP")
+    docs, robots, outcomes, seeds = _web(spark, sf_dir)
+    dns = spark.range(19).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("10.0.0."), (F.col("id") / 2).cast("int").cast("string")).alias("ip"),
+    )
+    db = inject_full(spark, None, seeds, cfg, GEN_NOW)
+    fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=8)
+    crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW, dns=dns)
+    return crawl_fetch.select("url", "status", "fetch_time")
+
+
 def q_fetch_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10 throughput killer over the politeness fetch
     (Fetcher.java:311-338): threshold 1 page/s, 3 retries, checking from
@@ -903,6 +923,27 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, q, k=10, dim=64, n_bits=6, tables=2)
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (ml/similarity.py): sign-LSH
+    bucket candidates + exact cosine verify over the doubled corpus
+    (each vector plus a +0.03125-shifted copy at cosine ~0.97);
+    the oracle replays buckets and cosine with the same plane
+    literals and fold order."""
+    from nutch_spark.ml.similarity import embedding_near_duplicates
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    shifted = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.03125)).alias("embedding"),
+    )
+    return embedding_near_duplicates(
+        e.unionByName(shifted), threshold=0.9, dim=64, n_bits=6, tables=2
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media refs from interleaved spans →
     synthetic bytes → Arrow-batched feature extraction (stubbed decode),
@@ -979,6 +1020,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessionize": q_sessionize,
         "crawl_cycle": q_crawl_cycle,
         "fetch_politeness": q_fetch_politeness,
+        "fetch_politeness_byip": q_fetch_politeness_byip,
         "fetch_throughput": q_fetch_throughput,
         "fetch_statuses": q_fetch_statuses,
         "parse_outlinks": q_parse_outlinks,
@@ -986,6 +1028,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal,
     }
 
@@ -1196,6 +1239,27 @@ WITH {_POLITENESS_CTES}
 SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time FROM c
 """
 
+# byIP politeness replay: queue = ip = host_id DIV 2 (hosts pair up on
+# one clock); host19 has no dns row => its rows are skipped
+# (FetchItem.java:101-104, no host fallback); per-item delay still comes
+# from the item's own host's robots Crawl-Delay
+_FETCH_POLITENESS_BYIP_ORACLE = f"""
+WITH {_POLITENESS_CTES},
+q AS (
+  SELECT h.url, h.status, h.latency, h.delay_ms, h.url_hash,
+    h.host_id // 2 AS queue_id
+  FROM h WHERE h.host_id <> 19
+),
+cq AS (
+  SELECT url, status,
+    COALESCE(SUM(latency + delay_ms) OVER (
+      PARTITION BY queue_id ORDER BY url_hash, url
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM q
+)
+SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time FROM cq
+"""
+
 # F10 replay on top of the politeness clock (single fetch partition):
 # per-second completion counts; a second with < 1 completion is bad;
 # the first run of 3 bad seconds kills the queues at (kill_sec+1)*1000
@@ -1325,27 +1389,35 @@ FROM db2_media
 """
 
 
-def _lsh_oracle(dim: int = 64, n_bits: int = 6, tables: int = 2, k: int = 10) -> str:
-    """DuckDB twin of ml/similarity.py lsh_bucket_topk: the hyperplane
-    components are deterministic Python floats, inlined as literals, so
-    the oracle replays the exact sign-bit bucketing; candidate pairs are
-    re-ranked by the same sequential-fold cosine as embedding_topk."""
+def _plane_dot_sql(emb: str, plane: list[float]) -> str:
+    lits = ", ".join(repr(v) for v in plane)
+    return (
+        f"list_reduce(list_transform(list_zip({emb}, [{lits}]), "
+        "z -> z[1] * z[2]), (x, y) -> x + y)"
+    )
+
+
+def _bucket_sql(emb: str, t: int, dim: int, n_bits: int) -> str:
+    """Sign-LSH bucket id as SQL: the hyperplane components are the same
+    deterministic Python floats ml/similarity.py bakes into the Spark
+    plan, inlined here as literals."""
     from nutch_spark.ml.similarity import _hyperplane
 
-    def dot_sql(emb: str, plane: list[float]) -> str:
-        lits = ", ".join(repr(v) for v in plane)
-        return (
-            f"list_reduce(list_transform(list_zip({emb}, [{lits}]), "
-            "z -> z[1] * z[2]), (x, y) -> x + y)"
-        )
+    terms = [
+        f"CASE WHEN {_plane_dot_sql(emb, [_hyperplane(dim, t, b, d) for d in range(dim)])}"
+        f" > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(n_bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _lsh_oracle(dim: int = 64, n_bits: int = 6, tables: int = 2, k: int = 10) -> str:
+    """DuckDB twin of ml/similarity.py lsh_bucket_topk: exact replay of
+    the sign-bit bucketing; candidate pairs are re-ranked by the same
+    sequential-fold cosine as embedding_topk."""
 
     def bucket_sql(emb: str, t: int) -> str:
-        terms = [
-            f"CASE WHEN {dot_sql(emb, [_hyperplane(dim, t, b, d) for d in range(dim)])}"
-            f" > 0 THEN {1 << b} ELSE 0 END"
-            for b in range(n_bits)
-        ]
-        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+        return _bucket_sql(emb, t, dim, n_bits)
 
     cb = " UNION ALL ".join(
         f"SELECT vec_id, emb, {t} AS t, {bucket_sql('emb', t)} AS bucket FROM e"
@@ -1384,6 +1456,42 @@ SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= {k}
 """
 
 
+def _embedding_near_dup_oracle(
+    threshold: float = 0.9, dim: int = 64, n_bits: int = 6, tables: int = 2
+) -> str:
+    """DuckDB twin of ml/similarity.py embedding_near_duplicates over the
+    doubled corpus (original + per-component +0.03125 shifted copy)."""
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, emb, {t} AS t, {_bucket_sql('emb', t, dim, n_bits)} AS bucket FROM e"
+        for t in range(tables)
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+e AS (
+  SELECT vec_id, emb FROM e0
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(emb, x -> x + 0.03125) FROM e0
+),
+cb AS ({cb}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM cb a JOIN cb b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.vec_a, c.vec_b,
+    round(
+      list_reduce(list_transform(list_zip(ea.emb, eb.emb), z -> z[1] * z[2]),
+                  (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(ea.emb, x -> x * x), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(eb.emb, x -> x * x), (x, y) -> x + y))),
+      6) AS cosine_sim
+  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine_sim FROM p WHERE cosine_sim >= {threshold}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_best = "GREATEST(" + ", ".join(f"c_{g}" for g in _LANGS) + ")"
     lang_case = "CASE WHEN " + lang_best + " <= 0 THEN 'und' " + " ".join(
@@ -1400,9 +1508,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["simhash_near_dups"] = _simhash_oracle()
     oracles["multimodal_features"] = _MULTIMODAL_ORACLE
     oracles["fetch_politeness"] = _FETCH_POLITENESS_ORACLE
+    oracles["fetch_politeness_byip"] = _FETCH_POLITENESS_BYIP_ORACLE
     oracles["fetch_throughput"] = _FETCH_THROUGHPUT_ORACLE
     oracles["crawl_cycle"] = _CRAWL_CYCLE_ORACLE
     oracles["lsh_topk"] = _lsh_oracle()
+    oracles["embedding_near_dups"] = _embedding_near_dup_oracle()
     return oracles
 
 

@@ -80,6 +80,54 @@ def lsh_sign_bucket(emb: Column, dim: int, table: int, n_bits: int) -> Column:
     return bucket
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 16,
+    n_bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the vector-space member of the
+    dedup family (ml/dedup.py): candidates are corpus pairs sharing a
+    sign-LSH bucket in ANY of the `tables` hash tables; candidates are
+    then verified by exact cosine >= threshold. Returns
+    (vec_a, vec_b, cosine_sim), vec_a < vec_b.
+
+    Scale: the all-pairs O(n^2) problem becomes per-bucket self-joins
+    (each bucket a separate shuffle key); near-identical vectors always
+    share every bucket, so recall loss only affects borderline pairs —
+    the standard prune-then-verify shape, all JVM."""
+    c = embeddings.select("vec_id", F.col("embedding").alias("emb"))
+    b = c.select(
+        "vec_id",
+        "emb",
+        F.posexplode(
+            F.array(*[lsh_sign_bucket(F.col("emb"), dim, t, n_bits) for t in range(tables)])
+        ).alias("table", "bucket"),
+    )
+    a_ = b.alias("a")
+    b_ = b.alias("b")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.emb").alias("ea"),
+            F.col("b.emb").alias("eb"),
+        )
+        .distinct()
+    )
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return cand.select("vec_a", "vec_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,

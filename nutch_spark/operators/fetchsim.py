@@ -87,6 +87,8 @@ def fetch(
     outcomes: DataFrame,
     cfg: NutchConfig,
     cycle_start_ms: int,
+    *,
+    dns: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the simulated fetch.
 
@@ -96,16 +98,33 @@ def fetch(
     - redirect_links: STATUS_LINKED rows for redirect targets
       (next-cycle discovery, http.redirect.max=0 semantics) carrying
       ``repr_url``.
+
+    ``dns``: (host, ip) fixture table, required for
+    ``fetcher.queue.mode=byIP`` (the sandbox has no resolver; SURVEY A4).
     """
-    # queue id = host or domain per fetcher.queue.mode
-    # (FetchItem.create, fetcher/FetchItem.java:87-121); byIP needs DNS
-    # resolution (out of scope, fixture-driven per SURVEY A4)
-    if cfg.fetcher_queue_mode == "byDomain":
-        from nutch_spark.urls.urlutil import domain_udf
-        queue_key = F.lower(domain_udf()(F.col("url")))
+    # politeness queue id = host / domain / IP per fetcher.queue.mode
+    # (FetchItem.create, fetcher/FetchItem.java:87-121). Robots rules
+    # stay host-keyed in every mode, so `host` is the real host and
+    # `_queue` the politeness unit.
+    if cfg.fetcher_queue_mode == "byIP":
+        if dns is None:
+            raise ValueError("fetcher.queue.mode=byIP requires a dns fixture (host, ip)")
+        fl = fetchlist.withColumn("host", host_col(F.col("url")))
+        fl = fl.join(
+            F.broadcast(dns.select(F.col("host"), F.col("ip").alias("_queue"))),
+            "host",
+            "left",
+        )
+        # unresolved host => item skipped entirely, no host-name fallback
+        # (FetchItem.java:101-104)
+        fl = fl.filter(F.col("_queue").isNotNull())
     else:
-        queue_key = host_col(F.col("url"))
-    fl = fetchlist.withColumn("host", queue_key)
+        if cfg.fetcher_queue_mode == "byDomain":
+            from nutch_spark.urls.urlutil import domain_udf
+            queue_key = F.lower(domain_udf()(F.col("url")))
+        else:
+            queue_key = host_col(F.col("url"))
+        fl = fetchlist.withColumn("host", queue_key).withColumn("_queue", F.col("host"))
 
     fl = fl.join(F.broadcast(robots), "host", "left")
     fl = fl.join(outcomes, "url", "left")
@@ -166,7 +185,7 @@ def fetch(
         F.coalesce(F.col("latency_ms"), F.lit(0).cast("long")) + delay_ms
     )
 
-    w = Window.partitionBy("host").orderBy("url_hash", "url")
+    w = Window.partitionBy("_queue").orderBy("url_hash", "url")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
     exc_before = F.coalesce(
         F.sum(F.when(is_exception & ~gated, 1).otherwise(0)).over(wprev), F.lit(0)

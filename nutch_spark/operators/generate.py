@@ -236,6 +236,40 @@ def apply_quota_parity(
     )
 
 
+
+def politeness_partition(
+    df, cfg: NutchConfig, num_lists: int, dns=None
+):
+    """G3: explicit URLPartitioner partition id + url-hash interleave
+    sort (URLPartitioner.java:76-108). A politeness unit (host / domain /
+    IP) never spans two fetch lists; AQE never coalesces an explicit
+    repartition-by-column with a fixed N.
+
+    byIP resolves through the ``dns`` (host, ip) fixture — an unresolved
+    host keeps hashCode 0, i.e. the empty-string key (the reference's
+    exception path leaves hashCode at its 0 initial, :96-101)."""
+    if cfg.partition_url_mode == "byIP":
+        if dns is None:
+            raise ValueError("partition.url.mode=byIP requires a dns fixture (host, ip)")
+        df = df.withColumn("_ph", F.lower(host_udf()(F.col("url")))).join(
+            F.broadcast(dns.select(F.col("host").alias("_ph"), F.col("ip").alias("_pip"))),
+            "_ph",
+            "left",
+        )
+        part_key = F.coalesce(F.col("_pip"), F.lit(""))  # "".hashCode() == 0
+    elif cfg.partition_url_mode == "byDomain":
+        part_key = F.lower(domain_udf()(F.col("url")))
+    else:
+        part_key = F.lower(host_udf()(F.col("url")))
+    df = df.withColumn(
+        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_key)
+    )
+    if cfg.partition_url_mode == "byIP":
+        df = df.drop("_ph", "_pip")
+    df = df.withColumn("url_hash", url_hash32_udf()(F.col("url")))
+    return df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")
+
+
 def generate(
     crawldb: DataFrame,
     cfg: NutchConfig,
@@ -248,6 +282,7 @@ def generate(
     url_filter_rules: list[str] | None = None,
     expr: str | None = None,
     hostdb: DataFrame | None = None,
+    dns: DataFrame | None = None,
 ) -> DataFrame:
     """Full generate: returns the fetchlist with columns = crawldb schema
     + (sort, host_key, segnum, part_id, url_hash). Rows are stamped with
@@ -255,6 +290,8 @@ def generate(
 
     ``hostdb``: optional (host[, max_count][, fetch_delay_ms]) table for
     per-host budget overrides (windowed quota mode).
+    ``dns``: (host, ip) fixture, required for partition.url.mode=byIP
+    (no resolver in this sandbox; SURVEY A4).
 
     Issue order within a fetch partition = ascending ``url_hash``
     (HashComparator interleave); the fetch stage sorts on it.
@@ -311,18 +348,7 @@ def generate(
     # URLPartitioner hash (byHost) with injected seed; repartition on it so
     # a host never spans two fetch lists. AQE never coalesces an explicit
     # repartition-by-column with a fixed N.
-    # partition key per partition.url.mode (URLPartitioner.java:76-108);
-    # byIP out of scope (DNS fixture)
-    if cfg.partition_url_mode == "byDomain":
-        part_key = F.lower(domain_udf()(F.col("url")))
-    else:
-        part_key = F.lower(host_udf()(F.col("url")))
-    df = df.withColumn(
-        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_key)
-    )
-    df = df.withColumn("url_hash", url_hash32_udf()(F.col("url")))
-    df = df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")
-    return df
+    return politeness_partition(df, cfg, num_lists, dns)
 
 
 def mark_generated(crawldb: DataFrame, fetchlist: DataFrame) -> DataFrame:
@@ -363,14 +389,4 @@ def free_generate(
     df = df.select("url", *[F.col("d." + c).alias(c) for c in seeds.columns if c != "url"])
     df = df.withColumn("status", F.lit(STATUS_DB_UNFETCHED).cast("int"))
     df = df.withColumn("gen_time", F.lit(now_ms).cast("long"))
-    # partition key per partition.url.mode (URLPartitioner.java:76-108);
-    # byIP out of scope (DNS fixture)
-    if cfg.partition_url_mode == "byDomain":
-        part_key = F.lower(domain_udf()(F.col("url")))
-    else:
-        part_key = F.lower(host_udf()(F.col("url")))
-    df = df.withColumn(
-        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_key)
-    )
-    df = df.withColumn("url_hash", url_hash32_udf()(F.col("url")))
-    return df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")
+    return politeness_partition(df, cfg, num_lists)

@@ -245,3 +245,63 @@ def test_variable_delay_vs_robots_delay(spark):
     cf2, _ = fetch(fl2, robots, out, CFG, NOW)
     t2 = sorted(r["fetch_time"] for r in cf2.collect())
     assert t2[1] - t2[0] == 100 + 20000
+
+
+def dns_df(spark, rows):
+    return spark.createDataFrame(rows, "host string, ip string")
+
+
+def test_byip_queue_shares_politeness_clock(spark):
+    """fetcher.queue.mode=byIP (FetchItem.java:97-104): hosts resolving
+    to the same IP share ONE politeness queue (their fetches serialize);
+    an unresolved host is skipped entirely, no host-name fallback."""
+    cfg = CFG.with_(fetcher_queue_mode="byIP")
+    urls = [
+        "http://a.example.com/doc/1",
+        "http://b.example.com/doc/1",   # same IP as a
+        "http://c.example.com/doc/1",   # own IP
+        "http://nx.example.com/doc/1",  # unresolved
+    ]
+    fl = fetchlist(spark, urls)
+    out = outcomes_df(spark, [(u, "success", None, 100) for u in urls])
+    dns = dns_df(spark, [
+        ("a.example.com", "10.0.0.1"),
+        ("b.example.com", "10.0.0.1"),
+        ("c.example.com", "10.0.0.2"),
+    ])
+    cf, _ = fetch(fl, robots_df(spark), out, cfg, NOW, dns=dns)
+    rows = {r["url"]: r["fetch_time"] for r in cf.collect()}
+    assert "http://nx.example.com/doc/1" not in rows        # skipped
+    a, b = rows["http://a.example.com/doc/1"], rows["http://b.example.com/doc/1"]
+    assert abs(a - b) == 100 + 5000                         # serialized on one clock
+    assert rows["http://c.example.com/doc/1"] == NOW        # parallel queue
+
+
+def test_byip_partitioning(spark):
+    """partition.url.mode=byIP (URLPartitioner.java:95-101): partition id
+    from the resolved IP; unresolved keeps hashCode 0 (empty-string key)."""
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.urls.urlutil import partition_index
+
+    cfg = CFG.with_(partition_url_mode="byIP")
+    urls = [
+        "http://a.example.com/doc/1",
+        "http://b.example.com/doc/1",   # same IP as a -> same partition
+        "http://nx.example.com/doc/1",  # unresolved -> hashCode-0 partition
+    ]
+    db = (
+        fetchlist(spark, urls)
+        .drop("url_hash")
+        .withColumn("gen_time", F.lit(None).cast("long"))  # not gen-delay blocked
+    )
+    dns = dns_df(spark, [
+        ("a.example.com", "10.0.0.1"),
+        ("b.example.com", "10.0.0.1"),
+    ])
+    fl = generate(db, cfg, NOW + 1, top_n=100, num_lists=7, dns=dns)
+    parts = {r["url"]: r["part_id"] for r in fl.select("url", "part_id").collect()}
+    assert parts["http://a.example.com/doc/1"] == parts["http://b.example.com/doc/1"]
+    assert parts["http://a.example.com/doc/1"] == partition_index(
+        "10.0.0.1", cfg.partition_url_seed, 7)
+    assert parts["http://nx.example.com/doc/1"] == partition_index(
+        "", cfg.partition_url_seed, 7)
