@@ -451,8 +451,8 @@ def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 SitemapProcessor (SitemapProcessor.java:256-360): sitemap.xml
     built from the docs table, parsed with JVM xpath (priority /
     changefreq / lastmod -> datum mapping), merged into the crawldb.
-    Every 5th doc's sitemap advertises a fresh URL (doc_id+10000, same
-    host) carrying the optional fields; the oracle replays the mapping
+    Every 5th doc's sitemap advertises a fresh URL (doc_id+1000000 —
+    same host since 1000000 % 40 == 0, and beyond any corpus size) carrying the optional fields; the oracle replays the mapping
     arithmetically and never sees XML, so a hash match proves the parse
     chain end-to-end."""
     from nutch_spark.operators.sitemap import parse_sitemaps, sitemap_merge
@@ -484,7 +484,7 @@ def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = F.when(
         did % 5 == 0,
         F.concat(
-            F.lit("<url><loc>"), _url_col(did + 10000), F.lit("</loc>"),
+            F.lit("<url><loc>"), _url_col(did + 1000000), F.lit("</loc>"),
             lastmod, changefreq, priority, F.lit("</url>"),
         ),
     ).otherwise(F.lit(""))
@@ -787,7 +787,8 @@ def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fetch_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3-F8: politeness-simulated fetch of one generate batch; virtual
     per-host clock = prefix sum over the url-hash interleave
-    (FetchItemQueue.java:119-170). Rows-only check."""
+    (FetchItemQueue.java:119-170); the oracle replays the clock with a
+    SQL window prefix sum over the same (url_hash, url) order."""
     from nutch_spark.operators.fetchsim import fetch
     from nutch_spark.operators.generate import generate
     from nutch_spark.operators.inject import inject_full
@@ -892,7 +893,8 @@ def q_fetch_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → minhash → band →
-    bucket-join → Jaccard verify), ml/dedup.py. Rows-only check."""
+    bucket-join → Jaccard verify), ml/dedup.py; md5-derived hashing, so
+    the DuckDB oracle replays signatures and banding bit-for-bit."""
     from nutch_spark.ml.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(_doubled_docs(spark, sf_dir), threshold=0.8)
@@ -900,7 +902,8 @@ def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups with byte-band pigeonhole bucketing,
-    ml/dedup.py. Rows-only check."""
+    ml/dedup.py; md5 token hashes, so the DuckDB oracle replays the
+    bit-vote fingerprints exactly."""
     from nutch_spark.ml.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(_doubled_docs(spark, sf_dir), max_hamming=3)
@@ -1815,7 +1818,7 @@ WHERE doc_id % 40 IN (3, 17, 21)
 """,
         # ---- S10 sitemap processor ----------------------------------------
         # overwrite=False: crawldb rows pass through untouched; the fresh
-        # doc_id+10000 urls enter as db_unfetched with the sitemap's
+        # doc_id+1000000 urls enter as db_unfetched with the sitemap's
         # priority (dyadic), changefreq interval table, and UTC lastmod
         "sitemap_merge": f"""
 WITH {_CRAWLDB_CTE}
@@ -1825,7 +1828,7 @@ FROM crawldb
 UNION ALL
 SELECT
   'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
-    || CAST(doc_id + 10000 AS VARCHAR) AS url,
+    || CAST(doc_id + 1000000 AS VARCHAR) AS url,
   1 AS status,
   CAST({UPD_NOW} AS BIGINT) AS fetch_time,
   CAST(CASE doc_id % 8 WHEN 0 THEN 1 WHEN 1 THEN 3600 WHEN 2 THEN 86400

@@ -369,11 +369,13 @@ def free_generate(
     *,
     num_lists: int | None = None,
     url_filter_rules: list[str] | None = None,
+    dns: DataFrame | None = None,
 ) -> DataFrame:
     """FreeGenerator (S10, ``tools/FreeGenerator.java:1-240``): build a
     fetch list straight from seed text, skipping the CrawlDb — parse +
     normalize + filter the lines, dedup per url, then apply the same G3
-    politeness partitioning as the regular generator."""
+    politeness partitioning as the regular generator (``dns`` fixture
+    required for partition.url.mode=byIP, like generate())."""
     from nutch_spark.operators.inject import parse_seeds
 
     num_lists = num_lists or cfg.fetch_partitions
@@ -389,4 +391,4 @@ def free_generate(
     df = df.select("url", *[F.col("d." + c).alias(c) for c in seeds.columns if c != "url"])
     df = df.withColumn("status", F.lit(STATUS_DB_UNFETCHED).cast("int"))
     df = df.withColumn("gen_time", F.lit(now_ms).cast("long"))
-    return politeness_partition(df, cfg, num_lists)
+    return politeness_partition(df, cfg, num_lists, dns)

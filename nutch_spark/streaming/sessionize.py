@@ -124,10 +124,13 @@ def _session_fn(gap_ms: int):
                 sessions = merged
 
         # seal exactly what the event-time watermark has passed —
-        # whether we got here by timeout or by new data
+        # whether we got here by timeout or by new data. Strictly <:
+        # Spark admits rows with ts >= watermark, so an event at exactly
+        # wm == last + gap could still join the session; sealing it here
+        # would split what the batch twin merges.
         wm = state.getCurrentWatermarkMs()
-        sealed = [s for s in sessions if s[1] + gap_ms <= wm]
-        sessions = [s for s in sessions if s[1] + gap_ms > wm]
+        sealed = [s for s in sessions if s[1] + gap_ms < wm]
+        sessions = [s for s in sessions if s[1] + gap_ms >= wm]
         out: list[dict[str, Any]] = [
             {"user_id": user_id, "session_start_ms": s[0],
              "session_end_ms": s[1], "n_events": s[2],
@@ -141,9 +144,12 @@ def _session_fn(gap_ms: int):
                 [s[2] for s in sessions],
                 [str(s[3]) for s in sessions],
             ))
-            # earliest instant any open session can close; > wm because
-            # every kept session has last + gap > wm
-            state.setTimeoutTimestamp(min(s[1] + gap_ms for s in sessions))
+            # earliest instant any open session can close, clamped past
+            # the watermark (a kept session may sit exactly AT wm, and
+            # Spark requires timeout > watermark)
+            state.setTimeoutTimestamp(
+                max(min(s[1] + gap_ms for s in sessions), wm + 1)
+            )
         elif state.exists:
             state.remove()
         yield pd.DataFrame(out, columns=cols)

@@ -104,17 +104,40 @@ def url_filter_udf(rules: Sequence[str] | None = None):
     return _filt
 
 
-# Python-only regex constructs java.util.regex can't run (or runs with
+# Python regex constructs java.util.regex can't run (or runs with
 # different semantics): named groups/backrefs (?P...), comments (?#...),
-# local/unicode/ascii inline flags, \Z (Java's \Z tolerates a final
-# newline where Python's does not — Java \z is the strict one)
-_PY_ONLY_RE = re.compile(r"\(\?P[<=]|\(\?#|\(\?[aLu]\)?|\\Z")
+# local/unicode/ascii inline flags, conditional groups (?(...)...),
+# \Z (Java's \Z tolerates a final newline where Python's does not —
+# Java \z is the strict one)
+_PY_ONLY_RE = re.compile(r"\(\?P[<=]|\(\?#|\(\?[aLu]\)?|\(\?\(|\\Z")
 
 
 def java_translatable(pattern: str) -> bool:
     """True when the Python rule pattern is also a valid-and-equivalent
-    Java regex (the common case: Nutch rule files ARE Java regexes)."""
-    return _PY_ONLY_RE.search(pattern) is None
+    Java regex (the common case: Nutch rule files ARE Java regexes).
+
+    The screen above catches known semantic divergences; syntax is then
+    checked authoritatively by compiling with java.util.regex through
+    the active session's JVM (a Python-valid pattern Java rejects must
+    take the pandas fallback, not crash the executor). Without a
+    reachable JVM (no active session / Spark Connect) the screen alone
+    decides."""
+    if _PY_ONLY_RE.search(pattern) is not None:
+        return False
+    jvm = None
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm if spark is not None else None
+    except Exception:  # noqa: BLE001 — Connect sessions have no _jvm
+        jvm = None
+    if jvm is not None:
+        try:
+            jvm.java.util.regex.Pattern.compile(pattern)
+        except Exception:  # noqa: BLE001 — PatternSyntaxException via Py4J
+            return False
+    return True
 
 
 def url_filter_cond(url_col: Column, rules: Sequence[str] | None = None) -> Column:
@@ -152,7 +175,7 @@ def _host_suffixes(url_col: Column) -> Column:
     """Array of the url host and all its ancestor domains
     (``a.b.c.com`` -> [a.b.c.com, b.c.com, c.com, com]); empty array
     for unparseable/null hosts. Pure JVM."""
-    host = F.lower(F.parse_url(url_col, F.lit("HOST")))
+    host = F.lower(F.try_parse_url(url_col, F.lit("HOST")))
     parts = F.split(host, r"\.")
     n = F.size(parts)
     sufs = F.transform(
@@ -186,7 +209,7 @@ class DomainURLFilter:
     def cond(self, url_col: Column) -> Column:
         if not self._set:
             return F.lit(True)  # no entries => filter inactive
-        host = F.lower(F.parse_url(url_col, F.lit("HOST")))
+        host = F.lower(F.try_parse_url(url_col, F.lit("HOST")))
         bad = host.isNull() | (host == "")  # unparseable => reject (ref: exception => null)
         hit = F.coalesce(
             F.arrays_overlap(
@@ -201,7 +224,9 @@ class DomainURLFilter:
         if url is None:
             return False
         m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)", url, re.I)
-        host = (m.group(1) if m else "").lower()
+        auth = m.group(1) if m else ""
+        # strip userinfo and port like parse_url(.., 'HOST') does
+        host = auth.rsplit("@", 1)[-1].split(":", 1)[0].lower()
         if not host:
             return False  # unparseable => reject, both modes
         parts = host.split(".")
@@ -243,7 +268,12 @@ class FastURLFilter:
                 # unknown rule lines are skipped, like the reference
 
     def cond(self, url_col: Column) -> Column:
-        host = F.lower(F.parse_url(url_col, F.lit("HOST")))
+        # unparseable (no scheme) or NULL => reject, like the reference's
+        # `new URL(url)` failure path (FastURLFilter.java:46-52)
+        parseable = F.coalesce(
+            url_col.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), F.lit(False)
+        )
+        host = F.lower(F.try_parse_url(url_col, F.lit("HOST")))
         after = F.regexp_replace(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
         path = F.regexp_extract(after, r"^([^?#]*)", 1)
         pathquery = F.regexp_extract(after, r"^([^#]*)", 1)
@@ -261,7 +291,7 @@ class FastURLFilter:
                 tgt = path if target == "path" else pathquery
                 term = scope & tgt.rlike(rx)
             deny = deny | F.coalesce(term, F.lit(False))
-        return ~deny
+        return F.when(parseable, ~deny).otherwise(F.lit(False))
 
     def accept(self, url: str | None) -> bool:
         """Python twin of :meth:`cond` for tests."""
@@ -269,8 +299,8 @@ class FastURLFilter:
             return False
         m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)(.*)$", url)
         if not m:
-            return True
-        host = m.group(1).lower()
+            return False  # unparseable => reject, matching cond()
+        host = m.group(1).rsplit("@", 1)[-1].split(":", 1)[0].lower()
         rest = m.group(2)
         path = re.match(r"^([^?#]*)", rest).group(1)
         pathquery = re.match(r"^([^#]*)", rest).group(1)

@@ -95,10 +95,16 @@ class BloomBitmap:
             .agg(F.bit_or("b").alias("mask"))
         )
         pdf = words.toPandas()
-        bits64 = np.zeros(m // 64, dtype=np.int64)
+        # explicit byte extraction (no int64 .view — that would bake the
+        # driver's endianness into the byte layout the probe UDF reads):
+        # bit p lives in byte p//8 at bit p%8, always
+        bits = np.zeros(m // 8, dtype=np.uint8)
         if len(pdf):
-            bits64[pdf["w"].to_numpy()] = pdf["mask"].to_numpy()
-        self._bits = bits64.view(np.uint8)  # little-endian: bit p == byte p//8, bit p%8
+            w = pdf["w"].to_numpy().astype(np.int64)
+            masks = pdf["mask"].to_numpy().astype(np.uint64)
+            for s in range(8):
+                bits[w * 8 + s] = (masks >> np.uint64(8 * s)) & np.uint64(0xFF)
+        self._bits = bits
 
     def might_contain_udf(self):
         bits, m, k = self._bits, self.m, self.k

@@ -246,4 +246,4 @@ def host_col(url_col: Column) -> Column:
     Used on hot paths where the full URLUtil semantics aren't needed:
     ``parse_url`` runs in the JVM (no Python round-trip).
     """
-    return F.lower(F.parse_url(url_col, F.lit("HOST")))
+    return F.lower(F.try_parse_url(url_col, F.lit("HOST")))

@@ -229,3 +229,27 @@ def test_sessionize_late_event_bridges_sessions():
     out = pd.concat(list(fn((1,), iter([]), st)))
     got = [(r.session_start_ms, r.session_end_ms, r.n_events) for r in out.itertuples()]
     assert got == [(200, 1000, 4)]
+
+
+def test_sessionize_watermark_boundary_event_still_joins():
+    """An event at exactly ms == watermark == last+gap is admissible
+    (Spark keeps ts >= watermark), so the session must NOT be sealed at
+    <=: sealing is strict <."""
+    import pandas as pd
+
+    from nutch_spark.streaming.sessionize import _session_fn
+
+    fn = _session_fn(300)
+    st = _FakeState()
+    st._wm = 0
+    list(fn((1,), iter([pd.DataFrame([(0, 1.0)], columns=["ms", "v"])]), st))
+    # watermark lands exactly on last+gap: session [0,0] must stay open
+    st._wm = 300
+    out = pd.concat(list(fn((1,), iter([pd.DataFrame([(300, 1.0)], columns=["ms", "v"])]), st)))
+    assert len(out) == 0 and st.exists
+    assert st.timeout > 300  # Spark requires timeout > watermark
+    st.hasTimedOut = True
+    st._wm = 1000
+    final = pd.concat(list(fn((1,), iter([]), st)))
+    got = [(r.session_start_ms, r.session_end_ms, r.n_events) for r in final.itertuples()]
+    assert got == [(0, 300, 2)]  # one merged session, as the batch twin

@@ -136,3 +136,40 @@ def test_fast_filter(spark):
     for u, want in expect.items():
         assert got[u] == want, u
         assert f.accept(u) == want, u
+
+
+def test_java_invalid_python_valid_falls_back(spark):
+    """A Python-valid regex Java can't compile (conditional group) must
+    take the pandas fallback, not crash the executor at rlike time."""
+    rules = [r"+(a)?(?(1)b|c)", "-."]
+    assert not java_translatable(rules[0][1:])
+    got = _spark_accepts(spark, rules, ["ab", "c", "zzz", None])
+    py = RegexURLFilter(rules)
+    for u in ["ab", "c", "zzz", None]:
+        assert got[u] == py.accept(u), u
+
+
+def test_twins_agree_on_edge_urls(spark):
+    """cond() and accept() must agree on NULL, scheme-less, and
+    port/userinfo URLs (reference: URL parse failure => reject; host
+    comparison is port-less)."""
+    edge = [
+        None,
+        "/doc/1",                            # no scheme
+        "not a url",
+        "http://www.example.com:8080/private/x",   # port, host rule must fire
+        "http://user@lucene.apache.org/x",         # userinfo
+    ]
+    fast = FastURLFilter(FAST_RULES)
+    dom = DomainURLFilter(DOMAINS)
+    df = spark.createDataFrame([(u,) for u in edge], "url string")
+    got_fast = {r["url"]: r["ok"] for r in
+                df.select("url", fast.cond(F.col("url")).alias("ok")).collect()}
+    got_dom = {r["url"]: r["ok"] for r in
+               df.select("url", dom.cond(F.col("url")).alias("ok")).collect()}
+    for u in edge:
+        assert got_fast[u] == fast.accept(u), ("fast", u)
+        assert got_dom[u] == dom.accept(u), ("dom", u)
+    assert fast.accept("/doc/1") is False                       # unparseable
+    assert fast.accept("http://www.example.com:8080/private/x") is False  # host rule
+    assert dom.accept("http://user@lucene.apache.org/x") is True
