@@ -891,6 +891,43 @@ def q_fetch_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_fetch.select("url", "status")
 
 
+def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 WARC export (WARCExporter.java:184-249): WARC/1.0 resource
+    records over the canonical span payload of cycle-1 successful
+    fetches, record ids md5-derived (documented deviation from the
+    reference's random UUIDs — the injected-determinism rule), dates
+    from the politeness clock. The oracle rebuilds each record string
+    byte-for-byte."""
+    from nutch_spark.operators.fetchsim import fetch, fetched_content
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject_full
+    from nutch_spark.operators.warc import warc_records
+
+    cfg = replace(CFG, fetch_partitions=8)
+    docs, robots, outcomes, seeds = _web(spark, sf_dir)
+    db = inject_full(spark, None, seeds, cfg, GEN_NOW)
+    fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=8)
+    crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW)
+    content = fetched_content(crawl_fetch, docs)
+    return warc_records(content)
+
+
+def q_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 indexing job (IndexerMapReduce.java:197-320 +
+    BasicIndexingFilter.java:72-131): NutchDocument rows for
+    db_fetched/db_notmodified pages — domain/host/content/title/tstamp
+    plus digest and boost."""
+    from nutch_spark.operators.indexer import index_documents
+
+    db = _crawldb(_docs(spark, sf_dir))
+    ptext = _docs(spark, sf_dir).select(_url_col().alias("url"), F.col("text"))
+    out = index_documents(db, ptext, CFG)
+    return out.select(
+        "url", "domain", "host", "content", "title", "tstamp", "digest",
+        F.col("boost").cast("double").alias("boost"),
+    )
+
+
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → minhash → band →
     bucket-join → Jaccard verify), ml/dedup.py; md5-derived hashing, so
@@ -982,6 +1019,9 @@ def _with_engine_conf(fn: Callable) -> Callable:
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # timestamp rendering (WARC dates, sitemap lastmod) must be UTC
+        # regardless of the driver session's locale
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return fn(spark, sf_dir)
 
     return wrapped
@@ -1028,6 +1068,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fetch_statuses": q_fetch_statuses,
         "parse_outlinks": q_parse_outlinks,
         "span_signature": q_span_signature,
+        "warc_export": q_warc_export,
+        "index_docs": q_index_docs,
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
@@ -1261,6 +1303,59 @@ cq AS (
   FROM q
 )
 SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time FROM cq
+"""
+
+# WARC record replay: successes of the politeness fetch, record string
+# rebuilt byte-for-byte — payload is the span serialization (same string
+# the span_signature oracle digests), id = uuid-formatted
+# md5(url|fetch_time), date from the clock (container tz is UTC on both
+# engines; make_timestamp renders UTC-naive)
+_WARC_ORACLE = f"""
+WITH {_POLITENESS_CTES},
+dn AS (SELECT COUNT(*) AS n FROM documents),
+cc AS (
+  SELECT did, url, status,
+    COALESCE(SUM(latency + delay_ms) OVER (
+      PARTITION BY host_id ORDER BY url_hash, url
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM h
+),
+b AS (
+  SELECT cc.url, CAST({GEN_NOW} + cc.pfx AS BIGINT) AS ft, d.text,
+    (cc.did * 7 + 1) % dn.n AS tgt, cc.did % 20 AS hh, cc.did
+  FROM cc JOIN documents d ON d.doc_id = cc.did, dn
+  WHERE cc.status = 33
+),
+p AS (
+  SELECT url, ft,
+    'text' || chr(30) || substr(text, 1, 120) || chr(30) || '' || chr(30) || '0'
+    || chr(31) ||
+    'link' || chr(30) || 'anchor ' || CAST(tgt AS VARCHAR) || chr(30)
+      || 'http://host' || CAST(tgt % 20 AS VARCHAR) || '.example.com/doc/'
+      || CAST(tgt AS VARCHAR) || chr(30) || '1'
+    || chr(31) ||
+    'media' || chr(30) || 'img' || chr(30)
+      || 'http://host' || CAST(hh AS VARCHAR) || '.example.com/media/'
+      || CAST(did AS VARCHAR) || '.img' || chr(30) || '2' AS payload
+  FROM b
+),
+r AS (
+  SELECT url, ft, payload, md5(url || '|' || CAST(ft AS VARCHAR)) AS hx FROM p
+)
+SELECT url,
+  'WARC/1.0' || chr(13) || chr(10)
+  || 'WARC-Record-ID: <urn:uuid:'
+  || substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' || substr(hx, 13, 4)
+  || '-' || substr(hx, 17, 4) || '-' || substr(hx, 21, 12)
+  || '>' || chr(13) || chr(10)
+  || 'Content-Length: ' || CAST(strlen(payload) AS VARCHAR) || chr(13) || chr(10)
+  || 'WARC-Date: ' || strftime(make_timestamp(ft * 1000), '%Y-%m-%dT%H:%M:%SZ')
+  || chr(13) || chr(10)
+  || 'WARC-Type: resource' || chr(13) || chr(10)
+  || 'WARC-Target-URI: ' || replace(url, ' ', '%20') || chr(13) || chr(10)
+  || chr(13) || chr(10)
+  || payload || chr(13) || chr(10) || chr(13) || chr(10) AS record
+FROM r
 """
 
 # F10 replay on top of the politeness clock (single fetch partition):
@@ -1512,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["multimodal_features"] = _MULTIMODAL_ORACLE
     oracles["fetch_politeness"] = _FETCH_POLITENESS_ORACLE
     oracles["fetch_politeness_byip"] = _FETCH_POLITENESS_BYIP_ORACLE
+    oracles["warc_export"] = _WARC_ORACLE
     oracles["fetch_throughput"] = _FETCH_THROUGHPUT_ORACLE
     oracles["crawl_cycle"] = _CRAWL_CYCLE_ORACLE
     oracles["lsh_topk"] = _lsh_oracle()
@@ -1801,6 +1897,22 @@ SELECT 'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
   COUNT(*) FILTER (WHERE status <> 1) AS n_tried,
   MAX(fetch_time) AS last_fetch_time
 FROM crawldb GROUP BY 1
+""",
+        # ---- S9 indexing job ----------------------------------------------
+        # indexable = db_fetched/db_notmodified; fields per
+        # BasicIndexingFilter (domain/host/content/title/tstamp) + the
+        # IndexerMapReduce digest/boost stamps
+        "index_docs": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url,
+  'example.com' AS domain,
+  'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+  regexp_replace(substr(text, 1, 10000), '[\\x00-\\x1f\\x7f]', ' ', 'g') AS content,
+  regexp_replace(substr(text, 1, 100), '[\\x00-\\x1f\\x7f]', ' ', 'g') AS title,
+  fetch_time AS tstamp,
+  signature AS digest,
+  CAST(score AS DOUBLE) AS boost
+FROM crawldb WHERE status IN (2, 6)
 """,
         # ---- T7 404 purge -------------------------------------------------
         "crawldb_404_purge": f"""
