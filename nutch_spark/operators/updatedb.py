@@ -458,11 +458,13 @@ def updatedb_incremental(
     """
     if crawldb is None:
         return updatedb(None, segment_rows, cfg, now_ms, **kw)
-    from nutch_spark.urls.urlseen import BloomBitmap, FingerprintSet
+    from nutch_spark.urls.urlseen import BloomBitmap, CuckooFilter, FingerprintSet
 
     seg_urls = segment_rows.select("url")
     if membership == "bloom":
         seen = BloomBitmap(seg_urls, fpp=bloom_fpp)
+    elif membership == "cuckoo":
+        seen = CuckooFilter(seg_urls)
     else:
         seen = FingerprintSet(seg_urls)
     touched, untouched = seen.split(crawldb)

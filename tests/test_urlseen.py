@@ -68,3 +68,66 @@ def test_updatedb_incremental_equals_exact(spark):
     exact = snap(updatedb(old, seg, cfg, 9000))
     for kind in ("fingerprint", "bloom"):
         assert snap(updatedb_incremental(old, seg, cfg, 9000, membership=kind)) == exact
+
+
+def test_cuckoo_split_no_false_negatives(spark):
+    from nutch_spark.urls.urlseen import CuckooFilter
+
+    big = _urls(spark, 2000)
+    small = big.filter(F.col("url").endswith("3"))
+    ck = CuckooFilter(small, partitions=3)  # multi-partition build path
+    maybe, not_in = ck.split(big)
+    m = {r["url"] for r in maybe.collect()}
+    n = {r["url"] for r in not_in.collect()}
+    truth = {r["url"] for r in small.collect()}
+    assert truth <= m  # no false negatives, ever
+    assert m | n == {r["url"] for r in big.collect()} and not (m & n)
+    # 16-bit fingerprints: fpp ~ 0.02%; generous bound
+    fp = len(m - truth) / max(1, len(n) + len(m - truth))
+    assert fp < 0.01
+
+
+def test_cuckoo_empty_and_high_load(spark):
+    from nutch_spark.urls.urlseen import CuckooFilter
+
+    big = _urls(spark, 300)
+    # empty member set: everything lands in not_member
+    empty = big.filter(F.lit(False))
+    maybe, not_in = CuckooFilter(empty).split(big)
+    assert maybe.count() == 0 and not_in.count() == 300
+    # single partition at high load exercises the eviction/grow path
+    ck = CuckooFilter(_urls(spark, 5000), partitions=1, load=0.95)
+    m, _ = ck.split(_urls(spark, 5000))
+    assert m.count() == 5000
+
+
+def test_updatedb_incremental_cuckoo_equals_exact(spark):
+    cfg = NutchConfig()
+    cols = (
+        "url string, status int, fetch_time long, retries int, fetch_interval int,"
+        " score float, signature string, modified_time long,"
+        " metadata map<string,string>, gen_time long, repr_url string"
+    )
+    old = spark.createDataFrame(
+        [
+            ("u1", 1, 1000, 0, 3600, 1.0, None, 0, {}, None, None),
+            ("u2", 2, 1000, 0, 3600, 2.0, "sig2", 0, {}, None, None),
+            ("u3", 1, 1000, 1, 3600, 0.5, None, 0, {}, None, None),
+        ],
+        cols,
+    )
+    seg = spark.createDataFrame(
+        [
+            ("u1", 0x21, 5000, 0, 3600, 1.0, "new", 0, {}, None, None),
+            ("u9", 0x43, 5000, 0, 3600, 0.25, None, 0, {}, None, None),
+        ],
+        cols,
+    )
+
+    def snap(df):
+        return sorted(
+            (r["url"], r["status"], r["fetch_time"], r["score"]) for r in df.collect()
+        )
+
+    exact = snap(updatedb(old, seg, cfg, 9000))
+    assert snap(updatedb_incremental(old, seg, cfg, 9000, membership="cuckoo")) == exact
