@@ -23,6 +23,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import replace
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -630,6 +632,129 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8, k=3)
 
 
+def q_urlnorm_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional normalizer chain (urlnormalizer-querystring/-protocol/
+    -host plugins, urls/normalizer.py): sort query params, force
+    per-host scheme, canonicalize host aliases — applied as a
+    composed chain in one Arrow-batched pandas UDF over synthetic
+    URLs derived from doc_id."""
+    from nutch_spark.urls.normalizer import (
+        apply_extra_normalizers,
+        host_normalize,
+        protocol_normalize,
+        querystring_normalize,
+    )
+    from functools import partial
+
+    protocols = {"example.org": "http", "*.example.io": "https"}
+    hosts = {
+        "www.example.net": "example.net",
+        "*.example.com": "example.com",
+        "example.org": "www.example.org",
+    }
+    steps = [
+        querystring_normalize,
+        partial(protocol_normalize, rules=protocols),
+        partial(host_normalize, rules=hosts),
+    ]
+
+    @F.pandas_udf("string")
+    def _chain(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: apply_extra_normalizers(u, steps))
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 4 == 0, "www.example.net")
+        .when(d % 4 == 1, "example.org")
+        .when(d % 4 == 2, "sub.example.com")
+        .otherwise("plain.example.io")
+    )
+    q = (
+        F.when(d % 3 == 0, F.concat(F.lit("?b=2&a="), d.cast("string")))
+        .when(d % 3 == 1, F.lit("?a=1"))
+        .otherwise(F.lit(""))
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/p/"), d.cast("string"), q
+        ).alias("url")
+    )
+    return urls.select("url", _chain(F.col("url")).alias("normalized"))
+
+
+def q_depth_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoring-depth plugin (DepthScoringFilter.java): parents at their
+    depth limit contribute no outlinks; surviving links stamp
+    depth+1; newly discovered URLs take min(parent depth)+1 through
+    updatedb; the generator sort value is boosted by remaining depth
+    (operators/depth.py). Parents = doc_id%5==0 at depths 1-3 with
+    maxdepth 3 (depth-3 parents are gated); each target doc_id%5 in
+    (1,2) is linked by its two flanking parents."""
+    from nutch_spark.operators.depth import (
+        DEPTH_KEY,
+        MAX_DEPTH_KEY,
+        depth_gate_outlinks,
+        depth_sort_value,
+        patch_new_url_depth,
+    )
+    from nutch_spark.operators.updatedb import updatedb
+
+    cfg = replace(CFG, scoring_depth_enabled=True, scoring_depth_max=3)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    depth = (F.lit(1) + ((F.col("doc_id") % 15) / 5).cast("int")).cast("int")
+    parents = docs.filter(F.col("doc_id") % 5 == 0).select(
+        _url_col().alias("url"),
+        F.lit(2).cast("int").alias("status"),
+        F.lit(FT_BASE).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(2592000).cast("int").alias("fetch_interval"),
+        ((F.col("doc_id") % 64) / 4.0).cast("float").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.map_from_arrays(
+            F.array(F.lit(DEPTH_KEY), F.lit(MAX_DEPTH_KEY)),
+            F.array(depth.cast("string"), F.lit("3")),
+        ).alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        F.lit(None).cast("string").alias("repr_url"),
+    )
+    t = docs.filter((F.col("doc_id") % 5).isin(1, 2))
+    lo = t.select(F.col("doc_id").alias("t"),
+                  (F.col("doc_id") - F.col("doc_id") % 5).alias("p"))
+    hi = t.select(
+        F.col("doc_id").alias("t"),
+        (F.col("doc_id") - F.col("doc_id") % 5 + 5).alias("p"),
+    ).join(docs.select(F.col("doc_id").alias("p")), "p", "left_semi")
+    pairs = lo.unionByName(hi)
+    link_rows = pairs.select(
+        _url_col(F.col("t")).alias("url"),
+        F.lit(0x43).cast("int").alias("status"),
+        F.lit(FETCH_TS).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(2592000).cast("int").alias("fetch_interval"),
+        ((F.col("p") % 16) / 4.0 + 0.25).cast("float").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        _empty_meta().alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        F.lit(None).cast("string").alias("repr_url"),
+        F.lit(None).cast("string").alias("anchor"),
+        _url_col(F.col("p")).alias("from_url"),
+    )
+    gated = depth_gate_outlinks(link_rows, parents, cfg)
+    merged = updatedb(parents, gated.select(*_DATUM_SELECT), cfg, UPD_NOW)
+    patched = patch_new_url_depth(merged, parents, gated, cfg)
+    return patched.select(
+        "url", "status", "fetch_time", "retries", "fetch_interval",
+        F.col("score").cast("double").alias("score"),
+        F.element_at("metadata", DEPTH_KEY).cast("int").alias("depth"),
+        F.element_at("metadata", MAX_DEPTH_KEY).cast("int").alias("maxdepth"),
+        depth_sort_value(F.col("score"), F.col("metadata"), cfg)
+        .cast("double")
+        .alias("gen_sort"),
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embeddings table
     (ml/similarity.py); double-precision, sequential fold — exactly
@@ -917,14 +1042,22 @@ def q_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BasicIndexingFilter.java:72-131): NutchDocument rows for
     db_fetched/db_notmodified pages — domain/host/content/title/tstamp
     plus digest and boost."""
-    from nutch_spark.operators.indexer import index_documents
+    from nutch_spark.operators.indexer import index_documents, subcollections_col
 
     db = _crawldb(_docs(spark, sf_dir))
     ptext = _docs(spark, sf_dir).select(_url_col().alias("url"), F.col("text"))
     out = index_documents(db, ptext, CFG)
+    collections = [
+        {"name": "docs-low", "whitelist": ["/doc/1", "/doc/2"],
+         "blacklist": ["/doc/12"]},
+        {"name": "host-five", "whitelist": ["host5.example.com", "host15."]},
+    ]
     return out.select(
         "url", "domain", "host", "content", "title", "tstamp", "digest",
         F.col("boost").cast("double").alias("boost"),
+        F.array_join(
+            subcollections_col(F.col("url"), collections), " "
+        ).alias("subcollection"),
     )
 
 
@@ -961,6 +1094,24 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_bucket_topk(e, q, k=10, dim=64, n_bits=6, tables=2)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN (ml/similarity.py): corpus bucketed by
+    nearest of 16 deterministic seed centroids (the md5-ordered
+    sample), queries probe their 4 nearest cells, exact cosine re-rank
+    inside. Seed centroids + sequential-fold cosine make the whole
+    operator replayable in ANSI SQL; double precision on both sides."""
+    from nutch_spark.ml.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=10, n_centroids=16, n_probe=4)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,6 +1210,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "exact_dup_groups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "depth_gate": q_depth_gate,
+        "urlnorm_extras": q_urlnorm_extras,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "crawl_cycle": q_crawl_cycle,
@@ -1073,6 +1226,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal,
     }
@@ -1611,8 +1765,150 @@ def oracle_sql() -> dict[str, str]:
     oracles["fetch_throughput"] = _FETCH_THROUGHPUT_ORACLE
     oracles["crawl_cycle"] = _CRAWL_CYCLE_ORACLE
     oracles["lsh_topk"] = _lsh_oracle()
+    oracles["ivf_topk"] = _IVF_TOPK_ORACLE
+    oracles["depth_gate"] = _DEPTH_GATE_ORACLE
+    oracles["urlnorm_extras"] = _URLNORM_EXTRAS_ORACLE
     oracles["embedding_near_dups"] = _embedding_near_dup_oracle()
     return oracles
+
+
+# IVF replay: seed centroids are the 16 lowest-md5(vec_id) vectors;
+# assignment/probing order by RAW cosine (ties -> lowest centroid id),
+# matching Spark's struct-max over (sim, -cid); the final re-rank sorts
+# by the 6-dp rounded value exactly like embedding_topk. All dot/norm
+# folds are sequential list_reduce — bit-identical to F.aggregate.
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]),"
+    " (x, y) -> x + y)"
+)
+_NRM = "sqrt(list_reduce(list_transform({a}, v -> v * v), (x, y) -> x + y))"
+_COS = f"({_DOT} / ({_NRM.format(a='{a}')} * {_NRM.format(a='{b}')}))"
+
+# extra-normalizer replay: the oracle states the expected output of the
+# querystring -> protocol -> host chain directly (query params 'b=2','a=N'
+# sort to a-then-b; example.org forced to http then aliased to
+# www.example.org; sub.example.com collapsed by the *.example.com
+# wildcard; plain.example.io forced to https by *.example.io).
+_URLNORM_EXTRAS_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'www.example.net' WHEN 1 THEN 'example.org'
+         WHEN 2 THEN 'sub.example.com' ELSE 'plain.example.io' END AS h,
+    CASE doc_id % 3 WHEN 0 THEN '?b=2&a=' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '?a=1' ELSE '' END AS q,
+    CASE doc_id % 3 WHEN 0 THEN '?a=' || CAST(doc_id AS VARCHAR) || '&b=2'
+         WHEN 1 THEN '?a=1' ELSE '' END AS q_sorted
+  FROM documents
+)
+SELECT
+  'http://' || h || '/p/' || CAST(doc_id AS VARCHAR) || q AS url,
+  CASE doc_id % 4
+    WHEN 0 THEN 'http://example.net'
+    WHEN 1 THEN 'http://www.example.org'
+    WHEN 2 THEN 'http://example.com'
+    ELSE 'https://plain.example.io' END
+  || '/p/' || CAST(doc_id AS VARCHAR) || q_sorted AS normalized
+FROM u
+"""
+
+
+# scoring-depth replay: parents doc_id%5==0 (depth 1 + (doc_id%15)/5,
+# maxdepth 3; depth-3 parents gated), targets doc_id%5 in (1,2) linked
+# by both flanking parents; new URLs take the linked_new updatedb path
+# (status 1, fetch_time=now, score = sum of surviving link scores —
+# dyadic quarters, so the float32 fold is exact) and min(parent)+1
+# depth; gen_sort = score * (1 + maxdepth - depth).
+_DEPTH_GATE_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents),
+par AS (
+  SELECT doc_id,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    CAST(1 + (doc_id % 15) / 5 AS INTEGER) AS depth,
+    (doc_id % 64) / 4.0 AS score
+  FROM d WHERE doc_id % 5 = 0
+),
+tl AS (
+  SELECT doc_id AS t, doc_id - (doc_id % 5) AS p
+  FROM d WHERE doc_id % 5 IN (1, 2)
+  UNION ALL
+  SELECT doc_id, doc_id - (doc_id % 5) + 5
+  FROM d WHERE doc_id % 5 IN (1, 2)
+    AND EXISTS (SELECT 1 FROM d x WHERE x.doc_id = d.doc_id - (d.doc_id % 5) + 5)
+),
+links AS (
+  SELECT tl.t, par.depth + 1 AS ldepth, (tl.p % 16) / 4.0 + 0.25 AS lscore
+  FROM tl JOIN par ON par.doc_id = tl.p
+  WHERE par.depth < 3
+),
+newu AS (
+  SELECT t, CAST(sum(lscore) AS DOUBLE) AS score,
+    CAST(min(ldepth) AS INTEGER) AS depth
+  FROM links GROUP BY t
+)
+SELECT url, status, fetch_time, retries, fetch_interval, score, depth,
+  CAST(3 AS INTEGER) AS maxdepth,
+  CAST(score * (1 + 3 - depth) AS DOUBLE) AS gen_sort
+FROM (
+  SELECT url, CAST(2 AS INTEGER) AS status,
+    CAST({FT_BASE} AS BIGINT) AS fetch_time, CAST(0 AS INTEGER) AS retries,
+    CAST(2592000 AS INTEGER) AS fetch_interval, CAST(score AS DOUBLE) AS score,
+    depth
+  FROM par
+  UNION ALL
+  SELECT
+    'http://host' || CAST(t % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(t AS VARCHAR) AS url,
+    CAST(1 AS INTEGER), CAST({UPD_NOW} AS BIGINT), CAST(0 AS INTEGER),
+    CAST(2592000 AS INTEGER), score, depth
+  FROM newu
+)
+"""
+
+_IVF_TOPK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS cid,
+    emb AS cemb
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+asg AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT x.vec_id, x.emb, c.cid, row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY {_COS.format(a='x.emb', b='c.cemb')} DESC, c.cid ASC) AS rn
+    FROM e x CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+qprobe AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT q.query_id, q.qe, c.cid, row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY {_COS.format(a='q.qe', b='c.cemb')} DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 4
+),
+p AS (
+  SELECT qp.query_id, a.vec_id,
+    {_DOT.format(a='a.emb', b='qp.qe')} AS dp,
+    {_NRM.format(a='a.emb')} AS na,
+    {_NRM.format(a='qp.qe')} AS nq
+  FROM asg a JOIN qprobe qp USING (cid)
+  WHERE a.vec_id <> qp.query_id
+),
+r AS (
+  SELECT query_id, vec_id, round(dp / (na * nq), 6) AS cosine_sim,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY round(dp / (na * nq), 6) DESC, vec_id ASC
+    ) AS INTEGER) AS rank
+  FROM p
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 10
+"""
 
 
 def _build_oracles(lang_best, lang_case, lang_counts, en_stop) -> dict[str, str]:
@@ -1911,7 +2207,13 @@ SELECT url,
   regexp_replace(substr(text, 1, 100), '[\\x00-\\x1f\\x7f]', ' ', 'g') AS title,
   fetch_time AS tstamp,
   signature AS digest,
-  CAST(score AS DOUBLE) AS boost
+  CAST(score AS DOUBLE) AS boost,
+  COALESCE(array_to_string(list_filter([
+    CASE WHEN (url LIKE '%/doc/1%' OR url LIKE '%/doc/2%')
+          AND url NOT LIKE '%/doc/12%' THEN 'docs-low' END,
+    CASE WHEN url LIKE '%host5.example.com%' OR url LIKE '%host15.%'
+         THEN 'host-five' END
+  ], x -> x IS NOT NULL), ' '), '') AS subcollection
 FROM crawldb WHERE status IN (2, 6)
 """,
         # ---- T7 404 purge -------------------------------------------------

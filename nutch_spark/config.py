@@ -83,6 +83,12 @@ class NutchConfig:
     dedup_compare_order: str = "score,fetchTime,urlLength"
     dedup_group_mode: str = "none"  # none | host | domain
 
+    # --- scoring-depth plugin (DepthScoringFilter) ---
+    scoring_depth_enabled: bool = False  # plugin.includes ~ scoring-depth
+    scoring_depth_max: int = 1000  # scoring.depth.max
+    scoring_depth_override_pattern: str | None = None  # scoring.depth.override.pattern
+    scoring_depth_max_override: int = 10  # scoring.depth.max.override
+
     # --- linkdb ---
     linkdb_max_inlinks: int = 10000  # linkdb.max.inlinks
     linkdb_max_anchor_length: int = 100  # linkdb.max.anchor.length

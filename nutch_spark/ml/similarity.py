@@ -167,3 +167,132 @@ def lsh_bucket_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _centroid_seeds(embeddings: DataFrame, n_centroids: int) -> list:
+    """Deterministic centroid seeds: the `n_centroids` corpus vectors
+    with the lowest md5(vec_id) — an order-stable uniform sample
+    (TakeOrdered prune, no global sort materialized). Returns
+    [(centroid_id 1..C, [float dims])] collected to the driver (C is a
+    small constant; the centroid table must broadcast anyway)."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i + 1, [float(v) for v in r["embedding"]]) for i, r in enumerate(rows)]
+
+
+def _sim_structs(emb: Column, centroids: list) -> Column:
+    """Array of (cosine vs centroid, -centroid_id) structs — raw-double
+    cosine so ordering ties break exactly like the SQL oracle's
+    (sim DESC, centroid_id ASC)."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(emb, F.array(*[F.lit(v) for v in vec])).alias("s"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list, emb_col: str = "embedding") -> DataFrame:
+    """Add `cluster` = nearest-centroid id (IVF coarse quantizer). Pure
+    map-side JVM column arithmetic against centroid literals — no
+    shuffle, no Python; at 10^9+ corpus rows this is the whole cost of
+    list building. For centroid counts too large for literal expressions
+    (>~256) use a broadcast join + groupBy(vec_id) max_by instead."""
+    best = F.array_max(_sim_structs(F.col(emb_col), centroids))
+    return embeddings.withColumn("cluster", -best["nid"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the cell-probe
+    counterpart to ``lsh_bucket_topk``: the corpus is bucketed by
+    nearest centroid (coarse quantizer), each query probes only its
+    `n_probe` closest cells, and candidates get an exact cosine
+    re-rank. Returns (query_id, vec_id, cosine_sim, rank).
+
+    Scale shape: assignment is map-only (centroid literals); the
+    candidate join broadcasts (query × probed-cell) pairs against the
+    cluster-keyed corpus; re-rank windows partition by query_id. The
+    only data-sized pass is one corpus scan. Centroids default to the
+    deterministic md5-ordered seed sample (so the whole operator is
+    replayable in ANSI SQL); pass ``centroids`` from :func:`ivf_train`
+    for Lloyd-refined cells."""
+    if centroids is None:
+        centroids = _centroid_seeds(embeddings, n_centroids)
+    c = ivf_assign(
+        embeddings.select("vec_id", F.col("embedding").alias("c_emb")),
+        centroids,
+        "c_emb",
+    )
+    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+    # each query probes its n_probe nearest cells
+    probed = q.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_sim_structs(F.col("q_emb"), centroids))),
+                1,
+                n_probe,
+            )
+        ).alias("p"),
+    ).select("query_id", "q_emb", (-F.col("p.nid")).alias("cluster"))
+    cand = c.join(F.broadcast(probed), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 2
+) -> list:
+    """Lloyd refinement of the deterministic seed centroids: assign
+    every corpus vector to its nearest cell, recompute each centroid as
+    the element-wise mean of its members (empty cells keep their
+    previous centroid). One shuffle per iteration — posexplode by
+    dimension, groupBy(cluster, dim) avg, re-assembled with an ordered
+    collect — all JVM. Returns [(centroid_id, [dims])] for
+    :func:`ivf_topk`'s ``centroids`` argument.
+
+    Means use float64 partial sums whose order Spark does not fix, so
+    trained centroids are *approximately* reproducible (~1 ulp) — use
+    the untrained seeds where bit-exact replay matters (the oracle
+    contract), trained cells where recall matters."""
+    cents = _centroid_seeds(embeddings, n_centroids)
+    e = embeddings.select("vec_id", "embedding")
+    for _ in range(iters):
+        asg = ivf_assign(e, cents)
+        means = (
+            asg.select("cluster", F.posexplode("embedding").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))), lambda x: x["m"]
+                ).alias("c")
+            )
+            .collect()
+        )
+        got = {int(r["cluster"]): [float(v) for v in r["c"]] for r in means}
+        cents = [(cid, got.get(cid, vec)) for cid, vec in cents]
+    return cents

@@ -79,6 +79,14 @@ def select_eligible(
     )
     # OPIC generatorSortValue = score * initSort(1.0f)
     df = df.withColumn("sort", (F.col("score") * F.lit(1.0).cast("float")).cast("float"))
+    if cfg.scoring_depth_enabled:
+        # DepthScoringFilter.generatorSortValue chained after OPIC:
+        # boost by remaining depth budget (scoring-depth plugin)
+        from nutch_spark.operators.depth import depth_sort_value
+
+        df = df.withColumn(
+            "sort", depth_sort_value(F.col("sort"), F.col("metadata"), cfg)
+        )
     if expr:
         df = df.filter(F.expr(expr))
     # NOTE: per the fork rule above, restrict-status is only reachable

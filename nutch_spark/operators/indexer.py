@@ -80,3 +80,34 @@ def writer_passthrough(docs: DataFrame):
     ``writer_passthrough(docs).format("kafka")...save()`` — the
     indexer-kafka/solr/es plugins become Spark connectors."""
     return docs.write
+
+
+def subcollections_col(url: Column, collections: list[dict]) -> Column:
+    """subcollection plugin (``subcollection/.../Subcollection.java:184-201``
+    + ``SubcollectionIndexingFilter.java``): a URL belongs to a named
+    collection when NO blacklist substring matches and ANY whitelist
+    substring does; the indexer emits the matching collection names.
+
+    ``collections``: [{"name", "whitelist": [...], "blacklist": [...],
+    "case_insensitive": bool}] (the parsed subcollections.xml). Pure JVM
+    ``contains`` chains over broadcast-size rule literals — zero Python,
+    zero shuffle; returns array<string> of matching names in definition
+    order (the reference's iteration order)."""
+    names = []
+    for c in collections:
+        u = F.lower(url) if c.get("case_insensitive") else url
+        def _c(s, cc=c):
+            return F.lit(s.lower() if cc.get("case_insensitive") else s)
+        black = [u.contains(_c(s)) for s in c.get("blacklist", [])]
+        white = [u.contains(_c(s)) for s in c.get("whitelist", [])]
+        # no blacklist hit AND some whitelist hit
+        black_hit = (
+            F.greatest(*black, F.lit(False), F.lit(False)) if black else F.lit(False)
+        )
+        white_hit = (
+            F.greatest(*white, F.lit(False), F.lit(False)) if white else F.lit(False)
+        )
+        names.append(F.when(~black_hit & white_hit, F.lit(c["name"])))
+    if not names:
+        return F.array().cast("array<string>")
+    return F.filter(F.array(*names), lambda x: x.isNotNull())

@@ -80,6 +80,10 @@ class Crawler:
         newdb = inject_full(
             self.spark, old, seeds, self.cfg, now_ms, url_filter_rules=self.url_filter_rules
         )
+        if self.cfg.scoring_depth_enabled:
+            from nutch_spark.operators.depth import inject_depth_meta
+
+            newdb = inject_depth_meta(newdb, self.cfg)
         n = newdb.count()
         self.catalog.commit(
             newdb, CRAWLDB, now_ms=now_ms,
@@ -112,9 +116,18 @@ class Crawler:
             "url", "status", "fetch_time", "retries", "fetch_interval", "score",
             "signature", "modified_time", "metadata", "gen_time", "repr_url",
         ]
+        crawl_parse = parsed["crawl_parse"]
+        if self.cfg.scoring_depth_enabled:
+            # scoring-depth: a page at its depth limit contributes no
+            # outlinks; survivors are stamped depth+1 (operators/depth.py)
+            from nutch_spark.operators.depth import depth_gate_outlinks
+
+            crawl_parse = depth_gate_outlinks(
+                crawl_parse, crawl_fetch.select("url", "metadata"), self.cfg
+            )
         segment_rows = (
             crawl_fetch.select(*datum_cols)
-            .unionByName(parsed["crawl_parse"].select(*datum_cols))
+            .unionByName(crawl_parse.select(*datum_cols))
             .unionByName(redirect_links.select(*datum_cols))
         )
 
@@ -122,6 +135,13 @@ class Crawler:
         # bloom/fingerprint URL-seen split: untouched CrawlDb rows bypass
         # the merge shuffle (north rule; row-identical to plain updatedb)
         newdb = updatedb_incremental(base_db, segment_rows, self.cfg, now_ms)
+        if self.cfg.scoring_depth_enabled:
+            # newly discovered URLs take min(parent depth)+1; redirect
+            # targets (no stamp) restart at depth 1 per initialScore
+            # (broadcast segment-scale join; no frontier shuffle)
+            from nutch_spark.operators.depth import patch_new_url_depth
+
+            newdb = patch_new_url_depth(newdb, base_db, segment_rows, self.cfg)
 
         # metrics (one extra pass each over small aggregates)
         fetched = crawl_fetch.count()

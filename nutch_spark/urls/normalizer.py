@@ -363,3 +363,206 @@ def normalize_udf(scope: str = "default"):
         return normalize_series(urls, scope)
 
     return _norm
+
+
+# ---------------------------------------------------------------------------
+# Optional per-deployment normalizers (urlnormalizer-querystring / -ajax /
+# -protocol / -slash / -host plugins). Off by default — the default chain
+# above stays Basic -> Regex like the reference's default config; these
+# compose after it via `apply_extra_normalizers`.
+# ---------------------------------------------------------------------------
+
+_SPLIT_RE = re.compile(
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://(?P<host>[^/:?#]*)(?::(?P<port>\d+))?"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#(?P<frag>.*))?$",
+    re.S,
+)
+
+
+def querystring_normalize(url: str | None, scope: str = "default") -> str | None:
+    """urlnormalizer-querystring (QuerystringURLNormalizer.java:44-77):
+    sort query parameters alphabetically so permuted duplicates
+    collapse to one URL."""
+    if url is None:
+        return None
+    m = _SPLIT_RE.match(url)
+    if not m or m.group("query") is None:
+        return url
+    q = "&".join(sorted(m.group("query").split("&")))
+    base, _, rest = url.partition("?")
+    frag = ""
+    if "#" in rest:
+        frag = "#" + rest.split("#", 1)[1]
+    return f"{base}?{q}{frag}"
+
+
+def _ajax_escape(fragment: str) -> str:
+    """AjaxURLNormalizer.escape (:214-243): %-encode control/space,
+    '#', '%', '&', '+' and all non-ASCII UTF-8 bytes, uppercase hex."""
+    out = []
+    for b in fragment.encode("utf-8"):
+        if b >= 128 or b < 33 or b in (0x23, 0x25, 0x26, 0x2B):
+            out.append("%%%02X" % b)
+        else:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def ajax_normalize(url: str | None, scope: str = "default") -> str | None:
+    """urlnormalizer-ajax (AjaxURLNormalizer.java): crawl scopes map
+    ``#!fragment`` to ``?_escaped_fragment_=...`` (the crawlable AJAX
+    convention); the indexer scope maps it back."""
+    from urllib.parse import unquote_plus
+
+    if url is None:
+        return None
+    if scope == "indexer" and "_escaped_fragment_=" in url:
+        m = _SPLIT_RE.match(url)
+        if not m or m.group("query") is None:
+            return url
+        query = m.group("query")
+        amp = query.find("&")
+        if amp == -1:
+            kv, query = query, ""
+        else:
+            kv = query[amp + 1:]
+            query = query.replace("&" + kv, "", 1)
+        kv = kv.replace("_escaped_fragment_=", "", 1)
+        port = f":{m.group('port')}" if m.group("port") else ""
+        qs = f"?{query}" if query else ""
+        return (
+            f"{m.group('scheme')}://{m.group('host')}{port}{m.group('path')}"
+            f"{qs}#!{unquote_plus(kv)}"
+        )
+    if "#!" in url:
+        pos = url.index("#!")
+        head = url[:pos]
+        sep = "&" if "?" in head else "?"
+        return f"{head}{sep}_escaped_fragment_={_ajax_escape(url[pos + 2:])}"
+    return url
+
+
+def parse_kv_rules(text: str) -> dict[str, str]:
+    """Shared host<TAB|SPACE>value config format of the protocol / host
+    normalizer plugins (ProtocolURLNormalizer.readConfiguration):
+    blank lines and '#' comments skipped, >2 fields skipped."""
+    rules: dict[str, str] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        rules[parts[0]] = parts[1]
+    return rules
+
+
+_RFC1630 = re.compile(r"^[a-z](?:[a-z0-9$\-_@.&!*\"'(),]|%[0-9a-f]{2})*$", re.I)
+
+
+def protocol_normalize(
+    url: str | None, rules: dict[str, str], scope: str = "default"
+) -> str | None:
+    """urlnormalizer-protocol (ProtocolURLNormalizer.java): force the
+    configured scheme for listed hosts (exact) or ``*.domain`` entries
+    (suffix match, longest wins); URLs with an explicit port are left
+    unchanged. Invalid schemes in the rules are ignored (RFC 1630
+    validator, :62-65). Deviation: the fragment is preserved (the
+    reference's ``new URL(...)`` rebuild drops it)."""
+    if url is None:
+        return None
+    m = _SPLIT_RE.match(url)
+    if not m:
+        return url
+    if m.group("port"):
+        return url
+    host = m.group("host")
+    required = None
+    if host in rules:
+        required = rules[host]
+    else:
+        best = -1
+        for k, v in rules.items():
+            if k.startswith("*."):
+                suf = k[1:]  # ".domain"
+                if host.endswith(suf) and len(suf) > best:
+                    best, required = len(suf), v
+    if required is None or not _RFC1630.match(required) or m.group("scheme") == required:
+        return url
+    return required + url[len(m.group("scheme")):]
+
+
+def slash_normalize(
+    url: str | None, rules: dict[str, str], scope: str = "default"
+) -> str | None:
+    """urlnormalizer-slash (SlashURLNormalizer.java): per-host trailing
+    slash policy ('+' add / '-' remove); root URLs untouched; a slash
+    is only added when the last path segment has no file extension
+    (last '.' within 5 chars of the end, :106-109). Deviation: port
+    and fragment are preserved (the reference's string rebuild drops
+    them)."""
+    if url is None:
+        return None
+    m = _SPLIT_RE.match(url)
+    if not m or m.group("host") not in rules:
+        return url
+    path = m.group("path")
+    if len(path) <= 1:
+        return url
+    want_slash = rules[m.group("host")] == "+"
+    trailing = path.endswith("/")
+    if not trailing and want_slash:
+        dot = path.rfind(".")
+        if len(path) < 6 or dot == -1 or dot < len(path) - 6:
+            new_path = path + "/"
+        else:
+            return url
+    elif trailing and not want_slash:
+        new_path = path[: path.rfind("/")]
+    else:
+        return url
+    port = f":{m.group('port')}" if m.group("port") else ""
+    qs = f"?{m.group('query')}" if m.group("query") is not None else ""
+    frag = f"#{m.group('frag')}" if m.group("frag") is not None else ""
+    return f"{m.group('scheme')}://{m.group('host')}{port}{new_path}{qs}{frag}"
+
+
+def host_normalize(
+    url: str | None, rules: dict[str, str], scope: str = "default"
+) -> str | None:
+    """urlnormalizer-host (HostURLNormalizer.java): rewrite hosts to a
+    canonical form — exact entries first, then ``*.domain`` wildcards
+    probed from the TLD outwards (:60-93). Collapses www./no-www
+    duplicate sites."""
+    if url is None:
+        return None
+    m = _SPLIT_RE.match(url)
+    if not m:
+        return url
+    host = m.group("host")
+    target = rules.get(host)
+    if target is None:
+        parts = host.split(".")
+        buf = parts[-1]
+        for i in range(len(parts) - 2, 0, -1):
+            buf = parts[i] + "." + buf
+            if "*." + buf in rules:
+                target = rules["*." + buf]
+                break
+    if target is None or target == host:
+        return url
+    return url.replace("://" + host, "://" + target, 1)
+
+
+def apply_extra_normalizers(
+    url: str | None, steps: Iterable, scope: str = "default"
+) -> str | None:
+    """Run configured extra normalizers after the default chain; each
+    step is ``callable(url, scope) -> url|None`` (use functools.partial
+    to bind rule maps)."""
+    for step in steps:
+        if url is None:
+            return None
+        url = step(url, scope=scope)
+    return url

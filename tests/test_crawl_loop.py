@@ -84,3 +84,27 @@ def test_second_cycle_fetches_new_urls_only(spark, web, tmp_path):
     for r in db_after_2:
         if r["url"] in fetched_1 and db_after_1[r["url"]] == S.STATUS_DB_FETCHED:
             assert r["status"] != S.STATUS_DB_UNFETCHED
+
+
+def test_depth_limited_crawl_stops_expanding(spark, web, tmp_path):
+    """scoring-depth wired into the loop: with maxdepth=2 the frontier
+    holds only depth 1 (seeds + redirect targets, per initialScore) and
+    depth 2 (their outlinks); depth-2 pages contribute no outlinks."""
+    from nutch_spark.operators.depth import DEPTH_KEY
+
+    crawler, cat = make_crawler(
+        spark, web, tmp_path, scoring_depth_enabled=True, scoring_depth_max=2
+    )
+    crawler.crawl(web["seeds"], n_cycles=3, start_ms=START, top_n=100)
+    db = cat.read(spark, "crawldb")
+    depths = {
+        int(r["d"])
+        for r in db.select(
+            F.element_at("metadata", DEPTH_KEY).alias("d")
+        ).collect()
+        if r["d"] is not None
+    }
+    assert depths and depths <= {1, 2}
+    # every URL carries a depth stamp (seeds via inject, outlink
+    # discoveries via the min-depth patch, redirects via initialScore)
+    assert db.filter(F.element_at("metadata", DEPTH_KEY).isNull()).count() == 0

@@ -113,3 +113,54 @@ def test_resize_and_frame_plans(spark):
     assert rp["b"]["target_width"] == 100  # no upscaling
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from nutch_spark.ml.similarity import ivf_topk
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(60, DIM)
+    # plant near-neighbors of vec 0 (same cell with overwhelming odds)
+    base[1] = base[0] + 0.01 * rng.randn(DIM)
+    base[2] = base[0] + 0.02 * rng.randn(DIM)
+    emb = embeddings(spark, base)
+    q = embeddings(spark, base[:1]).withColumnRenamed("vec_id", "query_id")
+    out = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3).collect()
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got[:2] == [1, 2]
+    # deterministic seed centroids: a second run is row-identical
+    out2 = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every cell makes IVF exhaustive: results must equal the
+    brute-force baseline exactly (same re-rank, same tie-breaks)."""
+    from nutch_spark.ml.similarity import ivf_topk
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(40, DIM)
+    emb = embeddings(spark, base)
+    q = embeddings(spark, base[:2]).withColumnRenamed("vec_id", "query_id")
+    exact = brute_force_topk(emb, q, k=5).collect()
+    full = ivf_topk(emb, q, k=5, n_centroids=6, n_probe=6).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, full))
+
+
+def test_ivf_train_improves_or_keeps_cells(spark):
+    from nutch_spark.ml.similarity import _centroid_seeds, ivf_assign, ivf_train
+
+    rng = np.random.RandomState(19)
+    # two well-separated blobs: trained centroids must land one per blob
+    blob_a = rng.randn(20, DIM) * 0.1 + 5.0
+    blob_b = rng.randn(20, DIM) * 0.1 - 5.0
+    vecs = np.vstack([blob_a, blob_b])
+    emb = embeddings(spark, vecs)
+    cents = ivf_train(emb, n_centroids=2, iters=2)
+    assert len(cents) == 2
+    asg = ivf_assign(emb.select("vec_id", "embedding"), cents).collect()
+    by_cluster = {}
+    for r in asg:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] < 20)
+    # every cell is pure: all blob-A members or all blob-B members
+    assert all(len(v) == 1 for v in by_cluster.values())

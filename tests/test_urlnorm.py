@@ -152,3 +152,45 @@ def test_chain():
     assert normalize("HTTP://Foo.Com//a/../b?phpsessid=xyz&k=v#frag") == "http://foo.com/b?k=v"
     assert normalize(None) is None
     assert normalize("not a url") is None
+
+
+# ---------------------------------------------------------------------------
+# property: the vectorized fast path may only accept true fixed points
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nutch_spark.urls.normalizer import normalize_series
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.from_regex(
+        r"http://[a-z0-9.\-]{1,20}(/[A-Za-z0-9._~\-/]{0,30})?", fullmatch=True
+    )
+)
+def test_fast_path_agrees_with_slow_path(url):
+    """normalize_series claims a regex-guarded Arrow fast path for
+    already-canonical URLs; it must never skip a URL the per-string
+    chain would still change."""
+    import pandas as pd
+
+    got = normalize_series(pd.Series([url]))[0]
+    want = normalize(url)
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.from_regex(
+        r"https?://[a-z0-9.\-]{1,15}(:\d{1,4})?/[a-zA-Z0-9._%\-/]{0,20}"
+        r"(\?[a-z0-9=&]{0,12})?(#[a-z0-9]{0,6})?",
+        fullmatch=True,
+    )
+)
+def test_querystring_normalize_idempotent(url):
+    from nutch_spark.urls.normalizer import querystring_normalize
+
+    once = querystring_normalize(url)
+    assert querystring_normalize(once) == once

@@ -101,3 +101,28 @@ def test_write_jsonl(spark, tmp_path):
     write_jsonl(index_documents(_db(spark), ptext, CFG), out)
     back = spark.read.json(out)
     assert back.count() == 1 and back.select("url").collect()[0][0] == "http://h1.example.com/a"
+
+
+def test_subcollections_match_and_blacklist(spark):
+    from nutch_spark.operators.indexer import subcollections_col
+    from pyspark.sql import functions as F
+
+    cols = [
+        {"name": "news", "whitelist": ["/news/", "/breaking/"],
+         "blacklist": ["/news/ads/"]},
+        {"name": "shop", "whitelist": ["shop.example.com"]},
+        {"name": "ci", "whitelist": ["/MiXeD/"], "case_insensitive": True},
+    ]
+    df = spark.createDataFrame(
+        [("http://a.com/news/1",), ("http://a.com/news/ads/2",),
+         ("http://shop.example.com/news/3",), ("http://b.com/mixed/x",),
+         ("http://c.com/other",)],
+        "url string",
+    )
+    out = {r["url"]: r["c"] for r in
+           df.select("url", subcollections_col(F.col("url"), cols).alias("c")).collect()}
+    assert out["http://a.com/news/1"] == ["news"]
+    assert out["http://a.com/news/ads/2"] == []          # blacklisted
+    assert out["http://shop.example.com/news/3"] == ["news", "shop"]
+    assert out["http://b.com/mixed/x"] == ["ci"]         # case-insensitive
+    assert out["http://c.com/other"] == []
