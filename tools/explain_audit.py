@@ -1,0 +1,70 @@
+"""Dump physical plans for the heaviest contract queries.
+
+Writes BENCH/plans/<query>.txt with `.explain("formatted")` output plus
+a scan summary (PushedFilters / ReadSchema lines) so plan regressions
+(lost pushdown, Python UDF creeping into a hot path, unexpected
+global sort) are reviewable as text diffs.
+
+    python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+DEFAULT_QUERIES = [
+    "updatedb_states",
+    "updatedb_incremental",
+    "generate_quota",
+    "fetch_statuses",
+    "parse_outlinks",
+    "minhash_near_dups",
+    "embedding_topk",
+    "ivf_topk",
+    "linkdb_invert",
+    "dedup_mark",
+    "depth_gate",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    import __spark_entry__ as E
+    from nutch_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit", master="local[4]", shuffle_partitions=4)
+    os.makedirs("BENCH/plans", exist_ok=True)
+    qs = E.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        text = buf.getvalue()
+        flags = []
+        if "BatchEvalPython" in text:
+            flags.append("WARNING: row-at-a-time Python UDF in plan")
+        n_exchange = text.count("Exchange")
+        n_codegen = text.count("WholeStageCodegen")
+        summary = (
+            f"query: {name}\nsf_dir: {sf_dir}\n"
+            f"exchanges: {n_exchange}  wholestage_codegen_spans: {n_codegen}\n"
+            + ("\n".join(flags) + "\n" if flags else "")
+            + "=" * 72 + "\n"
+        )
+        with open(f"BENCH/plans/{name}.txt", "w") as f:
+            f.write(summary + text)
+        print(f"{name}: exchanges={n_exchange} codegen={n_codegen} {' '.join(flags)}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
