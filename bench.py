@@ -68,6 +68,10 @@ def run_bench(master: str | None = None) -> dict:
     spark = get_spark(
         app_name="nutch_spark_bench", master=master, shuffle_partitions=parts
     )
+    # smaller scan splits: map-side stages (parquet scan -> write, e.g.
+    # the untouched-bypass slice of incremental updatedb) must offer
+    # more tasks than cores or a single wave's stragglers gate them
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     cfg = NutchConfig(
         fetch_partitions=parts, generate_num_reducers=parts
     )
@@ -242,11 +246,15 @@ def run_scaling() -> None:
             # per-cycle cost (job scheduling, stage launch, codegen): at
             # 2M docs the fixed cost is ~45% of a local[2] cycle and the
             # efficiency number measures overhead, not the engine.
-            # max(cores,8) shuffle partitions means the 2- and 8-core
-            # phases execute the IDENTICAL 8-partition plan — the
-            # headline N->4N pair varies only the thread count.
+            # 128 pinned shuffle partitions: identical plans at every
+            # level AND >=4 task waves at 32 cores — partition count
+            # equal to the core count leaves each stage one wave deep,
+            # so a single straggler idles the rest of the cores
+            # (observed: local[8] at 8 partitions averaged ~5.5 busy
+            # cores; classic Spark guidance is 3-4x tasks per core).
             env.setdefault("NUTCH_BENCH_DOCS", "20000000")
             env.setdefault("NUTCH_BENCH_TOPN", "2000000")
+            env.setdefault("NUTCH_BENCH_SHUFFLE", "128")
             # cycle 1 only: the sole cycle whose input (crawldb_0,
             # deterministically staged) is identical across phases
             env.setdefault("NUTCH_BENCH_CYCLES", "1")
@@ -317,9 +325,9 @@ def run_scaling() -> None:
             "levels on the same input (sandbox stand-in per driver "
             "instruction).\n\n"
             f"Workload: one generate->fetch->parse->updatedb cycle over the\n"
-            f"deterministically staged crawldb_0 (identical input files and\n"
-            f"identical 8-partition plans for the 2- and 8-core phases — only\n"
-            f"the thread count varies), topN={any_r['generated']}, "
+            f"deterministically staged crawldb_0 — identical input files and\n"
+            f"identical 128-partition plans at EVERY phase, so only the\n"
+            f"thread count varies — topN={any_r['generated']}, "
             f"frontier={any_r['frontier_urls']} URLs;\n"
             f"best of {os.environ.get('NUTCH_BENCH_REPEATS', '2')} repeats "
             f"per phase (shared-box page-cache/DRAM noise).\n\n"

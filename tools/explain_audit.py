@@ -52,16 +52,15 @@ def main() -> int:
         if "BatchEvalPython" in text:
             flags.append("WARNING: row-at-a-time Python UDF in plan")
         n_exchange = text.count("Exchange")
-        n_codegen = text.count("WholeStageCodegen")
         summary = (
             f"query: {name}\nsf_dir: {sf_dir}\n"
-            f"exchanges: {n_exchange}  wholestage_codegen_spans: {n_codegen}\n"
+            f"exchanges: {n_exchange}\n"
             + ("\n".join(flags) + "\n" if flags else "")
             + "=" * 72 + "\n"
         )
         with open(f"BENCH/plans/{name}.txt", "w") as f:
             f.write(summary + text)
-        print(f"{name}: exchanges={n_exchange} codegen={n_codegen} {' '.join(flags)}")
+        print(f"{name}: exchanges={n_exchange} {' '.join(flags)}")
     spark.stop()
     return 0
 
