@@ -632,6 +632,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8, k=3)
 
 
+def q_commoncrawl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonCrawl JSON export (tools/CommonCrawlDataDumper +
+    AbstractCommonCrawlFormat envelope, operators/warc.py): one
+    url/timestamp/request/response/key JSON document per fetched page,
+    reversed-domain key, byte-exact pure-JVM string build."""
+    from nutch_spark.operators.warc import commoncrawl_records
+
+    db = _crawldb(_docs(spark, sf_dir)).filter(F.col("status").isin(2, 6))
+    text = _docs(spark, sf_dir).select(_url_col().alias("url"), "text")
+    pages = db.select("url", "fetch_time").join(text, "url")
+    return commoncrawl_records(pages)
+
+
 def q_urlnorm_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optional normalizer chain (urlnormalizer-querystring/-protocol/
     -host plugins, urls/normalizer.py): sort query params, force
@@ -1212,6 +1225,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_topk": q_embedding_topk,
         "depth_gate": q_depth_gate,
         "urlnorm_extras": q_urlnorm_extras,
+        "commoncrawl_export": q_commoncrawl_export,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "crawl_cycle": q_crawl_cycle,
@@ -1768,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["ivf_topk"] = _IVF_TOPK_ORACLE
     oracles["depth_gate"] = _DEPTH_GATE_ORACLE
     oracles["urlnorm_extras"] = _URLNORM_EXTRAS_ORACLE
+    oracles["commoncrawl_export"] = _COMMONCRAWL_ORACLE
     oracles["embedding_near_dups"] = _embedding_near_dup_oracle()
     return oracles
 
@@ -1783,6 +1798,41 @@ _DOT = (
 )
 _NRM = "sqrt(list_reduce(list_transform({a}, v -> v * v), (x, y) -> x + y))"
 _COS = f"({_DOT} / ({_NRM.format(a='{a}')} * {_NRM.format(a='{b}')}))"
+
+# CommonCrawl envelope replay: hostN.example.com reversed to
+# com.example.hostN; body/key escaped with the same two-char JSON
+# escape as the Spark side; timestamps = fetch_time (injected clock).
+_COMMONCRAWL_ORACLE = f"""
+WITH {{CRAWLDB}},
+pages AS (
+  SELECT url, fetch_time,
+    'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+    '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+    regexp_replace(text, '(["\\\\])', '\\\\\\1', 'g') AS body
+  FROM crawldb WHERE status IN (2, 6)
+),
+k AS (
+  SELECT *,
+    'com.example.host' || CAST(
+        CASE WHEN url LIKE 'http://host%' THEN
+          CAST(regexp_extract(host, 'host(\\d+)', 1) AS INTEGER)
+        END AS VARCHAR) || ':http' || path AS key
+  FROM pages
+)
+SELECT url, key,
+  '{{"url":"' || url || '","timestamp":"' || CAST(fetch_time AS VARCHAR)
+  || '","request":{{"method":"GET","client":{{"hostname":"crawler.example.com",'
+  || '"address":"10.0.0.1","software":"nutch-spark/1.0","robots":"classic",'
+  || '"contact":{{"name":"crawler","email":"crawler@example.com"}}}},'
+  || '"headers":{{"Accept":"text/html","Accept-Encoding":"gzip",'
+  || '"Accept-Language":"en-us","User-Agent":"nutch-spark/1.0"}}}},'
+  || '"response":{{"status":"200","server":{{"hostname":"' || host
+  || '"}},"headers":{{"Content-Type":"text/html"}},"body":"' || body
+  || '"}},"key":"' || key || '","imported":"' || CAST(fetch_time AS VARCHAR)
+  || '"}}' AS record
+FROM k
+""".replace("{CRAWLDB}", _CRAWLDB_CTE.strip())
+
 
 # extra-normalizer replay: the oracle states the expected output of the
 # querystring -> protocol -> host chain directly (query params 'b=2','a=N'

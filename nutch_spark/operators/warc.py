@@ -132,3 +132,66 @@ def write_warc(records: DataFrame, out_dir: str, software: str = "nutch-spark") 
     # legitimate mapPartitions use, SURVEY's RDD rule)
     counts = records.rdd.mapPartitionsWithIndex(write_partition).collect()
     del counts
+
+
+# ---------------------------------------------------------------------------
+# CommonCrawl JSON export (tools/CommonCrawlDataDumper.java +
+# AbstractCommonCrawlFormat.java:99-170)
+# ---------------------------------------------------------------------------
+
+def _json_escape(c: Column) -> Column:
+    """Escape backslash and double-quote — the only JSON-special chars
+    the synthetic corpus can contain; explicit so the DuckDB oracle
+    reproduces the byte stream without library-dependent \\uXXXX
+    case differences."""
+    return F.regexp_replace(c, '(["\\\\])', r"\\$1")
+
+
+def reverse_host(host: Column) -> Column:
+    """Reversed-domain key prefix (CommonCrawlDataDumper.reverseUrl):
+    www.example.com -> com.example.www."""
+    return F.concat_ws(".", F.reverse(F.split(host, r"\.")))
+
+
+def commoncrawl_records(
+    pages: DataFrame,
+    *,
+    key_prefix: str = "",
+    software: str = "nutch-spark/1.0",
+) -> DataFrame:
+    """One CommonCrawl-format JSON document per fetched page — the
+    nested url/timestamp/request/response/key envelope of
+    ``AbstractCommonCrawlFormat.getJsonData`` (:99-170), built as a
+    pure JVM string concat (map-side, deterministic, no JSON library on
+    either side of the oracle).
+
+    ``pages``: (url, fetch_time, text). Our simulated fetch stores no
+    verbatim HTTP headers, so the request/client and response/server
+    blocks carry the same deterministic stand-ins as the WARC export;
+    response.body is the parse text. Deviation (documented): timestamps
+    are the epoch-ms fetch_time under the injected-clock rule, not
+    wall-clock import time."""
+    from nutch_spark.urls.urlutil import host_col
+
+    host = host_col(F.col("url"))
+    path = F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]*", "")
+    key = F.concat(
+        F.lit(key_prefix), reverse_host(host), F.lit(":http"), path
+    )
+    ts = F.col("fetch_time").cast("string")
+    record = F.concat(
+        F.lit('{"url":"'), _json_escape(F.col("url")),
+        F.lit('","timestamp":"'), ts,
+        F.lit('","request":{"method":"GET","client":{"hostname":"crawler.example.com",'
+              '"address":"10.0.0.1","software":"'), F.lit(software),
+        F.lit('","robots":"classic","contact":{"name":"crawler",'
+              '"email":"crawler@example.com"}},"headers":{"Accept":"text/html",'
+              '"Accept-Encoding":"gzip","Accept-Language":"en-us",'
+              '"User-Agent":"'), F.lit(software),
+        F.lit('"}},"response":{"status":"200","server":{"hostname":"'), host,
+        F.lit('"},"headers":{"Content-Type":"text/html"},"body":"'),
+        _json_escape(F.col("text")),
+        F.lit('"},"key":"'), _json_escape(key),
+        F.lit('","imported":"'), ts, F.lit('"}'),
+    )
+    return pages.select("url", key.alias("key"), record.alias("record"))

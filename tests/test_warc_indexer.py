@@ -126,3 +126,24 @@ def test_subcollections_match_and_blacklist(spark):
     assert out["http://shop.example.com/news/3"] == ["news", "shop"]
     assert out["http://b.com/mixed/x"] == ["ci"]         # case-insensitive
     assert out["http://c.com/other"] == []
+
+
+def test_commoncrawl_record_shape(spark):
+    import json
+
+    from nutch_spark.operators.warc import commoncrawl_records
+
+    pages = spark.createDataFrame(
+        [("http://www.site.org/a/b?x=1", 1700000000000,
+          'body with "quotes" and \\backslash')],
+        "url string, fetch_time long, text string",
+    )
+    (r,) = commoncrawl_records(pages).collect()
+    assert r["key"] == "org.site.www:http/a/b?x=1"
+    doc = json.loads(r["record"])  # valid JSON with correct nesting
+    assert doc["url"] == "http://www.site.org/a/b?x=1"
+    assert doc["timestamp"] == "1700000000000"
+    assert doc["request"]["client"]["robots"] == "classic"
+    assert doc["response"]["server"]["hostname"] == "www.site.org"
+    assert doc["response"]["body"] == 'body with "quotes" and \\backslash'
+    assert doc["key"] == r["key"] and doc["imported"] == doc["timestamp"]
