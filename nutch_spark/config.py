@@ -83,6 +83,9 @@ class NutchConfig:
     dedup_compare_order: str = "score,fetchTime,urlLength"
     dedup_group_mode: str = "none"  # none | host | domain
 
+    # --- urlmeta plugin (URLMetaScoringFilter) ---
+    urlmeta_tags: tuple = ()  # urlmeta.tags: metadata keys to propagate
+
     # --- scoring-depth plugin (DepthScoringFilter) ---
     scoring_depth_enabled: bool = False  # plugin.includes ~ scoring-depth
     scoring_depth_max: int = 1000  # scoring.depth.max

@@ -117,6 +117,14 @@ class Crawler:
             "signature", "modified_time", "metadata", "gen_time", "repr_url",
         ]
         crawl_parse = parsed["crawl_parse"]
+        if self.cfg.urlmeta_tags:
+            # urlmeta: configured tags ride from parent datum to outlinks
+            from nutch_spark.operators.urlmeta import propagate_url_meta
+
+            crawl_parse = propagate_url_meta(
+                crawl_parse, crawl_fetch.select("url", "metadata"),
+                list(self.cfg.urlmeta_tags),
+            )
         if self.cfg.scoring_depth_enabled:
             # scoring-depth: a page at its depth limit contributes no
             # outlinks; survivors are stamped depth+1 (operators/depth.py)
@@ -142,6 +150,12 @@ class Crawler:
             from nutch_spark.operators.depth import patch_new_url_depth
 
             newdb = patch_new_url_depth(newdb, base_db, segment_rows, self.cfg)
+        if self.cfg.urlmeta_tags:
+            from nutch_spark.operators.urlmeta import patch_new_url_meta
+
+            newdb = patch_new_url_meta(
+                newdb, base_db, segment_rows, list(self.cfg.urlmeta_tags)
+            )
 
         # metrics (one extra pass each over small aggregates)
         fetched = crawl_fetch.count()

@@ -108,3 +108,20 @@ def test_depth_limited_crawl_stops_expanding(spark, web, tmp_path):
     # every URL carries a depth stamp (seeds via inject, outlink
     # discoveries via the min-depth patch, redirects via initialScore)
     assert db.filter(F.element_at("metadata", DEPTH_KEY).isNull()).count() == 0
+
+
+def test_urlmeta_tags_ride_the_frontier(spark, web, tmp_path):
+    """urlmeta wired into the loop: a tag injected with the seeds
+    reaches every URL the crawl discovers from them."""
+    crawler, cat = make_crawler(spark, web, tmp_path, urlmeta_tags=("campaign",))
+    # tag rides in as reserved seed-line metadata (url<TAB>key=value)
+    seeds = web["seeds"].select(
+        F.concat(F.col("value").cast("string"), F.lit("\tcampaign=c1")).alias("value")
+    )
+    crawler.crawl(seeds, n_cycles=2, start_ms=START, top_n=100)
+    db = cat.read(spark, "crawldb")
+    tagged = db.filter(F.element_at("metadata", "campaign") == "c1").count()
+    total = db.count()
+    # seeds are tagged; everything discovered FROM them inherits the tag
+    # (redirect targets carry empty metadata by design, so allow a few)
+    assert tagged >= total * 0.9 and tagged > 10
