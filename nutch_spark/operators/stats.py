@@ -64,8 +64,11 @@ def top_n(crawldb: DataFrame, n: int, min_score: float | None = None) -> DataFra
 
 
 def dump(crawldb: DataFrame, *, status: int | None = None, regex: str | None = None,
-         min_score: float | None = None, expr: str | None = None) -> DataFrame:
-    """readdb -dump with the reference's filters (status/regex/score/expr)."""
+         min_score: float | None = None, max_score: float | None = None,
+         min_retry: int | None = None, expr: str | None = None) -> DataFrame:
+    """readdb -dump with the reference's filters
+    (CrawlDbReader.processDumpJob, :834-899: status/regex/retry/
+    score-min/score-max/expr)."""
     df = crawldb
     if status is not None:
         df = df.filter(F.col("status") == status)
@@ -73,9 +76,21 @@ def dump(crawldb: DataFrame, *, status: int | None = None, regex: str | None = N
         df = df.filter(F.col("url").rlike(regex))
     if min_score is not None:
         df = df.filter(F.col("score") >= F.lit(min_score).cast("float"))
+    if max_score is not None:
+        df = df.filter(F.col("score") <= F.lit(max_score).cast("float"))
+    if min_retry is not None:
+        df = df.filter(F.col("retries") >= min_retry)
     if expr is not None:
         df = df.filter(F.expr(expr))
     return df
+
+
+def read_url(crawldb: DataFrame, url: str) -> DataFrame:
+    """readdb -url: point lookup of one URL's datum
+    (CrawlDbReader.readUrl, :818-832). On a crawldb bucketed/sorted by
+    url this is a pruned single-partition scan; Catalyst pushes the
+    equality predicate into the parquet scan either way."""
+    return crawldb.filter(F.col("url") == url)
 
 
 def hostdb_update(crawldb: DataFrame, cfg: NutchConfig) -> DataFrame:

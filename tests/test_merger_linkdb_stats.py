@@ -151,3 +151,21 @@ def test_merge_metadata_follows_winner_order(spark):
     out = merge_crawldbs([a, b], NutchConfig()).collect()[0]
     assert out["status"] == 2  # fetched datum wins (lft 4000 > 0)
     assert out["metadata"]["k"] == "winner"
+
+
+def test_dump_retry_score_filters_and_read_url(spark):
+    from nutch_spark.operators.stats import dump, read_url
+
+    db = spark.createDataFrame(
+        [
+            ("http://a/", 1, 0, 0.5),
+            ("http://b/", 1, 2, 1.5),
+            ("http://c/", 2, 3, 2.5),
+        ],
+        "url string, status int, retries int, score float",
+    )
+    assert {r["url"] for r in dump(db, min_retry=2).collect()} == {"http://b/", "http://c/"}
+    assert {r["url"] for r in dump(db, max_score=1.5).collect()} == {"http://a/", "http://b/"}
+    assert {r["url"] for r in dump(db, min_score=1.0, max_score=2.0).collect()} == {"http://b/"}
+    (row,) = read_url(db, "http://c/").collect()
+    assert row["status"] == 2 and row["retries"] == 3
