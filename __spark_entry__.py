@@ -632,6 +632,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8, k=3)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery (Rae et al. 2021 A1.1, ml/text.py):
+    word stats, symbol/bullet/ellipsis ratios, alpha-word fraction,
+    required stopwords, duplicate-line fractions, and the pass verdict
+    — one map-side JVM pass, replayed exactly in SQL."""
+    from nutch_spark.ml.text import gopher_quality
+
+    return gopher_quality(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+
+
 def q_commoncrawl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CommonCrawl JSON export (tools/CommonCrawlDataDumper +
     AbstractCommonCrawlFormat envelope, operators/warc.py): one
@@ -1226,6 +1238,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "depth_gate": q_depth_gate,
         "urlnorm_extras": q_urlnorm_extras,
         "commoncrawl_export": q_commoncrawl_export,
+        "gopher_quality": q_gopher_quality,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "crawl_cycle": q_crawl_cycle,
@@ -1783,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["depth_gate"] = _DEPTH_GATE_ORACLE
     oracles["urlnorm_extras"] = _URLNORM_EXTRAS_ORACLE
     oracles["commoncrawl_export"] = _COMMONCRAWL_ORACLE
+    oracles["gopher_quality"] = _GOPHER_ORACLE
     oracles["embedding_near_dups"] = _embedding_near_dup_oracle()
     return oracles
 
@@ -1798,6 +1812,67 @@ _DOT = (
 )
 _NRM = "sqrt(list_reduce(list_transform({a}, v -> v * v), (x, y) -> x + y))"
 _COS = f"({_DOT} / ({_NRM.format(a='{a}')} * {_NRM.format(a='{b}')}))"
+
+# Gopher-rule replay: same word/line splits, same rounding, thresholds
+# applied to the rounded values on both sides.
+_GOPHER_STOP_SQL = " + ".join(
+    f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+    for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+_GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+f AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\\s+') AS words,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+    END AS n_words,
+    string_split(text, chr(10)) AS lines,
+    len(string_split(text, '#')) - 1 AS n_hash,
+    len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 AS n_ellipsis,
+    {_GOPHER_STOP_SQL} AS stop_hits
+  FROM base
+),
+g AS (
+  SELECT doc_id, n_words, stop_hits,
+    CAST(GREATEST(n_words, 1) AS DOUBLE) AS safe_w,
+    COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS word_chars,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+    n_hash, n_ellipsis,
+    CAST(len(lines) AS INTEGER) AS n_lines,
+    CAST(GREATEST(len(lines), 1) AS DOUBLE) AS safe_l,
+    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS bullet_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS ellipsis_lines,
+    COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) AS line_chars,
+    COALESCE(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0)
+      AS uniq_line_chars,
+    CAST(len(list_distinct(lines)) AS INTEGER) AS n_uniq_lines
+  FROM f
+),
+r AS (
+  SELECT doc_id, n_words,
+    round(word_chars / safe_w, 6) AS mean_word_len,
+    round((n_hash + n_ellipsis) / safe_w, 6) AS symbol_word_ratio,
+    round(bullet_lines / safe_l, 6) AS bullet_line_frac,
+    round(ellipsis_lines / safe_l, 6) AS ellipsis_line_frac,
+    round(alpha_words / safe_w, 6) AS alpha_word_frac,
+    CAST(stop_hits AS INTEGER) AS stop_hits,
+    round((n_lines - n_uniq_lines) / safe_l, 6) AS dup_line_frac,
+    round((line_chars - uniq_line_chars) / CAST(GREATEST(line_chars, 1) AS DOUBLE), 6)
+      AS dup_line_char_frac
+  FROM g
+)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+  AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+  AND stop_hits >= 2 AND dup_line_frac <= 0.3
+  AND dup_line_char_frac <= 0.2 AS gopher_pass
+FROM r
+"""
+
 
 # CommonCrawl envelope replay: hostN.example.com reversed to
 # com.example.hostN; body/key escaped with the same two-char JSON

@@ -131,3 +131,82 @@ def analyze(documents: DataFrame) -> DataFrame:
         fingerprint(t).alias("fingerprint"),
         *[v.alias(k) for k, v in feats.items() if k not in ("n_tokens",)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher" appendix A1.1 — the de-facto standard pre-training text
+# filter battery). Pure JVM column arithmetic, one map-side pass.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_features(text: Column) -> dict[str, Column]:
+    """The rule inputs: word stats, symbol/word ratio, bullet and
+    ellipsis line fractions, alpha-word fraction, required-stopword
+    hits, duplicate-line fractions."""
+    t = F.coalesce(text, F.lit(""))
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    safe_w = F.when(n_words > 0, n_words).otherwise(F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.size(F.split(t, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        (F.when(F.lower(t).rlike(rf"\b{w}\b"), 1).otherwise(0) for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    )
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    safe_l = F.when(n_lines > 0, n_lines).otherwise(F.lit(1)).cast("double")
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    uniq_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    safe_c = F.when(line_chars > 0, line_chars).otherwise(F.lit(1)).cast("double")
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(word_chars.cast("double") / safe_w, 6),
+        "symbol_word_ratio": F.round((n_hash + n_ellipsis).cast("double") / safe_w, 6),
+        "bullet_line_frac": F.round(bullet_lines.cast("double") / safe_l, 6),
+        "ellipsis_line_frac": F.round(ellipsis_lines.cast("double") / safe_l, 6),
+        "alpha_word_frac": F.round(alpha_words.cast("double") / safe_w, 6),
+        "stop_hits": stop_hits,
+        "dup_line_frac": F.round(
+            (n_lines - F.size(F.array_distinct(lines))).cast("double") / safe_l, 6
+        ),
+        "dup_line_char_frac": F.round(
+            (line_chars - uniq_line_chars).cast("double") / safe_c, 6
+        ),
+    }
+
+
+def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule battery + the pass verdict
+    (A1.1 thresholds: 50<=words<=100000, 3<=mean word len<=10,
+    symbol/word<=0.1, bullets<=90% of lines, ellipses<=30% of lines,
+    >=80% words alphabetic, >=2 required stopwords, <=30% duplicate
+    lines, <=20% chars in duplicate lines)."""
+    f = gopher_features(F.col(text_col))
+    passes = (
+        (f["n_words"] >= 50) & (f["n_words"] <= 100_000)
+        & (f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10)
+        & (f["symbol_word_ratio"] <= 0.1)
+        & (f["bullet_line_frac"] <= 0.9)
+        & (f["ellipsis_line_frac"] <= 0.3)
+        & (f["alpha_word_frac"] >= 0.8)
+        & (f["stop_hits"] >= 2)
+        & (f["dup_line_frac"] <= 0.3)
+        & (f["dup_line_char_frac"] <= 0.2)
+    )
+    return documents.select(
+        "doc_id",
+        *[v.alias(k) for k, v in f.items()],
+        passes.alias("gopher_pass"),
+    )

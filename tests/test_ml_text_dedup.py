@@ -131,3 +131,29 @@ def test_shingles(spark):
     sh = {r["doc_id"]: r["sh"] for r in rows}
     assert sh[0] == ["a b c", "b c d"]
     assert sh[1] == ["a b"]  # shorter than k: whole text
+
+
+def test_gopher_quality_rules(spark):
+    from nutch_spark.ml.text import gopher_quality
+
+    good = ("the quick brown fox jumps over that lazy dog and keeps running "
+            "with steady pace to be sure of the outcome and more of it " * 5)
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    dups = "\n".join(["same line of text here"] * 10 + ["unique one"])
+    symbols = " ".join(["word###"] * 60)
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dups), (4, symbols), (5, ""), (6, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[1]["stop_hits"] >= 2 and out[1]["alpha_word_frac"] >= 0.8
+    # 20/20 bullet lines > 0.9 threshold
+    assert out[2]["bullet_line_frac"] == 1.0 and out[2]["gopher_pass"] is False
+    # 9 duplicate lines of 11 > 0.3
+    assert out[3]["dup_line_frac"] > 0.3 and out[3]["gopher_pass"] is False
+    assert out[3]["dup_line_char_frac"] > 0.2
+    # 3 hashes per word -> symbol/word ratio 3.0 > 0.1
+    assert out[4]["symbol_word_ratio"] == 3.0 and out[4]["gopher_pass"] is False
+    assert out[5]["n_words"] == 0 and out[5]["gopher_pass"] is False
+    assert out[6]["n_words"] == 0  # null text
