@@ -632,6 +632,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8, k=3)
 
 
+def q_parsefilter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parsefilter-regex (RegexParseFilter.java:60-90, operators/
+    parse.regex_parse_filter): each rule stamps a parse-meta field
+    'true'/'false' by regex match against the parse text or the raw
+    span payload ('html' source)."""
+    from nutch_spark.operators.parse import regex_parse_filter
+
+    docs, _, _, _ = _web(spark, sf_dir)
+    content = docs.select(F.col("doc_id").alias("url"), "spans")
+    rules = [
+        ("mentions_the", "text", r"\bthe\b"),
+        ("long_enough", "text", "^.{100,}"),
+        ("has_media", "html", r"\.img"),
+    ]
+    out = regex_parse_filter(content, rules)
+    return out.select(
+        "url",
+        *[
+            F.element_at("parse_meta", field).alias(field)
+            for field, _, _ in rules
+        ],
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality battery (Rae et al. 2021 A1.1, ml/text.py):
     word stats, symbol/bullet/ellipsis ratios, alpha-word fraction,
@@ -1239,6 +1263,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "urlnorm_extras": q_urlnorm_extras,
         "commoncrawl_export": q_commoncrawl_export,
         "gopher_quality": q_gopher_quality,
+        "parsefilter_regex": q_parsefilter_regex,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "crawl_cycle": q_crawl_cycle,
@@ -1797,6 +1822,20 @@ def oracle_sql() -> dict[str, str]:
     oracles["urlnorm_extras"] = _URLNORM_EXTRAS_ORACLE
     oracles["commoncrawl_export"] = _COMMONCRAWL_ORACLE
     oracles["gopher_quality"] = _GOPHER_ORACLE
+    # parsefilter-regex replay: parse text = the doc's single text span
+    # (first 120 chars); every _web doc carries a media span -> has_media
+    # is uniformly true
+    oracles["parsefilter_regex"] = """
+SELECT
+  'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  CASE WHEN regexp_matches(substring(text, 1, 120), '\\bthe\\b')
+       THEN 'true' ELSE 'false' END AS mentions_the,
+  CASE WHEN regexp_matches(substring(text, 1, 120), '^.{100,}')
+       THEN 'true' ELSE 'false' END AS long_enough,
+  'true' AS has_media
+FROM documents
+"""
     oracles["embedding_near_dups"] = _embedding_near_dup_oracle()
     return oracles
 

@@ -111,3 +111,22 @@ def subcollections_col(url: Column, collections: list[dict]) -> Column:
     if not names:
         return F.array().cast("array<string>")
     return F.filter(F.array(*names), lambda x: x.isNotNull())
+
+
+def route_documents(docs: DataFrame, routes: list[tuple[str, str]]) -> DataFrame:
+    """Exchange component (``exchange/Exchanges.java`` +
+    ``exchange-jexl``): route each index document to the writers whose
+    expression matches. ``routes``: [(writer_id, spark-sql boolean
+    expr over the doc columns)] — the documented engine-wide JEXL
+    substitution (SURVEY T14). Adds ``writers`` array<string>; docs
+    matching nothing get the empty array (the reference's default
+    'no exchange matched' path drops them from every writer)."""
+    names = F.array(
+        *[
+            F.when(F.expr(expr), F.lit(writer))
+            for writer, expr in routes
+        ]
+    )
+    return docs.withColumn(
+        "writers", F.filter(names, lambda x: x.isNotNull())
+    )

@@ -206,3 +206,42 @@ def parse(
         "outlinks": outlinks.select("url", "to_url", "anchor", "pos", "link_score"),
         "crawl_parse": crawl_parse,
     }
+
+
+def regex_parse_filter(
+    content: DataFrame, rules: list[tuple[str, str, str]]
+) -> DataFrame:
+    """parsefilter-regex (``parsefilter-regex/.../RegexParseFilter.java``
+    :60-90): every rule (field, source, regex) stamps parse metadata
+    field = 'true'/'false' by whether the regex matches the chosen
+    source. Source 'text' = the extracted parse text; 'html' = the raw
+    canonical span serialization (our content-bytes analogue). Pure JVM
+    rlike columns — one map-side pass, no Python.
+
+    Returns (url, parse_meta map<string,string>) rows ready to merge
+    into parse_data / crawl_parse STATUS_PARSE_META datums."""
+    text = parse_text_col(F.col("spans"))
+    html = F.concat_ws(
+        "\x1f",
+        F.transform(
+            F.col("spans"),
+            lambda s: F.concat_ws(
+                "\x1e",
+                F.coalesce(s["kind"], F.lit("")),
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+                F.coalesce(s["offset"].cast("string"), F.lit("")),
+            ),
+        ),
+    )
+    entries = []
+    for field, source, regex in rules:
+        src = text if source.lower() == "text" else html
+        entries.append(F.lit(field))
+        entries.append(
+            F.when(src.rlike(regex), F.lit("true")).otherwise(F.lit("false"))
+        )
+    meta = F.map_from_arrays(
+        F.array(*entries[0::2]), F.array(*entries[1::2])
+    )
+    return content.select("url", meta.alias("parse_meta"))

@@ -135,3 +135,22 @@ def test_ignore_external_links_policy(spark):
     cfg = CFG.with_(db_ignore_external_links=True)
     out = parse(c, cfg, normalize_outlinks=False)
     assert [r["to_url"] for r in out["outlinks"].collect()] == ["http://src.example.com/other"]
+
+
+def test_regex_parse_filter_sources(spark):
+    from nutch_spark.operators.parse import regex_parse_filter
+
+    content = spark.createDataFrame(
+        [
+            ("u1", [("text", "the quick fox", None, 0),
+                    ("media", "img", "http://x/m.img", 1)]),
+            ("u2", [("text", "no stopword here", None, 0)]),
+        ],
+        "url string, spans array<struct<kind string, text string,"
+        " media_ref string, offset int>>",
+    )
+    rules = [("has_the", "text", r"\bthe\b"), ("has_img", "html", r"\.img")]
+    out = {r["url"]: r["parse_meta"] for r in
+           regex_parse_filter(content, rules).collect()}
+    assert out["u1"] == {"has_the": "true", "has_img": "true"}
+    assert out["u2"] == {"has_the": "false", "has_img": "false"}

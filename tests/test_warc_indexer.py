@@ -147,3 +147,22 @@ def test_commoncrawl_record_shape(spark):
     assert doc["response"]["server"]["hostname"] == "www.site.org"
     assert doc["response"]["body"] == 'body with "quotes" and \\backslash'
     assert doc["key"] == r["key"] and doc["imported"] == doc["timestamp"]
+
+
+def test_route_documents_by_expression(spark):
+    from nutch_spark.operators.indexer import route_documents
+
+    docs = spark.createDataFrame(
+        [("http://a/", 2.0, "en"), ("http://b/", 0.1, "de"),
+         ("http://c/", 5.0, "de")],
+        "url string, boost double, lang string",
+    )
+    routes = [
+        ("high_boost", "boost >= 1.0"),
+        ("german", "lang = 'de'"),
+    ]
+    out = {r["url"]: r["writers"] for r in
+           route_documents(docs, routes).collect()}
+    assert out["http://a/"] == ["high_boost"]
+    assert out["http://b/"] == ["german"]
+    assert out["http://c/"] == ["high_boost", "german"]
