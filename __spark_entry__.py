@@ -632,6 +632,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8, k=3)
 
 
+def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup, batch twin (streaming/dedup_stream):
+    earliest event per (user_id, event_type) by (ts, event_id) — the
+    URL-seen set as a watermark-bounded streaming operator; the
+    streaming variant is pinned to this twin in tests."""
+    from nutch_spark.streaming.dedup_stream import first_seen
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = first_seen(e, ["user_id", "event_type"])
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value", "props",
+    )
+
+
 def q_parsefilter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parsefilter-regex (RegexParseFilter.java:60-90, operators/
     parse.regex_parse_filter): each rule stamps a parse-meta field
@@ -1264,6 +1280,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "commoncrawl_export": q_commoncrawl_export,
         "gopher_quality": q_gopher_quality,
         "parsefilter_regex": q_parsefilter_regex,
+        "first_seen": q_first_seen,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "crawl_cycle": q_crawl_cycle,
@@ -1822,6 +1839,14 @@ def oracle_sql() -> dict[str, str]:
     oracles["urlnorm_extras"] = _URLNORM_EXTRAS_ORACLE
     oracles["commoncrawl_export"] = _COMMONCRAWL_ORACLE
     oracles["gopher_quality"] = _GOPHER_ORACLE
+    oracles["first_seen"] = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
     # parsefilter-regex replay: parse text = the doc's single text span
     # (first 120 chars); every _web doc carries a media span -> has_media
     # is uniformly true
