@@ -632,6 +632,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), threshold=0.8, k=3)
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (ml/text.gopher_repetition): character
+    fractions covered by the most frequent 2/3/4-gram and by duplicated
+    5/6-grams — one explode + hash aggregation keyed
+    (doc_id, n, gram)."""
+    from nutch_spark.ml.text import gopher_repetition
+
+    return gopher_repetition(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+
+
 def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen dedup, batch twin (streaming/dedup_stream):
     earliest event per (user_id, event_type) by (ts, event_id) — the
@@ -1281,6 +1293,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "gopher_quality": q_gopher_quality,
         "parsefilter_regex": q_parsefilter_regex,
         "first_seen": q_first_seen,
+        "gopher_repetition": q_gopher_repetition,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "crawl_cycle": q_crawl_cycle,
@@ -1839,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["urlnorm_extras"] = _URLNORM_EXTRAS_ORACLE
     oracles["commoncrawl_export"] = _COMMONCRAWL_ORACLE
     oracles["gopher_quality"] = _GOPHER_ORACLE
+    oracles["gopher_repetition"] = _GOPHER_REP_ORACLE
     oracles["first_seen"] = """
 SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value, props
 FROM (
@@ -1935,6 +1949,53 @@ SELECT *,
   AND stop_hits >= 2 AND dup_line_frac <= 0.3
   AND dup_line_char_frac <= 0.2 AS gopher_pass
 FROM r
+"""
+
+
+# Gopher-repetition replay: same \s+ word split, 1-based inclusive list
+# slices for the n-grams, char coverage = length(gram) * occurrences,
+# top-gram tie-break (count DESC, gram ASC) identical to the Spark
+# window.
+_GOPHER_REP_ORACLE = """
+WITH base AS (
+  SELECT doc_id, length(COALESCE(text, '')) AS len,
+    CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')
+    END AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, ns.n,
+    UNNEST(list_transform(range(1, GREATEST(len(words) - ns.n + 2, 1)),
+      i -> array_to_string(words[i : i + ns.n - 1], ' '))) AS gram
+  FROM base CROSS JOIN (SELECT UNNEST([2, 3, 4, 5, 6]) AS n) ns
+),
+counts AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT doc_id, n, length(gram) * c AS top_chars FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT doc_id, n, SUM(length(gram) * c) AS dup_chars
+  FROM counts WHERE c > 1 GROUP BY 1, 2
+)
+SELECT b.doc_id,
+  round(COALESCE(t2.top_chars, 0) / CAST(GREATEST(b.len, 1) AS DOUBLE), 6) AS top2gram_char_frac,
+  round(COALESCE(t3.top_chars, 0) / CAST(GREATEST(b.len, 1) AS DOUBLE), 6) AS top3gram_char_frac,
+  round(COALESCE(t4.top_chars, 0) / CAST(GREATEST(b.len, 1) AS DOUBLE), 6) AS top4gram_char_frac,
+  round(COALESCE(d5.dup_chars, 0) / CAST(GREATEST(b.len, 1) AS DOUBLE), 6) AS dup5gram_char_frac,
+  round(COALESCE(d6.dup_chars, 0) / CAST(GREATEST(b.len, 1) AS DOUBLE), 6) AS dup6gram_char_frac
+FROM base b
+LEFT JOIN top t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+LEFT JOIN top t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+LEFT JOIN dup d5 ON d5.doc_id = b.doc_id AND d5.n = 5
+LEFT JOIN dup d6 ON d6.doc_id = b.doc_id AND d6.n = 6
 """
 
 

@@ -210,3 +210,100 @@ def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
         *[v.alias(k) for k, v in f.items()],
         passes.alias("gopher_pass"),
     )
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Overlapping word n-grams as strings (space-joined). Guarded:
+    Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty."""
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def gopher_repetition(
+    documents: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6),
+) -> DataFrame:
+    """The repetition half of the Gopher battery (Rae et al. 2021
+    A1.1): per document,
+
+    - ``top{n}gram_char_frac``: characters covered by all occurrences
+      of the single most frequent word n-gram (ties -> lexicographically
+      smallest gram), divided by the text length, for n in ``top_ns``;
+    - ``dup{n}gram_char_frac``: characters covered by every n-gram that
+      occurs more than once, divided by the text length, for n in
+      ``dup_ns``.
+
+    One explode + hash aggregation keyed (doc_id, n, gram) — the
+    standard distributed shape; counts never leave the executors and
+    the per-doc result joins back broadcast-style. Deterministic and
+    ANSI-SQL replayable (char coverage = length(gram) * occurrences)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(t), r"\s+")
+    base = documents.select(
+        "doc_id",
+        F.length(t).alias("_len"),
+        F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>"))
+        .otherwise(words)
+        .alias("_words"),
+    )
+    exploded = None
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        part = base.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(_word_ngrams(F.col("_words"), n)).alias("gram"),
+        )
+        exploded = part if exploded is None else exploded.unionByName(part)
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "n").orderBy(F.desc("c"), F.asc("gram"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id", "n", (F.length("gram") * F.col("c")).alias("top_chars")
+        )
+    )
+    dup = (
+        counts.filter(F.col("c") > 1)
+        .groupBy("doc_id", "n")
+        .agg(F.sum(F.length("gram") * F.col("c")).alias("dup_chars"))
+    )
+
+    out = base.select("doc_id", "_len")
+    for n in top_ns:
+        out = out.join(
+            top.filter(F.col("n") == n).select(
+                "doc_id", F.col("top_chars").alias(f"_t{n}")
+            ),
+            "doc_id", "left",
+        )
+    for n in dup_ns:
+        out = out.join(
+            dup.filter(F.col("n") == n).select(
+                "doc_id", F.col("dup_chars").alias(f"_d{n}")
+            ),
+            "doc_id", "left",
+        )
+    safe = F.when(F.col("_len") > 0, F.col("_len")).otherwise(F.lit(1)).cast("double")
+    return out.select(
+        "doc_id",
+        *[
+            F.round(F.coalesce(F.col(f"_t{n}"), F.lit(0)).cast("double") / safe, 6)
+            .alias(f"top{n}gram_char_frac")
+            for n in top_ns
+        ],
+        *[
+            F.round(F.coalesce(F.col(f"_d{n}"), F.lit(0)).cast("double") / safe, 6)
+            .alias(f"dup{n}gram_char_frac")
+            for n in dup_ns
+        ],
+    )

@@ -157,3 +157,28 @@ def test_gopher_quality_rules(spark):
     assert out[4]["symbol_word_ratio"] == 3.0 and out[4]["gopher_pass"] is False
     assert out[5]["n_words"] == 0 and out[5]["gopher_pass"] is False
     assert out[6]["n_words"] == 0  # null text
+
+
+def test_gopher_repetition(spark):
+    from nutch_spark.ml.text import gopher_repetition
+
+    # "a b a b a b" -> top 2-gram "a b" occurs 3x, covers 9 chars of 11.
+    rep = "a b a b a b"
+    # all-distinct words: no gram repeats, every frac 0
+    uniq = "one two three four five six seven eight nine ten"
+    # duplicated 5-gram: the run "v w x y z" appears twice
+    dup5 = "v w x y z q v w x y z"
+    docs = spark.createDataFrame(
+        [(1, rep), (2, uniq), (3, dup5), (4, ""), (5, None), (6, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert out[1]["top2gram_char_frac"] == round(9 / 11, 6)
+    assert out[2]["top2gram_char_frac"] > 0  # the single top gram still covers chars
+    assert out[2]["dup5gram_char_frac"] == 0.0
+    assert out[3]["dup5gram_char_frac"] == round(18 / 21, 6)
+    assert out[3]["dup6gram_char_frac"] == 0.0
+    for d in (4, 5, 6):  # empty/null/too-short: all zeros, no NULLs
+        for c in out[d].asDict():
+            if c != "doc_id":
+                assert out[d][c] == 0.0
