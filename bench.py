@@ -8,7 +8,7 @@ operators over the sf-dir parquet tables.
     python bench.py                  # one JSON line, $SPARK_GRAFT_SF_DIR tier
     python bench.py --scaling        # run at local[8] and local[32],
                                      # report throughput scaling efficiency
-                                     # and write BENCH/BASELINE.md
+                                     # and write BENCH/scaling_autoreport.md
 
 The scaling mode is the sandbox stand-in for the north rule's
 N -> 4N executor criterion (two parallelism levels on the same input;
@@ -313,7 +313,9 @@ def run_scaling() -> None:
     effrows = "\n".join(
         f"- **{n} → {m} cores: {effs[f'eff_{n}_to_{m}']}**" for n, m in pairs
     )
-    with open("BENCH/BASELINE.md", "w") as f:
+    # raw auto-report; BENCH/BASELINE.md is the hand-consolidated story
+    # across all measured pairs/conditions and must not be clobbered
+    with open("BENCH/scaling_autoreport.md", "w") as f:
         per_stage = "\n".join(
             f"- local[{c}]: `{json.dumps(results[c]['queries'])}`"
             for c in core_list
