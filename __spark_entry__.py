@@ -20,6 +20,7 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import replace
 
@@ -1138,6 +1139,202 @@ def q_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexing-filter battery (operators/index_filters): index-more
+    type/length/date, index-anchor dedup, index-metadata db+parse keys,
+    index-replace host-scoped regex, index-static, index-links
+    hosts-only mode, mimetype-filter gate, tld, language-identifier —
+    one pass over indexable crawldb rows with synthesized parse
+    metadata and the linkdb-invert link graph."""
+    from nutch_spark.ml.text import lang_id
+    from nutch_spark.operators.index_filters import (
+        anchor_field,
+        links_fields,
+        metadata_fields,
+        mimetype_keep,
+        more_fields,
+        replace_fields,
+        static_fields,
+    )
+    from nutch_spark.operators.linkdb import invert_links
+    from nutch_spark.urls.urlutil import host_col, tld_udf
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    db = _crawldb(docs, extra=("doc_id", "text")).filter(
+        F.col("status").isin(2, 6)
+    )
+
+    d = F.col("doc_id")
+    # synthesized protocol/parse metadata (deterministic from doc_id)
+    content_type = (
+        F.when(d % 5 == 0, F.lit("text/html; charset=utf-8"))
+        .when(d % 5 == 1, F.lit("application/pdf"))
+        .when(d % 5 == 3, F.lit("image/png"))
+        .when(d % 5 == 4, F.lit("Text/HTML"))
+    )  # %5==2 -> null -> URL-extension fallback (no extension -> octet-stream)
+    content_length = (
+        F.when(d % 4 == 1, F.concat(F.lit("  "), (d * 17).cast("string"), F.lit(" ")))
+        .when(d % 4 >= 2, (d * 17).cast("string"))
+    )  # %4==0 -> null
+    last_modified = F.when(d % 3 == 0, F.lit(FT_BASE) - d * 1000).cast("long")
+    db_meta = F.when(
+        d % 2 == 0,
+        F.create_map(F.lit("collector"), F.concat(F.lit("c"), (d % 7).cast("string"))),
+    ).otherwise(F.expr("map()").cast("map<string,string>"))
+    parse_meta = F.create_map(
+        F.lit("keywords"), F.concat(F.lit("k1, k2 , ,k"), (d % 5).cast("string")),
+        F.lit("author"), F.concat(F.lit(" auth"), (d % 11).cast("string"), F.lit(" ")),
+    )
+
+    # link graph: same derivation as linkdb_invert, mixed-case anchors
+    cfg = replace(CFG, linkdb_max_inlinks=4)
+    ks = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    )
+    tid = (F.col("doc_id") * 7 + F.col("k") * 13 + 1) % n
+    anchor = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("A")).otherwise(F.lit("a")),
+        F.col("k").cast("string"),
+    )
+    outlinks = ks.select(
+        _url_col().alias("url"), _url_col(tid).alias("to_url"), anchor.alias("anchor")
+    )
+    ldb = invert_links(outlinks, cfg)
+
+    base = db.withColumns({
+        "content_type": content_type,
+        "content_length_raw": content_length,
+        "last_modified_raw": last_modified,
+        "metadata": db_meta,
+        "parse_metadata": parse_meta,
+        "title": F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+        "host": host_col(F.col("url")),
+    })
+    out = more_fields(
+        base,
+        content_type="content_type",
+        content_length="content_length_raw",
+        last_modified="last_modified_raw",
+    )
+    out = anchor_field(out, ldb, deduplicate=True)
+    out = metadata_fields(
+        out,
+        db_keys=("collector",),
+        parse_keys=("keywords", "author"),
+        separator=",",
+        mv_fields=("keywords",),
+    )
+    out = static_fields(out, {"source": ["nutch-spark"]})
+    out = replace_fields(out, [{
+        "scope": "host", "match": r"^host1[0-9]\.example\.com$",
+        "field": "title", "to_field": "title_norm",
+        "pattern": r"\d+", "replacement": "#",
+    }])
+    out = links_fields(
+        out, outlinks, ldb, only_hosts=True, ignore_same_host_out=True
+    )
+    return out.select(
+        "url",
+        "type", "type_primary", "type_sub", "content_length",
+        "last_modified", "date",
+        F.array_join("anchors", " ").alias("anchors"),
+        F.array_join("outlinks", " ").alias("outlink_hosts"),
+        F.array_join("inlinks", " ").alias("inlink_hosts"),
+        F.array_join("collector", " ").alias("collector"),
+        F.array_join("keywords", " ").alias("keywords"),
+        F.array_join("author", " ").alias("author"),
+        "title_norm",
+        F.array_join("source", " ").alias("source"),
+        mimetype_keep(F.col("type"), ["application"], accept_mode=True).alias("mime_keep"),
+        tld_udf()(F.col("url")).alias("tld"),
+        lang_id(F.col("text")).alias("lang"),
+    )
+
+
+_ORPHAN_NOW_S = 1700000000
+_SIM_GOLD = (
+    "stream processing with vector columns and sorted aggregation the "
+    "query engine joins window partitions"
+)
+_SIM_STOP = ("the", "and", "with")
+
+
+def q_urlfilter_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """urlfilter-validator + urlfilter-automaton (UrlValidator.java:102-224,
+    AutomatonURLFilter): syntactic validation and the automaton-subset
+    first-match-wins chain, both as pure-JVM columns, over a url mix
+    hitting every rejection branch (bad IP octets, missing scheme,
+    illegal chars, oversize port, dotless host)."""
+    from nutch_spark.urls.filters import AutomatonURLFilter, ValidatorURLFilter
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 7 == 0, F.concat(
+            _url_col(), F.when(d % 2 == 0, F.lit(".png")).otherwise(F.lit(".html"))))
+        .when(d % 7 == 1, F.concat(F.lit("http://999.000.456.32/doc/"), ds))
+        .when(d % 7 == 2, F.concat(
+            F.lit("http://10.0.0."), (d % 256).cast("string"), F.lit("/doc/"), ds))
+        .when(d % 7 == 3, F.concat(F.lit("example.com/doc/"), ds))
+        .when(d % 7 == 4, F.concat(F.lit("http://host.example.com/sp ace/"), ds))
+        .when(d % 7 == 5, F.concat(F.lit("http://x.example.com:123456/doc/"), ds))
+        .otherwise(F.concat(F.lit("http://singlehost/doc/"), ds))
+    )
+    df = docs.select(url.alias("url"))
+    v = ValidatorURLFilter()
+    auto = AutomatonURLFilter([r"-\.png$", r"+^http://", r"-."])
+    return df.select(
+        "url",
+        v.cond(F.col("url")).alias("valid"),
+        auto.cond(F.col("url")).alias("auto_accept"),
+    )
+
+
+def q_orphan_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoring-orphan (OrphanScoringFilter.java:60-103): inlinked pages
+    refresh their ``_orphan_`` last-seen stamp; stamp ages past 40d →
+    db_orphan, past 30d → db_gone (orphan checked first, as the
+    reference does)."""
+    from nutch_spark.operators.scoring import orphan_update
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    stamp = (
+        F.when(d % 4 == 0, _ORPHAN_NOW_S - 46 * 86400)
+        .when(d % 4 == 1, _ORPHAN_NOW_S - 35 * 86400)
+        .when(d % 4 == 2, _ORPHAN_NOW_S - 5 * 86400)
+    )
+    db = _crawldb(docs, extra=("doc_id",)).withColumn(
+        "metadata",
+        F.when(
+            stamp.isNotNull(),
+            F.create_map(F.lit("_orphan_"), stamp.cast("string")),
+        ).otherwise(F.expr("map()").cast("map<string,string>")),
+    )
+    inl = docs.filter(d % 3 == 0).select(
+        _url_col().alias("url"), (1 + d % 5).cast("long").alias("n_inlinks")
+    )
+    out = orphan_update(db, inl, _ORPHAN_NOW_S)
+    return out.select(
+        "url", "status",
+        F.element_at(F.col("metadata"), F.lit("_orphan_"))
+        .cast("long").alias("orphan_ts"),
+    )
+
+
+def q_similarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoring-similarity (cosine/Model.java + CosineSimilarity.java):
+    focused-crawl priority = TF-cosine of each page against a broadcast
+    gold-standard profile, stopwords dropped (no Porter stemming —
+    documented deviation)."""
+    from nutch_spark.operators.scoring import similarity_scores
+
+    pt = _docs(spark, sf_dir).select(_url_col().alias("url"), "text")
+    return similarity_scores(pt, _SIM_GOLD, stopwords=_SIM_STOP)
+
+
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → minhash → band →
     bucket-join → Jaccard verify), ml/dedup.py; md5-derived hashing, so
@@ -1305,6 +1502,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "span_signature": q_span_signature,
         "warc_export": q_warc_export,
         "index_docs": q_index_docs,
+        "index_filters": q_index_filters,
+        "urlfilter_validator": q_urlfilter_validator,
+        "orphan_scoring": q_orphan_scoring,
+        "similarity_score": q_similarity_score,
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
@@ -1826,6 +2027,198 @@ SELECT vec_a, vec_b, cosine_sim FROM p WHERE cosine_sim >= {threshold}
 """
 
 
+# validator/automaton replay: the verdicts are known analytically per
+# url-variant branch, so the oracle states the expected truth table
+# rather than re-running the regex battery
+_URLFILTER_VALIDATOR_ORACLE = """
+SELECT
+  CASE
+    WHEN doc_id % 7 = 0 THEN
+      'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+        || CAST(doc_id AS VARCHAR)
+        || CASE WHEN doc_id % 2 = 0 THEN '.png' ELSE '.html' END
+    WHEN doc_id % 7 = 1 THEN 'http://999.000.456.32/doc/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 7 = 2 THEN 'http://10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        || '/doc/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 7 = 3 THEN 'example.com/doc/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 7 = 4 THEN 'http://host.example.com/sp ace/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 7 = 5 THEN 'http://x.example.com:123456/doc/' || CAST(doc_id AS VARCHAR)
+    ELSE 'http://singlehost/doc/' || CAST(doc_id AS VARCHAR)
+  END AS url,
+  doc_id % 7 IN (0, 2) AS valid,
+  CASE WHEN doc_id % 7 = 0 THEN doc_id % 2 <> 0
+       WHEN doc_id % 7 = 3 THEN FALSE
+       ELSE TRUE END AS auto_accept
+FROM documents
+"""
+
+
+# scoring-orphan replay: %3==0 rows are inlinked (stamp refreshed to
+# now, status untouched); the rest age their stamp — 46d > 40d orphan,
+# 35d > 30d gone, 5d untouched, %4==3 never stamped
+def _orphan_oracle() -> str:
+    n = _ORPHAN_NOW_S
+    return f"""
+WITH {_CRAWLDB_CTE}
+SELECT url,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN status
+       WHEN doc_id % 4 = 0 THEN 8
+       WHEN doc_id % 4 = 1 THEN 3
+       ELSE status END AS INTEGER) AS status,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN {n}
+       WHEN doc_id % 4 = 0 THEN {n - 46 * 86400}
+       WHEN doc_id % 4 = 1 THEN {n - 35 * 86400}
+       WHEN doc_id % 4 = 2 THEN {n - 5 * 86400}
+       END AS BIGINT) AS orphan_ts
+FROM crawldb
+"""
+
+
+# scoring-similarity replay: same tokenizer ([a-z0-9]+ on lower),
+# same gold TF vector compiled from _SIM_GOLD; dot and norm2 are
+# integer-valued, so the double division is order-independent
+def _similarity_oracle() -> str:
+    from nutch_spark.operators.scoring import _term_freqs
+
+    stop = frozenset(w.lower() for w in _SIM_STOP)
+    gold = _term_freqs(_SIM_GOLD, stop)
+    gold_norm = math.sqrt(sum(v * v for v in gold.values()))
+    gold_case = (
+        "CASE word "
+        + " ".join(f"WHEN '{w}' THEN {v}" for w, v in sorted(gold.items()))
+        + " ELSE 0 END"
+    )
+    stop_pred = " AND ".join(f"word <> '{w}'" for w in sorted(stop))
+    return f"""
+WITH t AS (
+  SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+c AS (SELECT url, word, count(*) AS tf FROM t WHERE {stop_pred} GROUP BY 1, 2),
+p AS (
+  SELECT url, SUM(tf * ({gold_case})) AS dot, SUM(tf * tf) AS norm2
+  FROM c GROUP BY 1
+),
+a AS (
+  SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT a.url,
+  round(COALESCE(
+    CASE WHEN p.norm2 > 0
+         THEN p.dot / (sqrt(CAST(p.norm2 AS DOUBLE)) * {gold_norm!r}) END,
+    0.0), 6) AS score
+FROM a LEFT JOIN p ON p.url = a.url
+"""
+
+
+# Indexing-filter battery replay: cleaned/detected mime (URLs carry no
+# extension -> octet-stream fallback), date precedence, linkdb-capped
+# anchors with case-insensitive keep-first dedup, hosts-only link
+# fields, metadata splits, host-scoped title replace, prefix mime gate.
+def _index_filters_oracle(lang_case: str, lang_counts: str) -> str:
+    return f"""
+WITH dn AS (SELECT COUNT(*) AS n FROM documents),
+base AS (
+  SELECT doc_id, text,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    CAST(1700000000000 + (doc_id % 1000) * 3600000 AS BIGINT) AS fetch_time,
+    {lang_counts}
+  FROM documents
+  WHERE doc_id % 10 BETWEEN 5 AND 8
+),
+o AS (
+  SELECT d.doc_id, k.k, (d.doc_id * 7 + k.k * 13 + 1) % dn.n AS tid,
+    d.doc_id % 40 AS fh,
+    CASE WHEN d.doc_id % 2 = 0 THEN 'A' ELSE 'a' END
+      || CAST(k.k AS VARCHAR) AS anchor
+  FROM documents d, (SELECT unnest([0, 1, 2]) AS k) k, dn
+),
+lnk AS (
+  SELECT 'http://host' || CAST(tid % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(tid AS VARCHAR) AS url,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS from_url,
+    'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS from_host,
+    anchor
+  FROM o WHERE tid % 40 <> fh
+),
+dd AS (SELECT DISTINCT url, from_url, from_host, anchor FROM lnk),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY url ORDER BY from_url, anchor) AS rn
+    FROM dd
+  ) WHERE rn <= 4
+),
+a1 AS (
+  SELECT url, anchor, rn,
+    min(rn) OVER (PARTITION BY url, lower(anchor)) AS mrn
+  FROM capped
+),
+anch AS (
+  SELECT url, string_agg(anchor, ' ' ORDER BY rn) AS anchors
+  FROM a1 WHERE rn = mrn GROUP BY url
+),
+ins AS (
+  SELECT url, string_agg(h, ' ' ORDER BY h) AS inlink_hosts FROM (
+    SELECT DISTINCT url, from_host AS h FROM capped
+  ) GROUP BY url
+),
+outs AS (
+  SELECT url, string_agg(h, ' ' ORDER BY h) AS outlink_hosts FROM (
+    SELECT DISTINCT
+      'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+        || CAST(doc_id AS VARCHAR) AS url,
+      'host' || CAST(tid % 40 AS VARCHAR) || '.example.com' AS h
+    FROM o WHERE tid % 40 <> fh
+  ) GROUP BY url
+),
+m AS (
+  SELECT b.*,
+    CASE WHEN doc_id % 5 = 0 THEN 'text/html'
+         WHEN doc_id % 5 = 1 THEN 'application/pdf'
+         WHEN doc_id % 5 = 3 THEN 'image/png'
+         WHEN doc_id % 5 = 4 THEN 'text/html'
+         ELSE 'application/octet-stream' END AS type,
+    CASE WHEN doc_id % 4 = 0 THEN NULL
+         ELSE CAST(doc_id * 17 AS VARCHAR) END AS content_length,
+    CASE WHEN doc_id % 3 = 0
+         THEN CAST(1700000000000 - doc_id * 1000 AS BIGINT) END AS last_modified
+  FROM base b
+)
+SELECT m.url,
+  type,
+  string_split(type, '/')[1] AS type_primary,
+  string_split(type, '/')[2] AS type_sub,
+  content_length,
+  last_modified,
+  COALESCE(last_modified, fetch_time) AS "date",
+  COALESCE(anch.anchors, '') AS anchors,
+  COALESCE(outs.outlink_hosts, '') AS outlink_hosts,
+  COALESCE(ins.inlink_hosts, '') AS inlink_hosts,
+  CASE WHEN doc_id % 2 = 0 THEN 'c' || CAST(doc_id % 7 AS VARCHAR)
+       ELSE '' END AS collector,
+  'k1 k2 k' || CAST(doc_id % 5 AS VARCHAR) AS keywords,
+  'auth' || CAST(doc_id % 11 AS VARCHAR) AS author,
+  CASE WHEN doc_id % 40 BETWEEN 10 AND 19
+       THEN regexp_replace(substring(text, 1, 40), '\\d+', '#', 'g')
+  END AS title_norm,
+  'nutch-spark' AS source,
+  type NOT LIKE 'application%' AS mime_keep,
+  'com' AS tld,
+  {lang_case} AS lang
+FROM m
+LEFT JOIN anch ON anch.url = m.url
+LEFT JOIN outs ON outs.url = m.url
+LEFT JOIN ins ON ins.url = m.url
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_best = "GREATEST(" + ", ".join(f"c_{g}" for g in _LANGS) + ")"
     lang_case = "CASE WHEN " + lang_best + " <= 0 THEN 'und' " + " ".join(
@@ -1853,6 +2246,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["commoncrawl_export"] = _COMMONCRAWL_ORACLE
     oracles["gopher_quality"] = _GOPHER_ORACLE
     oracles["gopher_repetition"] = _GOPHER_REP_ORACLE
+    oracles["index_filters"] = _index_filters_oracle(lang_case, lang_counts)
+    oracles["urlfilter_validator"] = _URLFILTER_VALIDATOR_ORACLE
+    oracles["orphan_scoring"] = _orphan_oracle()
+    oracles["similarity_score"] = _similarity_oracle()
     oracles["first_seen"] = """
 SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value, props
 FROM (

@@ -75,6 +75,7 @@ def parse(
     *,
     url_filter_rules: list[str] | None = None,
     normalize_outlinks: bool = True,
+    exemption_rules: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {'parse_text', 'parse_data', 'outlinks', 'crawl_parse'}.
 
@@ -120,7 +121,15 @@ def parse(
     if cfg.db_ignore_internal_links:
         exploded = exploded.filter(src_host != dst_host)
     if cfg.db_ignore_external_links:
-        exploded = exploded.filter(src_host == dst_host)
+        keep = src_host == dst_host
+        if exemption_rules:
+            # urlfilter-ignoreexempt (ExemptionUrlFilter.java:38-44):
+            # an external target the exemption chain accepts is still
+            # followed
+            from nutch_spark.urls.filters import exemption_cond
+
+            keep = keep | exemption_cond(F.col("to_url"), exemption_rules)
+        exploded = exploded.filter(keep)
 
     # within-page dedup, first occurrence wins (ParseOutputFormat dedup set)
     w_dup = Window.partitionBy("url", "to_url").orderBy("pos")

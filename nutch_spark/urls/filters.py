@@ -320,3 +320,141 @@ class FastURLFilter:
             if re.search(rx, tgt):
                 return False
         return True
+
+
+# ---------------------------------------------------------------------------
+# urlfilter-validator / urlfilter-automaton / urlfilter-ignoreexempt
+# ---------------------------------------------------------------------------
+
+# the validator's regex battery, verbatim from
+# urlfilter-validator/.../UrlValidator.java:56-100 (itself a trimmed
+# commons-validator): these are Java regexes that are also valid,
+# semantically identical Python regexes
+_V_URL_PAT = r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?$"
+_V_LEGAL = r"^[\x21-\x7E]+$"
+_V_SCHEME = r"^[a-zA-Z]+$"
+_V_AUTH_PAT = r"^([a-zA-Z0-9\-\.]*)(:\d*)?(.*)?$"
+_V_IP = r"^(\d{1,3})[.](\d{1,3})[.](\d{1,3})[.](\d{1,3})$"
+_V_ATOM = r"[^\s;/@&=,.?:+$]+"
+_V_DOMAIN = rf"^{_V_ATOM}(\.{_V_ATOM})*$"
+_V_PATH = r"^(/[-\w:@&?=+,.!/~*'%$_;\(\)]*)?$"
+_V_PORT = r"^:(\d{1,5})$"
+
+
+class ValidatorURLFilter:
+    """urlfilter-validator (``UrlValidator.java:102-224``): syntactic
+    URL validation — printable-ASCII only, alpha scheme, IPv4 octets
+    ≤255 or a hostname whose top-level label is ≥2 chars, starts with a
+    letter and is preceded by at least one more label, numeric port
+    ≤5 digits, and a path drawn from the legal path characters.
+    Rejection = drop (chain veto), like every URLFilter."""
+
+    def cond(self, url_col: Column) -> Column:
+        """Pure-JVM column replica (regexp_extract + rlike; every
+        pattern is ^..$-anchored so rlike's find() == Java matches())."""
+        u = url_col
+        scheme = F.regexp_extract(u, _V_URL_PAT, 2)
+        authority = F.regexp_extract(u, _V_URL_PAT, 4)
+        path = F.regexp_extract(u, _V_URL_PAT, 5)
+        host = F.regexp_extract(authority, _V_AUTH_PAT, 1)
+        port = F.regexp_extract(authority, _V_AUTH_PAT, 2)
+        extra = F.regexp_extract(authority, _V_AUTH_PAT, 3)
+
+        ip_shape = host.rlike(_V_IP)
+        ip_ok = ip_shape
+        for i in range(1, 5):
+            ip_ok = ip_ok & (
+                F.regexp_extract(host, _V_IP, i).cast("int") <= 255
+            )
+        parts = F.split(host, r"\.")
+        top = F.element_at(parts, -1)
+        host_ok = (
+            host.rlike(_V_DOMAIN)
+            & (F.size(parts) >= 2)
+            & (F.length(top) >= 2)
+            & top.rlike(r"^[a-zA-Z]")
+        )
+        ok = (
+            u.rlike(_V_LEGAL)
+            & scheme.rlike(_V_SCHEME)
+            & (authority != "")
+            & F.when(ip_shape, ip_ok).otherwise(host_ok)
+            & ((port == "") | port.rlike(_V_PORT))
+            & (F.trim(extra) == "")
+            & path.rlike(_V_PATH)
+        )
+        return F.coalesce(ok, F.lit(False))
+
+    def accept(self, url: str | None) -> bool:
+        """Python twin (same regexes, fullmatch == Java matches())."""
+        if url is None or not re.fullmatch(_V_LEGAL, url):
+            return False
+        m = re.fullmatch(_V_URL_PAT, url)
+        if not m:
+            return False
+        scheme, authority = m.group(2), m.group(4)
+        path = m.group(5) or ""
+        if scheme is None or not re.fullmatch(_V_SCHEME, scheme):
+            return False
+        if authority is None:
+            return False
+        am = re.fullmatch(_V_AUTH_PAT, authority)
+        if not am:
+            return False
+        host, port, extra = am.group(1), am.group(2), am.group(3)
+        im = re.fullmatch(_V_IP, host)
+        if im:
+            if any(int(im.group(i)) > 255 for i in range(1, 5)):
+                return False
+        else:
+            if not re.fullmatch(_V_DOMAIN, host):
+                return False
+            segs = host.split(".")
+            top = segs[-1]
+            if len(segs) < 2 or len(top) < 2 or not re.match(r"^[a-zA-Z]", top):
+                return False
+        if port and not re.fullmatch(_V_PORT, port):
+            return False
+        if extra and extra.strip():
+            return False
+        return re.fullmatch(_V_PATH, path) is not None
+
+
+# constructs dk.brics.automaton cannot compile: lookarounds, backrefs,
+# \b/\B, inline flags, named groups, possessive/reluctant exotica — an
+# automaton rule file using them is a configuration error
+_NON_AUTOMATON_RE = re.compile(r"\(\?|\\[1-9bBAZzG]")
+
+
+class AutomatonURLFilter(RegexURLFilter):
+    """urlfilter-automaton (``urlfilter-automaton/.../AutomatonURLFilter.java``):
+    the same ``[+-]regex`` first-match-wins chain as urlfilter-regex,
+    restricted to dk.brics.automaton's regex subset (linear-time DFA in
+    the reference). Under Spark both chains compile to the same
+    ``when(rlike)`` JVM columns — java.util.regex on the automaton
+    subset is semantically identical, so only the construction-time
+    screen differs: rules using constructs an automaton cannot express
+    are rejected here instead of silently behaving differently."""
+
+    def __init__(self, rules: Sequence[str]):
+        for line in rules:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if _NON_AUTOMATON_RE.search(line[1:]):
+                raise ValueError(
+                    f"not an automaton-expressible pattern: {line!r}"
+                )
+        super().__init__(rules)
+        self.rules = list(rules)
+
+    def cond(self, url_col: Column) -> Column:
+        return url_filter_cond(url_col, self.rules)
+
+
+def exemption_cond(url_col: Column, rules: Sequence[str]) -> Column:
+    """urlfilter-ignoreexempt (``ExemptionUrlFilter.java:38-44``): when
+    ``db.ignore.external.links`` is on, an external outlink is still
+    followed if the exemption rule chain accepts it. The rule file is
+    plain RegexURLFilter syntax applied to the *target* URL."""
+    return url_filter_cond(url_col, rules)

@@ -79,6 +79,43 @@ def get_domain(url_or_host: str | None) -> str | None:
         candidate = sub
 
 
+def get_tld(url_or_host: str | None) -> str | None:
+    """Public domain suffix of the host (URLUtil.getDomainSuffix →
+    DomainSuffix.getDomain, ``tld/.../TLDIndexingFilter.java:48-60``):
+    the longest known public suffix, else the host's last label."""
+    if not url_or_host:
+        return None
+    host = get_host(url_or_host) if "://" in url_or_host else url_or_host.lower()
+    if not host:
+        return None
+    if host.endswith("."):
+        host = host[:-1]
+    if _IP_RE.match(host):
+        return None
+    candidate = host
+    while True:
+        idx = candidate.find(".")
+        sub = candidate[idx + 1 :]
+        if sub in _SUFFIXES:
+            return sub
+        if idx < 0:
+            return candidate
+        candidate = sub
+
+
+def tld_udf():
+    """get_tld with the same unique-host batch cache as domain_udf."""
+
+    @F.pandas_udf("string")
+    def _tld(urls: pd.Series) -> pd.Series:
+        has_scheme = urls.str.contains("://", regex=False, na=False)
+        hosts = host_series(urls).where(has_scheme, urls)
+        table = {h: get_tld(h) for h in hosts.dropna().unique()}
+        return hosts.map(table)
+
+    return _tld
+
+
 def choose_repr(src: str, dst: str, temp: bool) -> str:
     """Representative URL on redirect (URLUtil.chooseRepr:330-421)."""
     src_host, dst_host = get_host(src), get_host(dst)
