@@ -1335,6 +1335,69 @@ def q_similarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_scores(pt, _SIM_GOLD, stopwords=_SIM_STOP)
 
 
+def q_metadata_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoring-metadata + scoring-link (MetadataScoringFilter.java:43-147,
+    LinkAnalysisScoringFilter.java:32-81): configured datum-metadata
+    keys ride into parse metadata, parse keys are stamped onto every
+    outlink datum, and each parent page carries both indexer boosts —
+    OPIC pow-damping vs link-analysis normalization. Parent scores are
+    dyadic squares so sqrt is float-exact."""
+    from nutch_spark.operators.scoring import (
+        link_indexer_score,
+        metadata_to_outlinks,
+        metadata_to_parse,
+        opic_indexer_score,
+    )
+    from nutch_spark.schema import STATUS_LINKED
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    q = (d % 8) / 4.0
+    pages = docs.select(
+        d.alias("doc_id"),
+        _url_col().alias("url"),
+        (q * q).cast("float").alias("score"),
+        F.when(
+            d % 2 == 0,
+            F.create_map(
+                F.lit("campaign"), F.concat(F.lit("c"), (d % 5).cast("string"))
+            ),
+        ).otherwise(_empty_meta()).alias("metadata"),
+        F.create_map(
+            F.lit("ptag"), F.concat(F.lit("p"), (d % 3).cast("string"))
+        ).alias("parse_metadata"),
+    )
+    pages = metadata_to_parse(pages, ["campaign"])
+
+    ks = docs.select("doc_id", F.explode(F.array(F.lit(1), F.lit(2))).alias("k"))
+    tgt = F.when(F.col("k") == 1, (d * 7 + 1) % n).otherwise((d * 13 + 2) % n)
+    link_rows = ks.select(
+        _url_col(tgt).alias("url"),
+        F.lit(STATUS_LINKED).cast("int").alias("status"),
+        _url_col().alias("from_url"),
+        _empty_meta().alias("metadata"),
+    )
+    stamped = metadata_to_outlinks(
+        link_rows,
+        pages.select("url", "parse_metadata"),
+        ["campaign", "ptag"],
+    )
+    out = stamped.join(
+        pages.select(F.col("url").alias("from_url"), "score"), "from_url"
+    )
+    return out.select(
+        "url",
+        "from_url",
+        F.element_at("metadata", "campaign").alias("campaign"),
+        F.element_at("metadata", "ptag").alias("ptag"),
+        opic_indexer_score(F.col("score").cast("double")).alias("boost_opic"),
+        link_indexer_score(
+            F.col("score").cast("double"), normalized_score=0.5
+        ).alias("boost_link"),
+    )
+
+
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → minhash → band →
     bucket-join → Jaccard verify), ml/dedup.py; md5-derived hashing, so
@@ -1506,6 +1569,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "urlfilter_validator": q_urlfilter_validator,
         "orphan_scoring": q_orphan_scoring,
         "similarity_score": q_similarity_score,
+        "metadata_scoring": q_metadata_scoring,
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
@@ -2250,6 +2314,36 @@ def oracle_sql() -> dict[str, str]:
     oracles["urlfilter_validator"] = _URLFILTER_VALIDATOR_ORACLE
     oracles["orphan_scoring"] = _orphan_oracle()
     oracles["similarity_score"] = _similarity_oracle()
+    # scoring-metadata + scoring-link replay: boosts are dyadic-exact
+    # (scores are squares of quarter-integers, so pow(s, .5) == q)
+    oracles["metadata_scoring"] = """
+WITH dn AS (SELECT COUNT(*) AS n FROM documents),
+p AS (
+  SELECT doc_id,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    CAST((doc_id % 8) / 4.0 AS DOUBLE) AS q,
+    CASE WHEN doc_id % 2 = 0 THEN 'c' || CAST(doc_id % 5 AS VARCHAR) END
+      AS campaign,
+    'p' || CAST(doc_id % 3 AS VARCHAR) AS ptag
+  FROM documents
+),
+l AS (
+  SELECT d.doc_id,
+    CASE WHEN k.k = 1 THEN (d.doc_id * 7 + 1) % dn.n
+         ELSE (d.doc_id * 13 + 2) % dn.n END AS tid
+  FROM documents d, (SELECT unnest([1, 2]) AS k) k, dn
+)
+SELECT
+  'http://host' || CAST(l.tid % 40 AS VARCHAR) || '.example.com/doc/'
+    || CAST(l.tid AS VARCHAR) AS url,
+  p.url AS from_url,
+  p.campaign,
+  p.ptag,
+  p.q AS boost_opic,
+  0.5 * p.q * p.q AS boost_link
+FROM l JOIN p ON p.doc_id = l.doc_id
+"""
     oracles["first_seen"] = """
 SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value, props
 FROM (

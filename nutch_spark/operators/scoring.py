@@ -30,7 +30,7 @@ import math
 import re
 from itertools import chain
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nutch_spark.schema import STATUS_DB_GONE, STATUS_DB_ORPHAN
@@ -137,3 +137,103 @@ def similarity_scores(
         "url",
         F.round(F.coalesce(score, F.lit(0.0)), 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scoring-link (LinkAnalysisScoringFilter.java:32-81): take page scores
+# from link analysis (webgraph LinkRank / ScoreUpdater in this repo)
+# instead of OPIC distribution. New pages start at 0; the generator
+# sort is score * initSort (same expression as OPIC); the indexer boost
+# is a plain normalization factor times the db score, NOT the OPIC
+# pow(score, indexer.score.power) damping.
+# ---------------------------------------------------------------------------
+
+LINK_INITIAL_SCORE = 0.0
+
+
+def link_generator_sort(score: Column, init_sort: Column | float) -> Column:
+    """LinkAnalysisScoringFilter.generatorSortValue:47-50."""
+    return score * init_sort
+
+
+def link_indexer_score(
+    db_score: Column,
+    init_score: Column | float = 1.0,
+    *,
+    normalized_score: float = 1.0,
+) -> Column:
+    """LinkAnalysisScoringFilter.indexerScore:53-60 — null db row keeps
+    the incoming initScore, else ``link.analyze.normalize.score`` *
+    score."""
+    return F.coalesce(
+        F.lit(float(normalized_score)) * db_score,
+        init_score if isinstance(init_score, Column) else F.lit(float(init_score)),
+    )
+
+
+def opic_indexer_score(
+    db_score: Column,
+    init_score: Column | float = 1.0,
+    *,
+    score_power: float = 0.5,
+) -> Column:
+    """OPICScoringFilter.indexerScore:176-183 — pow(score, power) *
+    initScore damping (``indexer.score.power`` default 0.5)."""
+    init = init_score if isinstance(init_score, Column) else F.lit(float(init_score))
+    return F.coalesce(F.pow(db_score, F.lit(score_power)) * init, init)
+
+
+# ---------------------------------------------------------------------------
+# scoring-metadata (MetadataScoringFilter.java:43-147): configured keys
+# ride the datum -> content -> parse metadata chain, and parse keys are
+# stamped onto every outlink datum. In this engine content and parse
+# metadata are map columns on the same parse row, so the two pass-*
+# hooks collapse to one map merge; the outlink hop is the same
+# segment-scale join the urlmeta plugin uses.
+# ---------------------------------------------------------------------------
+
+
+def metadata_to_parse(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    datum_meta: str = "metadata",
+    parse_meta: str = "parse_metadata",
+) -> DataFrame:
+    """passScoreBeforeParsing:95-108 + passScoreAfterParsing:118-130
+    fused: copy each configured key present in the datum metadata into
+    the parse metadata (copied value wins, as the reference's set()
+    overwrites)."""
+    if not keys:
+        return df
+    key_arr = F.array(*[F.lit(k) for k in keys])
+    copied = F.map_filter(
+        F.map_from_arrays(
+            key_arr,
+            F.transform(key_arr, lambda k: F.element_at(F.col(datum_meta), k)),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    merged = F.map_concat(
+        F.coalesce(F.col(parse_meta), F.expr("map()").cast("map<string,string>")),
+        copied,
+    )  # LAST_WIN session policy => copied overwrites
+    return df.withColumn(parse_meta, merged)
+
+
+def metadata_to_outlinks(
+    crawl_parse: DataFrame, parse_meta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """distributeScoreToOutlinks:62-84 — every outlink datum inherits
+    the configured parse-metadata keys of its source page. Delegates to
+    the urlmeta join (identical shape: one from_url-keyed join over the
+    segment's link rows only).
+
+    ``parse_meta``: (url, parse_metadata) of the parsed pages.
+    """
+    from nutch_spark.operators.urlmeta import propagate_url_meta
+
+    parents = parse_meta.select(
+        "url", F.col("parse_metadata").alias("metadata")
+    )
+    return propagate_url_meta(crawl_parse, parents, keys)

@@ -170,3 +170,65 @@ def test_tld():
     assert get_tld("http://example.co.uk/") == "co.uk"
     assert get_tld("localhost") == "localhost"
     assert get_tld(None) is None
+
+
+def test_metadata_scoring_chain(spark):
+    """Port of TestMetadataScoringFilter.java: datum metadata rides to
+    parse metadata, parse keys land on every outlink datum."""
+    from nutch_spark.operators.scoring import (
+        metadata_to_outlinks,
+        metadata_to_parse,
+    )
+    from nutch_spark.schema import STATUS_LINKED
+
+    page = spark.createDataFrame(
+        [("u1", {"md1": "val1", "other": "x"}, {"pmd": "pv"})],
+        "url string, metadata map<string,string>, "
+        "parse_metadata map<string,string>",
+    )
+    out = metadata_to_parse(page, ["md1", "missing"]).collect()[0]
+    assert out["parse_metadata"] == {"pmd": "pv", "md1": "val1"}
+
+    links = spark.createDataFrame(
+        [
+            ("t1", STATUS_LINKED, "u1", {}),
+            ("t2", STATUS_LINKED, "u1", {"pmd": "old"}),
+            ("t3", STATUS_LINKED, "nope", {}),
+        ],
+        "url string, status int, from_url string, "
+        "metadata map<string,string>",
+    )
+    pm = spark.createDataFrame(
+        [("u1", {"pmd": "pv", "md1": "val1"})],
+        "url string, parse_metadata map<string,string>",
+    )
+    got = {
+        r["url"]: r["metadata"]
+        for r in metadata_to_outlinks(links, pm, ["pmd", "md1"]).collect()
+    }
+    assert got["t1"] == {"pmd": "pv", "md1": "val1"}
+    assert got["t2"] == {"pmd": "pv", "md1": "val1"}  # parent overwrites
+    assert got["t3"] == {}  # unknown parent: untouched
+
+
+def test_link_and_opic_indexer_scores(spark):
+    from nutch_spark.operators.scoring import (
+        LINK_INITIAL_SCORE,
+        link_generator_sort,
+        link_indexer_score,
+        opic_indexer_score,
+    )
+
+    assert LINK_INITIAL_SCORE == 0.0
+    df = spark.createDataFrame(
+        [(4.0,), (0.25,), (None,)], "score double"
+    )
+    rows = df.select(
+        link_indexer_score(F.col("score"), 2.0, normalized_score=1.5)
+        .alias("lk"),
+        opic_indexer_score(F.col("score"), 2.0).alias("op"),
+        link_generator_sort(F.col("score"), 3.0).alias("gs"),
+    ).collect()
+    assert [r["lk"] for r in rows] == [6.0, 0.375, 2.0]
+    assert [r["op"] for r in rows] == [4.0, 1.0, 2.0]
+    assert rows[0]["gs"] == 12.0
