@@ -1398,6 +1398,96 @@ def q_metadata_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HtmlParseFilter battery (operators/parse_filters): parse-metatags,
+    headings, microformats-reltag, creativecommons over HTML synthesized
+    deterministically per doc — meta name/http-equiv duplication, nested
+    heading tags, %-encoded rel-tags, and all three CC license locations
+    (rdf comment / rel=license anchor / plain anchor) plus the indexer's
+    license/features/version split."""
+    from nutch_spark.operators.parse_filters import (
+        cc_index_fields,
+        cc_license,
+        headings,
+        meta_tags_map,
+        rel_tags,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    cc_part = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<!-- RDF <rdf:RDF xmlns:cc="http://web.resource.org/cc/">'
+                      '<cc:Work><dc:type rdf:resource='
+                      '"http://purl.org/dc/dcmitype/Text"/></cc:Work>'
+                      '<cc:License rdf:about='
+                      '"http://creativecommons.org/licenses/by-nc/'),
+                (1 + d % 3).cast("string"),
+                F.lit('.0/"></cc:License></rdf:RDF> -->'),
+            ),
+        )
+        .when(d % 4 == 1, F.lit(
+            '<a rel="license" href='
+            '"http://creativecommons.org/licenses/by/2.0/">cc</a>'))
+        .when(d % 4 == 2, F.lit(
+            '<a href="http://creativecommons.org/licenses/by-sa/3.0/">cc</a>'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<html><head><meta name="keywords" content="k'),
+        (d % 5).cast("string"),
+        F.lit(', extra"/><meta name="author" content="a'),
+        (d % 7).cast("string"),
+        F.lit('"/>'),
+        F.when(d % 3 == 0, F.concat(
+            F.lit('<meta name="Keywords" content="dup'),
+            (d % 4).cast("string"), F.lit('"/>'))).otherwise(F.lit("")),
+        F.lit('<meta http-equiv="Refresh" content="'),
+        (d % 9).cast("string"),
+        F.lit('"/></head><body><h1> Top '),
+        (d % 10).cast("string"),
+        F.lit(" <b>bold</b> </h1>"),
+        F.when(d % 2 == 0, F.concat(
+            F.lit("<h1>Again "), (d % 3).cast("string"),
+            F.lit("</h1>"))).otherwise(F.lit("")),
+        F.when(d % 4 != 1, F.concat(
+            F.lit("<h2>Sub "), (d % 6).cast("string"),
+            F.lit("</h2>"))).otherwise(F.lit("")),
+        F.lit('<a rel="tag" href="http://t.example.com/tags/tag%20'),
+        (d % 5).cast("string"),
+        F.lit('">x</a><a rel="tag" href="http://t.example.com/tags/z'),
+        (d % 3).cast("string"),
+        F.lit('">y</a>'),
+        cc_part,
+        F.lit("</body></html>"),
+    )
+    df = docs.select(_url_col().alias("url"), html.alias("html"))
+    h = headings(F.col("html"), multivalued=True)
+    meta = meta_tags_map(F.col("html"), ["keywords", "author", "refresh"])
+    cc = cc_license(F.col("html"))
+    df = df.withColumn("_cc", cc).withColumn(
+        "_ccf", cc_index_fields(F.col("_cc")["license_url"])
+    )
+    return df.select(
+        "url",
+        F.array_join(F.element_at(meta, "metatag.keywords"), "|").alias("keywords"),
+        F.array_join(F.element_at(meta, "metatag.author"), "|").alias("author"),
+        F.array_join(F.element_at(meta, "metatag.refresh"), "|").alias("refresh"),
+        F.array_join(h["h1"], "|").alias("h1"),
+        F.array_join(h["h2"], "|").alias("h2"),
+        F.array_join(rel_tags(F.col("html")), "|").alias("reltags"),
+        F.col("_cc")["license_url"].alias("license_url"),
+        F.col("_cc")["license_loc"].alias("license_loc"),
+        F.col("_cc")["work_type"].alias("work_type"),
+        F.col("_ccf")["license"].alias("cc_lic"),
+        F.array_join(F.col("_ccf")["features"], "|").alias("cc_features"),
+        F.col("_ccf")["version"].alias("cc_version"),
+    )
+
+
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → minhash → band →
     bucket-join → Jaccard verify), ml/dedup.py; md5-derived hashing, so
@@ -1570,6 +1660,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "orphan_scoring": q_orphan_scoring,
         "similarity_score": q_similarity_score,
         "metadata_scoring": q_metadata_scoring,
+        "parse_filter_battery": q_parse_filter_battery,
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
@@ -2343,6 +2434,43 @@ SELECT
   p.q AS boost_opic,
   0.5 * p.q * p.q AS boost_link
 FROM l JOIN p ON p.doc_id = l.doc_id
+"""
+    # HtmlParseFilter battery: the html is synthesized from doc_id, so
+    # the oracle states the expected extractions analytically
+    oracles["parse_filter_battery"] = """
+SELECT
+  'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  'k' || CAST(doc_id % 5 AS VARCHAR) || ', extra'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '|dup' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS keywords,
+  'a' || CAST(doc_id % 7 AS VARCHAR) AS author,
+  CAST(doc_id % 9 AS VARCHAR) AS refresh,
+  'Top ' || CAST(doc_id % 10 AS VARCHAR) || ' bold'
+    || CASE WHEN doc_id % 2 = 0
+            THEN '|Again ' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END AS h1,
+  CASE WHEN doc_id % 4 <> 1
+       THEN 'Sub ' || CAST(doc_id % 6 AS VARCHAR) ELSE '' END AS h2,
+  'tag ' || CAST(doc_id % 5 AS VARCHAR) || '|z'
+    || CAST(doc_id % 3 AS VARCHAR) AS reltags,
+  CASE doc_id % 4
+    WHEN 0 THEN 'http://creativecommons.org/licenses/by-nc/'
+      || CAST(1 + doc_id % 3 AS VARCHAR) || '.0/'
+    WHEN 1 THEN 'http://creativecommons.org/licenses/by/2.0/'
+    WHEN 2 THEN 'http://creativecommons.org/licenses/by-sa/3.0/'
+  END AS license_url,
+  CASE doc_id % 4 WHEN 0 THEN 'rdf' WHEN 1 THEN 'rel' WHEN 2 THEN 'a'
+  END AS license_loc,
+  CASE WHEN doc_id % 4 = 0 THEN 'text' END AS work_type,
+  CASE doc_id % 4 WHEN 0 THEN 'by-nc' WHEN 1 THEN 'by' WHEN 2 THEN 'by-sa'
+  END AS cc_lic,
+  CASE doc_id % 4 WHEN 0 THEN 'by|nc' WHEN 1 THEN 'by' WHEN 2 THEN 'by|sa'
+  END AS cc_features,
+  CASE doc_id % 4
+    WHEN 0 THEN CAST(1 + doc_id % 3 AS VARCHAR) || '.0'
+    WHEN 1 THEN '2.0' WHEN 2 THEN '3.0'
+  END AS cc_version
+FROM documents
 """
     oracles["first_seen"] = """
 SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value, props
