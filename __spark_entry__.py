@@ -1488,6 +1488,37 @@ def q_parse_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indexer-csv + index-jexl-filter (CSVIndexWriter.java:253-393,
+    JexlIndexingFilter.java:44-128): jexl-substitute expression gate on
+    the indexable rows, then byte-faithful CSV rendering — quote-only-
+    when-needed scalars with doubled quotes, always-quoted multi-value
+    joins."""
+    from nutch_spark.operators.indexer import csv_render, jexl_index_filter
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    base = _crawldb(docs, extra=("doc_id",)).select(
+        "url", "status", "score", "doc_id"
+    )
+    title = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit('Say "hi", '), (d % 3).cast("string")),
+        ).otherwise(F.concat(F.lit("T"), (d % 7).cast("string")))
+    )
+    anchors = F.when(
+        d % 2 == 0,
+        F.array(
+            F.concat(F.lit("a"), (d % 3).cast("string")),
+            F.concat(F.lit("b,"), (d % 4).cast("string")),
+        ),
+    ).otherwise(F.array(F.concat(F.lit("a"), (d % 3).cast("string"))))
+    rows = base.withColumns({"title": title, "anchors": anchors})
+    gated = jexl_index_filter(rows, "status IN (2, 6) AND score > 0.5")
+    return csv_render(gated, ["url", "title", "anchors"]).select("url", "csv")
+
+
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → minhash → band →
     bucket-join → Jaccard verify), ml/dedup.py; md5-derived hashing, so
@@ -1661,6 +1692,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "similarity_score": q_similarity_score,
         "metadata_scoring": q_metadata_scoring,
         "parse_filter_battery": q_parse_filter_battery,
+        "index_csv": q_index_csv,
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
@@ -2471,6 +2503,23 @@ SELECT
     WHEN 1 THEN '2.0' WHEN 2 THEN '3.0'
   END AS cc_version
 FROM documents
+"""
+    # indexer-csv replay: quoting decided analytically per branch
+    oracles["index_csv"] = """
+SELECT url, url || ',' || title_r || ',' || anchors_r AS csv FROM (
+  SELECT
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN doc_id % 5 = 0
+         THEN '"Say ""hi"", ' || CAST(doc_id % 3 AS VARCHAR) || '"'
+         ELSE 'T' || CAST(doc_id % 7 AS VARCHAR) END AS title_r,
+    CASE WHEN doc_id % 2 = 0
+         THEN '"a' || CAST(doc_id % 3 AS VARCHAR) || '|b,'
+              || CAST(doc_id % 4 AS VARCHAR) || '"'
+         ELSE 'a' || CAST(doc_id % 3 AS VARCHAR) END AS anchors_r
+  FROM documents
+  WHERE doc_id % 10 BETWEEN 5 AND 8 AND doc_id % 64 > 2
+)
 """
     oracles["first_seen"] = """
 SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value, props

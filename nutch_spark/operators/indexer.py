@@ -130,3 +130,112 @@ def route_documents(docs: DataFrame, routes: list[tuple[str, str]]) -> DataFrame
     return docs.withColumn(
         "writers", F.filter(names, lambda x: x.isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# index-jexl-filter (``index-jexl-filter/.../JexlIndexingFilter.java:44-128``)
+# ---------------------------------------------------------------------------
+
+
+def jexl_index_filter(docs: DataFrame, expr: str) -> DataFrame:
+    """Document gate by expression over the indexing context. Per this
+    repo's documented T14 policy the JEXL language is substituted by a
+    Spark SQL boolean expression over the same context names the
+    reference exposes (status, fetchTime/score/... as columns of the
+    joined document row); rows where the expression is not TRUE are
+    dropped, mirroring the reference's null-on-false/exception."""
+    if expr is None:
+        raise ValueError("index.jexl.filter must have a value")
+    return docs.filter(F.expr(expr) == F.lit(True))
+
+
+# ---------------------------------------------------------------------------
+# indexer-csv (``indexer-csv/.../CSVIndexWriter.java:53-434``) and
+# indexer-dummy (``indexer-dummy/.../DummyIndexWriter.java``)
+# ---------------------------------------------------------------------------
+
+
+def csv_render(
+    docs: DataFrame,
+    fields: list[str],
+    *,
+    sep: str = ",",
+    quote: str = '"',
+    escape: str = '"',
+    valuesep: str = "|",
+    record_sep: str = "\n",
+    max_field_length: int = 4096,
+    max_field_values: int = 12,
+    out_col: str = "csv",
+) -> DataFrame:
+    """One CSV line per document, byte-faithful to CSVIndexWriter:
+
+    - scalar fields are quoted only when they contain the quote, field
+      or record separator (writeQuoted:375-393); quote chars escape as
+      escape+quote; values clip at ``csv.maxfieldlength``
+    - multi-value (array) fields are always quoted as a whole, each
+      value escaped and joined by ``csv.valueseparator``
+      (write:253-300); ``csv.maxfieldvalues`` caps the count (the
+      reference's loop counter never increments — its cap is a no-op
+      bug — ours caps, documented deviation)
+    - absent/null fields render empty, separators still emitted
+
+    All pure JVM string columns — rendering is map-side."""
+
+    def clip(c: Column) -> Column:
+        return F.substring(c, 1, max_field_length)
+
+    def esc(c: Column) -> Column:
+        return F.replace(clip(c), F.lit(quote), F.lit(escape + quote))
+
+    def scalar(c: Column) -> Column:
+        needs = (
+            c.contains(quote) | c.contains(sep) | c.contains(record_sep)
+        )
+        return F.when(
+            c.isNull(), F.lit("")
+        ).when(needs, F.concat(F.lit(quote), esc(c), F.lit(quote))).otherwise(
+            clip(c)
+        )
+
+    rendered = []
+    schema = dict(docs.dtypes)
+    for name in fields:
+        c = F.col(name)
+        if schema.get(name, "string").startswith("array"):
+            joined = F.array_join(
+                F.transform(F.slice(c, 1, max_field_values), esc), valuesep
+            )
+            multi = F.concat(F.lit(quote), joined, F.lit(quote))
+            rendered.append(
+                F.when(c.isNull() | (F.size(c) == 0), F.lit(""))
+                .when(F.size(c) == 1, scalar(F.try_element_at(c, F.lit(1))))
+                .otherwise(multi)
+            )
+        else:
+            rendered.append(scalar(c.cast("string")))
+    return docs.withColumn(out_col, F.concat_ws(sep, *rendered))
+
+
+def csv_header(fields: list[str], sep: str = ",") -> str:
+    """The withHeader first line (open():248-256)."""
+    return sep.join(fields)
+
+
+def write_csv(
+    docs: DataFrame, out_dir: str, fields: list[str], **kwargs
+) -> None:
+    """Render + write as text; single ``nutch.csv``-style part when the
+    caller coalesces. Header handling is the caller's choice (the
+    reference writes the header plus a record separator even when
+    headers are off — a quirk we do not reproduce in files)."""
+    csv_render(docs, fields, **kwargs).select("csv").write.mode(
+        "overwrite"
+    ).text(out_dir)
+
+
+def dummy_render(docs: DataFrame, *, action: str = "add", id_col: str = "url") -> DataFrame:
+    """indexer-dummy: '<action>\\t<id>' lines (DummyIndexWriter.write)."""
+    return docs.select(
+        F.concat(F.lit(action), F.lit("\t"), F.col(id_col)).alias("line")
+    )
