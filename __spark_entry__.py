@@ -1636,6 +1636,52 @@ def _with_engine_conf(fn: Callable) -> Callable:
     return wrapped
 
 
+def q_nb_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parsefilter-naivebayes (NaiveBayesParseFilter.java:160-198,
+    Classify.java:54-116, Train.java:68-145 via operators/nb_filter):
+    train on 40 labeled examples derived from the documents table,
+    classify every _web page's parse text, and gate each page's link
+    outlink — relevant pages keep it, irrelevant pages keep it only if
+    the target URL contains a wordlist term."""
+    from nutch_spark.operators.nb_filter import (
+        nb_classify,
+        nb_outlink_gate,
+        nb_train,
+    )
+
+    d = _docs(spark, sf_dir)
+    ex = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("buy cheap pills now casino ")
+            ).otherwise(F.lit("research science article data ")),
+            F.substring("text", 1, 60),
+        ).alias("text"),
+    )
+    model, stats = nb_train(ex)
+
+    docs, _, _, _ = _web(spark, sf_dir)
+    pages = docs.select(
+        F.col("doc_id").alias("url"),
+        F.element_at("spans", 1).getField("text").alias("text"),
+    )
+    verdicts = nb_classify(pages, model, stats)
+    outlinks = docs.select(
+        F.col("doc_id").alias("url"),
+        F.element_at("spans", 2).getField("media_ref").alias("to_url"),
+    )
+    kept = nb_outlink_gate(outlinks, verdicts, ["doc/1", "host7"])
+    kept_counts = kept.groupBy("url").agg(F.count("*").alias("kept"))
+    return verdicts.join(kept_counts, "url", "left").select(
+        "url",
+        "prob_ir",
+        "prob_r",
+        "relevant",
+        F.coalesce(F.col("kept"), F.lit(0)).cast("int").alias("kept_outlinks"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -1699,6 +1745,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal,
+        "nb_focus_filter": q_nb_focus,
     }
 
 
@@ -2544,7 +2591,109 @@ SELECT
 FROM documents
 """
     oracles["embedding_near_dups"] = _embedding_near_dup_oracle()
+    oracles["nb_focus_filter"] = _NB_FOCUS_ORACLE
     return oracles
+
+
+# parsefilter-naivebayes replay (Classify.java:54-116 arithmetic):
+# the reference tokenizer strips non-alpha (fusing across newlines),
+# keeps interior empty tokens in numwords, drops trailing ones; the
+# smoothed contribution is ln(freq)+1-ln(numwords_c+V) (unseen: the
+# same minus ln(freq)); ties classify relevant. ln-sum order differs
+# between engines, absorbed by round(,6).
+_NB_TOKS = """
+  CASE WHEN clean = '' THEN ['']
+       WHEN rt = '' THEN []::VARCHAR[]
+       ELSE string_split(rt, ' ') END
+"""
+_NB_CLEAN = """
+  SELECT {keys},
+    lower(regexp_replace({txt}, '[^a-zA-Z ]', '', 'g')) AS clean,
+    regexp_replace(lower(regexp_replace({txt}, '[^a-zA-Z ]', '', 'g')),
+                   ' +$', '') AS rt
+  FROM {src}
+"""
+_NB_FOCUS_ORACLE = f"""
+WITH ex AS (
+  SELECT CAST(doc_id % 2 AS INT) AS label,
+         (CASE WHEN doc_id % 2 = 0 THEN 'buy cheap pills now casino '
+               ELSE 'research science article data ' END)
+         || substring(text, 1, 60) AS text
+  FROM documents WHERE doc_id < 40
+),
+extok AS (
+  SELECT e.label, u.w
+  FROM (SELECT label, {_NB_TOKS} AS toks
+        FROM ({_NB_CLEAN.format(keys='label', txt='text', src='ex')})) e,
+       UNNEST(e.toks) AS u(w)
+),
+stats AS (
+  SELECT
+    (SELECT COUNT(*) FROM ex WHERE label = 0) AS numof_ir,
+    (SELECT COUNT(*) FROM ex WHERE label = 1) AS numof_r,
+    SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS numwords_ir,
+    SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS numwords_r,
+    COUNT(DISTINCT w) AS vocab
+  FROM extok
+),
+model AS (
+  SELECT w,
+    SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS freq_ir,
+    SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS freq_r
+  FROM extok WHERE w <> '' GROUP BY w
+),
+pages AS (
+  SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, substring(text, 1, 120) AS text
+  FROM documents
+),
+ptok AS (
+  SELECT p.url, u.w
+  FROM (SELECT url, {_NB_TOKS} AS toks
+        FROM ({_NB_CLEAN.format(keys='url', txt='text', src='pages')})) p,
+       UNNEST(p.toks) AS u(w)
+),
+contrib AS (
+  SELECT t.url,
+    CASE WHEN m.freq_ir IS NOT NULL AND m.freq_ir > 0
+         THEN ln(m.freq_ir) + 1 - ln(s.numwords_ir + s.vocab)
+         ELSE 1 - ln(s.numwords_ir + s.vocab) END AS c_ir,
+    CASE WHEN m.freq_r IS NOT NULL AND m.freq_r > 0
+         THEN ln(m.freq_r) + 1 - ln(s.numwords_r + s.vocab)
+         ELSE 1 - ln(s.numwords_r + s.vocab) END AS c_r
+  FROM ptok t LEFT JOIN model m ON t.w = m.w CROSS JOIN stats s
+),
+scored AS (
+  SELECT p.url,
+    COALESCE(SUM(c.c_ir), 0)
+      + ln(s.numof_ir) - ln(s.numof_ir + s.numof_r) AS p_ir,
+    COALESCE(SUM(c.c_r), 0)
+      + ln(s.numof_r) - ln(s.numof_ir + s.numof_r) AS p_r
+  FROM pages p LEFT JOIN contrib c ON p.url = c.url CROSS JOIN stats s
+  GROUP BY p.url, s.numof_ir, s.numof_r
+),
+outl AS (
+  SELECT p.url,
+    'http://host' || CAST(((p.doc_id * 7 + 1) % n.n) % 20 AS VARCHAR)
+    || '.example.com/doc/' || CAST((p.doc_id * 7 + 1) % n.n AS VARCHAR)
+      AS to_url
+  FROM pages p CROSS JOIN (SELECT COUNT(*) AS n FROM documents) n
+),
+kept AS (
+  SELECT o.url, COUNT(*) AS kept
+  FROM outl o JOIN scored s ON o.url = s.url
+  WHERE s.p_r >= s.p_ir
+     OR o.to_url LIKE '%doc/1%' OR o.to_url LIKE '%host7%'
+  GROUP BY o.url
+)
+SELECT s.url,
+       round(s.p_ir, 6) AS prob_ir,
+       round(s.p_r, 6) AS prob_r,
+       s.p_r >= s.p_ir AS relevant,
+       CAST(COALESCE(k.kept, 0) AS INT) AS kept_outlinks
+FROM scored s LEFT JOIN kept k ON s.url = k.url
+"""
 
 
 # IVF replay: seed centroids are the 16 lowest-md5(vec_id) vectors;
