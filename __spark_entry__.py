@@ -1682,6 +1682,117 @@ def q_nb_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """feed plugin (FeedParser.java:100-288, FeedIndexingFilter.java:68-105
+    via operators/feed): every 10th document becomes an RSS or Atom feed
+    (alternating) whose 1-3 items point at other docs; the parser fans
+    each feed into per-entry rows (link, stripped title/text, author,
+    categories, pubDate as epoch ms) plus the channel-level row."""
+    from nutch_spark.operators.feed import parse_feed
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    did = F.col("doc_id")
+    feeds_src = d.filter(did % 10 == 0)
+    atom = (did % 20) == 10
+    m = (1 + did % 3).cast("int")
+    feed_url = F.concat(
+        F.lit("http://host"), (did % 20).cast("string"),
+        F.lit(".example.com/feed/"), did.cast("string"), F.lit(".xml"),
+    )
+    site = F.concat(
+        F.lit("http://host"), (did % 20).cast("string"), F.lit(".example.com/")
+    )
+
+    def _item(j):
+        tid = (did + 7 * j + 1) % n
+        ts = tid.cast("string")
+        turl = F.concat(
+            F.lit("http://host"), (tid % 20).cast("string"),
+            F.lit(".example.com/doc/"), ts,
+        )
+        epoch = (F.lit(1700000000).cast("long") + tid * 3600)
+        rss_date = F.concat(
+            F.date_format(
+                F.timestamp_seconds(epoch), "EEE, dd MMM yyyy HH:mm:ss"
+            ),
+            F.lit(" GMT"),
+        )
+        atom_date = F.concat(
+            F.date_format(F.timestamp_seconds(epoch), "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit("Z"),
+        )
+        author_name = F.concat(F.lit("a"), (tid % 7).cast("string"))
+        rss = F.concat(
+            F.lit("<item><title>Item <b>"), ts, F.lit("</b></title><link>"),
+            turl, F.lit("</link><description>Sum <i>"), ts,
+            F.lit("</i> ok</description>"),
+            F.when(
+                tid % 4 != 0,
+                F.concat(F.lit("<author>"), author_name, F.lit("</author>")),
+            ).otherwise(F.lit("")),
+            F.lit("<category>c"), (tid % 5).cast("string"), F.lit("</category>"),
+            F.when(
+                tid % 2 == 0,
+                F.concat(
+                    F.lit("<category>d"), (tid % 3).cast("string"),
+                    F.lit("</category>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("<pubDate>"), rss_date, F.lit("</pubDate></item>"),
+        )
+        at = F.concat(
+            F.lit("<entry><title>Item <b>"), ts, F.lit('</b></title><link href="'),
+            turl, F.lit('"/><summary>Sum <i>'), ts, F.lit("</i> ok</summary>"),
+            F.when(
+                tid % 4 != 0,
+                F.concat(
+                    F.lit("<author><name>"), author_name,
+                    F.lit("</name></author>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<category term="c'), (tid % 5).cast("string"), F.lit('"/>'),
+            F.when(
+                tid % 2 == 0,
+                F.concat(
+                    F.lit('<category term="d'), (tid % 3).cast("string"),
+                    F.lit('"/>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("<published>"), atom_date, F.lit("</published></entry>"),
+        )
+        return F.when(atom, at).otherwise(rss)
+
+    blocks = F.concat_ws("", F.transform(F.sequence(F.lit(0), m - 1), _item))
+    ds = did.cast("string")
+    rss_xml = F.concat(
+        F.lit("<rss><channel><title>Feed <b>"), ds, F.lit("</b></title><link>"),
+        site, F.lit("</link><description>About "), ds, F.lit("</description>"),
+        blocks, F.lit("</channel></rss>"),
+    )
+    atom_xml = F.concat(
+        F.lit("<feed><title>Feed <b>"), ds, F.lit('</b></title><link href="'),
+        site, F.lit('"/><subtitle>About '), ds, F.lit("</subtitle>"),
+        blocks, F.lit("</feed>"),
+    )
+    feeds = feeds_src.select(
+        feed_url.alias("url"),
+        F.when(atom, atom_xml).otherwise(rss_xml).alias("xml"),
+    )
+    out = parse_feed(feeds)
+    return out.select(
+        "url",
+        "feed_link",
+        "feed_url",
+        "kind",
+        "title",
+        "text",
+        "author",
+        F.array_join("tags", "|").alias("tags"),
+        "published_ms",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -1746,6 +1857,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal,
         "nb_focus_filter": q_nb_focus,
+        "feed_parse": q_feed_parse,
     }
 
 
@@ -2592,7 +2704,53 @@ FROM documents
 """
     oracles["embedding_near_dups"] = _embedding_near_dup_oracle()
     oracles["nb_focus_filter"] = _NB_FOCUS_ORACLE
+    oracles["feed_parse"] = _FEED_PARSE_ORACLE
     return oracles
+
+
+# feed replay: the fixture XML is synthesized from doc_id arithmetic,
+# so the expected parse rows are derived analytically — an independent
+# expectation for the real regex extraction + RFC822/ISO date parsing.
+_FEED_PARSE_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+feeds AS (
+  SELECT doc_id, (doc_id % 20 = 10) AS atom, 1 + doc_id % 3 AS m,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR)
+      || '.example.com/feed/' || CAST(doc_id AS VARCHAR) || '.xml' AS feed_url,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/' AS site
+  FROM documents WHERE doc_id % 10 = 0
+),
+items AS (
+  SELECT f.*, ((f.doc_id + 7 * t.j + 1) % n.n) AS tid
+  FROM feeds f CROSS JOIN n CROSS JOIN UNNEST([0, 1, 2]) AS t(j)
+  WHERE t.j < f.m
+),
+entries AS (
+  SELECT
+    'http://host' || CAST(tid % 20 AS VARCHAR) || '.example.com/doc/'
+      || CAST(tid AS VARCHAR) AS url,
+    site AS feed_link,
+    feed_url,
+    'entry' AS kind,
+    'Item ' || CAST(tid AS VARCHAR) AS title,
+    'Sum ' || CAST(tid AS VARCHAR) || ' ok' AS text,
+    CASE WHEN tid % 4 <> 0 THEN 'a' || CAST(tid % 7 AS VARCHAR) END AS author,
+    'c' || CAST(tid % 5 AS VARCHAR)
+      || CASE WHEN tid % 2 = 0
+              THEN '|d' || CAST(tid % 3 AS VARCHAR) ELSE '' END AS tags,
+    (1700000000 + tid * 3600) * 1000 AS published_ms
+  FROM items
+),
+feed_rows AS (
+  SELECT feed_url AS url, site AS feed_link, feed_url, 'feed' AS kind,
+         'Feed ' || CAST(doc_id AS VARCHAR) AS title,
+         'About ' || CAST(doc_id AS VARCHAR) AS text,
+         CAST(NULL AS VARCHAR) AS author, '' AS tags,
+         CAST(NULL AS BIGINT) AS published_ms
+  FROM feeds
+)
+SELECT * FROM entries UNION ALL SELECT * FROM feed_rows
+"""
 
 
 # parsefilter-naivebayes replay (Classify.java:54-116 arithmetic):
