@@ -1793,6 +1793,42 @@ def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_js_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse-js (JSParseFilter.java:195-275 via operators/js_parse):
+    quoted string literals in synthesized per-doc scripts become
+    outlinks when they look URL-ish — absolute, root-relative,
+    dir-relative, www.-prefixed, and &amp;-escaped candidates each
+    exercise one resolution branch; bare words are rejected."""
+    from nutch_spark.operators.js_parse import js_outlinks
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    did = F.col("doc_id")
+    t1 = (did * 3 + 1) % n
+    page = F.concat(
+        F.lit("http://host"), (did % 20).cast("string"),
+        F.lit(".example.com/js/"), did.cast("string"), F.lit(".js"),
+    )
+    abs_url = F.concat(
+        F.lit("http://host"), (t1 % 20).cast("string"),
+        F.lit(".example.com/doc/"), t1.cast("string"),
+    )
+    script = F.concat(
+        F.lit('var u = "'), abs_url, F.lit('";\n'),
+        F.lit("var r = '/rel/"), (did % 7).cast("string"),
+        F.lit("/page"), (did % 5).cast("string"), F.lit(".html';\n"),
+        F.lit('var w = "www.site'), (did % 9).cast("string"),
+        F.lit('.com/p";\n'),
+        F.lit('var i = "img/'), (did % 4).cast("string"), F.lit('.png";\n'),
+        F.lit('var x = "plainword";\n'),
+        F.lit('var q = "'), abs_url, F.lit("/q?a=1&amp;b="),
+        (did % 3).cast("string"), F.lit('";\n'),
+        F.lit('if (x == "any") { x = "none"; }\n'),
+    )
+    pages = d.select(page.alias("url"), script.alias("script"))
+    return js_outlinks(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -1858,6 +1894,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_features": q_multimodal,
         "nb_focus_filter": q_nb_focus,
         "feed_parse": q_feed_parse,
+        "js_outlinks": q_js_outlinks,
     }
 
 
@@ -2705,7 +2742,41 @@ FROM documents
     oracles["embedding_near_dups"] = _embedding_near_dup_oracle()
     oracles["nb_focus_filter"] = _NB_FOCUS_ORACLE
     oracles["feed_parse"] = _FEED_PARSE_ORACLE
+    oracles["js_outlinks"] = _JS_OUTLINKS_ORACLE
     return oracles
+
+
+# parse-js replay: the five accepted literals per page resolve to
+# analytically-known URLs (absolute kept, root-relative on the origin,
+# www. gets http://, dir-relative on the /js/ directory, &amp; -> &);
+# "plainword" and "any"/"none" fail the URI shape and drop out.
+_JS_OUTLINKS_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+base AS (
+  SELECT doc_id,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR)
+      || '.example.com/js/' || CAST(doc_id AS VARCHAR) || '.js' AS url,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS origin,
+    'http://host' || CAST(((doc_id * 3 + 1) % n.n) % 20 AS VARCHAR)
+      || '.example.com/doc/'
+      || CAST((doc_id * 3 + 1) % n.n AS VARCHAR) AS abs_url
+  FROM documents CROSS JOIN n
+)
+SELECT DISTINCT url, to_url FROM (
+  SELECT url, abs_url AS to_url FROM base
+  UNION ALL
+  SELECT url, origin || '/rel/' || CAST(doc_id % 7 AS VARCHAR)
+         || '/page' || CAST(doc_id % 5 AS VARCHAR) || '.html' FROM base
+  UNION ALL
+  SELECT url, 'http://www.site' || CAST(doc_id % 9 AS VARCHAR) || '.com/p'
+  FROM base
+  UNION ALL
+  SELECT url, origin || '/js/img/' || CAST(doc_id % 4 AS VARCHAR) || '.png'
+  FROM base
+  UNION ALL
+  SELECT url, abs_url || '/q?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) FROM base
+)
+"""
 
 
 # feed replay: the fixture XML is synthesized from doc_id arithmetic,
