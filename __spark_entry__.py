@@ -1829,6 +1829,66 @@ def q_js_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_outlinks(pages)
 
 
+def q_geoip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index-geoip cityDatabase usage (GeoIPIndexingFilter.java:140-230,
+    GeoIPDocumentCreator.java:70-130 via operators/geoip): pages resolve
+    host->IP through the dns fixture (host19 stays unresolved), then a
+    broadcast geo lookup adds city/country/location fields; null
+    attributes (postalCode for every third IP) and unresolved IPs stay
+    null, mirroring addIfNotNull."""
+    from nutch_spark.operators.geoip import geoip_index
+
+    docs, _, _, _ = _web(spark, sf_dir)
+    host = F.regexp_extract(F.col("doc_id"), "^http://([^/]*)/", 1)
+    pages = docs.select(F.col("doc_id").alias("url"), host.alias("host"))
+    dns = spark.range(19).select(
+        F.concat(
+            F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(
+            F.lit("10.0.0."), (F.col("id") / 2).cast("int").cast("string")
+        ).alias("ip"),
+    )
+    j = F.col("id")
+    js = j.cast("string")
+    geodb = spark.range(10).select(
+        F.concat(F.lit("10.0.0."), js).alias("ip"),
+        F.concat(F.lit("City "), js).alias("cityName"),
+        F.when(j % 2 == 0, F.lit("NA")).otherwise(F.lit("EU")).alias(
+            "continentCode"
+        ),
+        F.when(j % 2 == 0, F.lit("NorthAm")).otherwise(F.lit("Europe")).alias(
+            "continentName"
+        ),
+        F.concat(F.lit("C"), (j % 5).cast("string")).alias("countryIsoCode"),
+        F.concat(F.lit("Country "), (j % 5).cast("string")).alias("countryName"),
+        F.concat(
+            (j * 3).cast("string"), F.lit(".25,-"), (j * 7).cast("string"),
+            F.lit(".5"),
+        ).alias("latLon"),
+        (j % 10 + 1).cast("int").alias("accRadius"),
+        F.concat(F.lit("Zone/Z"), (j % 4).cast("string")).alias("timeZone"),
+        F.when(j % 3 != 0, F.concat(F.lit("5500"), js)).alias("postalCode"),
+        F.concat(F.lit("Sub "), (j % 6).cast("string")).alias("subDivName"),
+        F.concat(F.lit("S"), (j % 6).cast("string")).alias("subDivIsoCode"),
+    )
+    with_ip = pages.join(F.broadcast(dns), "host", "left")
+    out = geoip_index(with_ip, geodb, usage="cityDatabase")
+    return out.select(
+        "url",
+        "ip",
+        "cityName",
+        "continentCode",
+        "countryIsoCode",
+        "countryName",
+        "latLon",
+        "accRadius",
+        "timeZone",
+        "postalCode",
+        "subDivIsoCode",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -1895,6 +1955,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "nb_focus_filter": q_nb_focus,
         "feed_parse": q_feed_parse,
         "js_outlinks": q_js_outlinks,
+        "geoip_index": q_geoip_index,
     }
 
 
@@ -2743,7 +2804,41 @@ FROM documents
     oracles["nb_focus_filter"] = _NB_FOCUS_ORACLE
     oracles["feed_parse"] = _FEED_PARSE_ORACLE
     oracles["js_outlinks"] = _JS_OUTLINKS_ORACLE
+    oracles["geoip_index"] = _GEOIP_ORACLE
     return oracles
+
+
+# index-geoip replay: host k = doc_id % 20 resolves to 10.0.0.(k//2)
+# for k < 19; geo fields are pure arithmetic in the IP's last octet j,
+# postalCode null every third j, host19 fully unresolved.
+_GEOIP_ORACLE = """
+WITH pages AS (
+  SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id % 20 AS k
+  FROM documents
+)
+SELECT url,
+  CASE WHEN k < 19 THEN '10.0.0.' || CAST(k // 2 AS VARCHAR) END AS ip,
+  CASE WHEN k < 19 THEN 'City ' || CAST(k // 2 AS VARCHAR) END AS cityName,
+  CASE WHEN k < 19 THEN
+    CASE WHEN (k // 2) % 2 = 0 THEN 'NA' ELSE 'EU' END END AS continentCode,
+  CASE WHEN k < 19
+       THEN 'C' || CAST((k // 2) % 5 AS VARCHAR) END AS countryIsoCode,
+  CASE WHEN k < 19
+       THEN 'Country ' || CAST((k // 2) % 5 AS VARCHAR) END AS countryName,
+  CASE WHEN k < 19 THEN CAST((k // 2) * 3 AS VARCHAR) || '.25,-'
+       || CAST((k // 2) * 7 AS VARCHAR) || '.5' END AS latLon,
+  CASE WHEN k < 19
+       THEN CAST((k // 2) % 10 + 1 AS INT) END AS accRadius,
+  CASE WHEN k < 19
+       THEN 'Zone/Z' || CAST((k // 2) % 4 AS VARCHAR) END AS timeZone,
+  CASE WHEN k < 19 AND (k // 2) % 3 <> 0
+       THEN '5500' || CAST(k // 2 AS VARCHAR) END AS postalCode,
+  CASE WHEN k < 19
+       THEN 'S' || CAST((k // 2) % 6 AS VARCHAR) END AS subDivIsoCode
+FROM pages
+"""
 
 
 # parse-js replay: the five accepted literals per page resolve to

@@ -1,0 +1,82 @@
+"""index-geoip: geo-enrichment of indexed documents by server IP.
+
+Re-expresses ``index-geoip/.../GeoIPIndexingFilter.java:140-230`` +
+``GeoIPDocumentCreator.java:70-190``: when ``store.ip.address`` is on,
+the fetch stage stamps the server IP into the datum metadata and the
+indexing filter looks it up in a MaxMind database, adding one field
+per non-null attribute (``addIfNotNull``) according to the configured
+``index.geoip.usage`` — cityDatabase (city/continent/country/location/
+postal/subdivision), ispDatabase, domainDatabase, or
+connectionTypeDatabase. A document with no resolved IP passes through
+unchanged (filter:203-209).
+
+Spark-first: the geo database is a lookup table keyed by IP — MaxMind
+city is ~4M rows, trivially broadcastable — so enrichment is one
+map-side broadcast left-join, no shuffle. Null attributes stay null
+columns (the DataFrame rendering of addIfNotNull's absent fields).
+
+Container limitation, honestly marked: the mmdb binary-tree reader
+(maxminddb lib) is not installed here, so ``load_maxmind`` raises and
+tests/fixtures use deterministic synthetic geo tables instead. The
+Spark-side plumbing — join shape, per-usage projections, null-skip
+semantics — is the real, tested surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# per-usage field projections (GeoIPDocumentCreator.java:80-190)
+USAGE_FIELDS: dict[str, list[str]] = {
+    "cityDatabase": [
+        "cityName",
+        "continentCode",
+        "continentName",
+        "countryIsoCode",
+        "countryName",
+        "latLon",
+        "accRadius",
+        "timeZone",
+        "postalCode",
+        "subDivName",
+        "subDivIsoCode",
+    ],
+    "ispDatabase": ["autonSystemNum", "autonSystemOrg", "isp", "org"],
+    "domainDatabase": ["domain"],
+    "connectionTypeDatabase": ["connType"],
+}
+
+
+def load_maxmind(path: str):
+    """MaxMind .mmdb reader — not available in this container."""
+    raise NotImplementedError(
+        "maxminddb is not installed in this environment; supply a geo "
+        "lookup DataFrame (ip, <usage fields>) to geoip_index instead"
+    )
+
+
+def geoip_index(
+    docs: DataFrame,
+    geodb: DataFrame,
+    *,
+    usage: str = "cityDatabase",
+    ip_col: str = "ip",
+) -> DataFrame:
+    """Broadcast-join geo attributes onto docs by server IP.
+
+    ``geodb`` is (ip, field...) with the per-usage columns from
+    USAGE_FIELDS; extra columns are ignored. Docs with a null /
+    unresolved IP keep all-null geo fields (the reference leaves the
+    document unenriched, GeoIPIndexingFilter.java:203-209).
+    """
+    if usage not in USAGE_FIELDS:
+        raise ValueError(f"unknown index.geoip.usage: {usage}")
+    fields = USAGE_FIELDS[usage]
+    missing = [f for f in fields if f not in geodb.columns]
+    if missing:
+        raise ValueError(f"geodb lacks {usage} columns: {missing}")
+    lookup = geodb.select(F.col("ip").alias("_geo_ip"), *fields)
+    return docs.join(
+        F.broadcast(lookup), docs[ip_col] == F.col("_geo_ip"), "left"
+    ).drop("_geo_ip")
