@@ -1889,6 +1889,68 @@ def q_geoip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse-zip (ZipParser.java, ZipTextExtractor.java:61-115 via
+    operators/zip_parse): every 5th doc becomes a 3-entry archive
+    (text, html-with-link, binary); the round-trip checks entry
+    fan-out, mime detection, html outlink resolution, and the
+    archive-order 'name text ' accumulation that skips the
+    parser-less binary entry."""
+    import io as _io
+    import zipfile as _zipfile
+    from typing import Iterator as _Iterator
+
+    from nutch_spark.operators.zip_parse import parse_zip
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    src = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def build(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                t = (did * 3 + 1) % n
+                buf = _io.BytesIO()
+                ts = (2026, 1, 1, 0, 0, 0)
+                with _zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr(
+                        _zipfile.ZipInfo("readme.txt", ts), f"Doc {did} notes"
+                    )
+                    zf.writestr(
+                        _zipfile.ZipInfo("page.html", ts),
+                        f'<html><a href="/doc/{t}">x</a>Body {did}</html>',
+                    )
+                    zf.writestr(
+                        _zipfile.ZipInfo("data.bin", ts), bytes(1 + did % 7)
+                    )
+                rows.append(
+                    dict(
+                        url=(
+                            f"http://host{did % 20}.example.com/z/{did}.zip"
+                        ),
+                        content=buf.getvalue(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    pages = src.mapInPandas(build, "url string, content binary")
+    entries, archives = parse_zip(pages)
+    return entries.join(
+        archives.select("url", F.col("text").alias("arch_text")), "url"
+    ).select(
+        "url",
+        "idx",
+        "name",
+        "mime",
+        "size",
+        "text",
+        F.array_join("outlinks", "|").alias("outlinks"),
+        "arch_text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -1956,6 +2018,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "feed_parse": q_feed_parse,
         "js_outlinks": q_js_outlinks,
         "geoip_index": q_geoip_index,
+        "zip_parse": q_zip_parse,
     }
 
 
@@ -2805,7 +2868,48 @@ FROM documents
     oracles["feed_parse"] = _FEED_PARSE_ORACLE
     oracles["js_outlinks"] = _JS_OUTLINKS_ORACLE
     oracles["geoip_index"] = _GEOIP_ORACLE
+    oracles["zip_parse"] = _ZIP_PARSE_ORACLE
     return oracles
+
+
+# parse-zip replay: entry payloads are synthesized from doc_id
+# arithmetic, so every parsed field — names, mimes, true sizes, texts,
+# the resolved html outlink, and the archive-order accumulation that
+# skips the binary entry — is analytically known.
+_ZIP_PARSE_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+z AS (
+  SELECT doc_id AS d, (doc_id * 3 + 1) % n.n AS t,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/z/'
+      || CAST(doc_id AS VARCHAR) || '.zip' AS url,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS origin
+  FROM documents CROSS JOIN n WHERE doc_id % 5 = 0
+),
+arch AS (
+  SELECT url,
+    'readme.txt Doc ' || CAST(d AS VARCHAR) || ' notes page.html xBody '
+      || CAST(d AS VARCHAR) || ' ' AS arch_text
+  FROM z
+)
+SELECT e.url, e.idx, e.name, e.mime, e.size, e.text, e.outlinks, a.arch_text
+FROM (
+  SELECT url, 0 AS idx, 'readme.txt' AS name, 'text/plain' AS mime,
+         CAST(10 + length(CAST(d AS VARCHAR)) AS BIGINT) AS size,
+         'Doc ' || CAST(d AS VARCHAR) || ' notes' AS text, '' AS outlinks
+  FROM z
+  UNION ALL
+  SELECT url, 1, 'page.html', 'text/html',
+         CAST(39 + length(CAST(t AS VARCHAR))
+              + length(CAST(d AS VARCHAR)) AS BIGINT),
+         'xBody ' || CAST(d AS VARCHAR),
+         origin || '/doc/' || CAST(t AS VARCHAR)
+  FROM z
+  UNION ALL
+  SELECT url, 2, 'data.bin', 'application/octet-stream',
+         CAST(1 + d % 7 AS BIGINT), CAST(NULL AS VARCHAR), ''
+  FROM z
+) e JOIN arch a ON e.url = a.url
+"""
 
 
 # index-geoip replay: host k = doc_id % 20 resolves to 10.0.0.(k//2)
