@@ -1951,6 +1951,27 @@ def q_zip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """publisher extension point (FetcherThread.java:307,399,829 via
+    operators/publisher): the politeness-simulated fetch emits START /
+    END / REPORT events with the FetcherThreadEvent JSON envelope;
+    END stamps the virtual clock, REPORT only successful fetches."""
+    from nutch_spark.operators.fetchsim import fetch
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject_full
+    from nutch_spark.operators.publisher import event_json, fetch_events
+
+    cfg = replace(CFG, fetch_partitions=8)
+    docs, robots, outcomes, seeds = _web(spark, sf_dir)
+    db = inject_full(spark, None, seeds, cfg, GEN_NOW)
+    fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=8)
+    crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW)
+    ev = fetch_events(crawl_fetch, start_ms=GEN_NOW)
+    return event_json(ev).select(
+        "event_type", "url", "timestamp_ms", "payload"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -2019,6 +2040,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "js_outlinks": q_js_outlinks,
         "geoip_index": q_geoip_index,
         "zip_parse": q_zip_parse,
+        "fetch_events": q_fetch_events,
     }
 
 
@@ -2226,6 +2248,43 @@ c AS (
 _FETCH_POLITENESS_ORACLE = f"""
 WITH {_POLITENESS_CTES}
 SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time FROM c
+"""
+
+# publisher replay: START at cycle start with an empty eventData, END
+# at the virtual-clock completion carrying the status name, REPORT only
+# for successes (seed scores are 1.0 by construction); payloads rebuild
+# Spark's to_json envelope byte-for-byte.
+_FETCH_EVENTS_ORACLE = f"""
+WITH {_POLITENESS_CTES},
+fp AS (
+  SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time FROM c
+),
+named AS (
+  SELECT *, CASE status
+    WHEN 33 THEN 'fetch_success' WHEN 34 THEN 'fetch_retry'
+    WHEN 35 THEN 'fetch_redir_temp' WHEN 36 THEN 'fetch_redir_perm'
+    WHEN 37 THEN 'fetch_gone' WHEN 38 THEN 'fetch_notmodified'
+    ELSE 'unknown' END AS sname
+  FROM fp
+)
+SELECT 'START' AS event_type, url,
+       CAST({GEN_NOW} AS BIGINT) AS timestamp_ms,
+       '{{"eventType":"START","url":"' || url
+         || '","timestamp":{GEN_NOW},"eventData":{{}}}}' AS payload
+FROM fp
+UNION ALL
+SELECT 'END', url, fetch_time,
+       '{{"eventType":"END","url":"' || url || '","timestamp":'
+         || CAST(fetch_time AS VARCHAR)
+         || ',"eventData":{{"status":"' || sname || '"}}}}'
+FROM named
+UNION ALL
+SELECT 'REPORT', url, fetch_time,
+       '{{"eventType":"REPORT","url":"' || url || '","timestamp":'
+         || CAST(fetch_time AS VARCHAR)
+         || ',"eventData":{{"score":"1.0","fetchTime":"'
+         || CAST(fetch_time AS VARCHAR) || '"}}}}'
+FROM fp WHERE status = 33
 """
 
 # byIP politeness replay: queue = ip = host_id DIV 2 (hosts pair up on
@@ -2869,6 +2928,7 @@ FROM documents
     oracles["js_outlinks"] = _JS_OUTLINKS_ORACLE
     oracles["geoip_index"] = _GEOIP_ORACLE
     oracles["zip_parse"] = _ZIP_PARSE_ORACLE
+    oracles["fetch_events"] = _FETCH_EVENTS_ORACLE
     return oracles
 
 
