@@ -2264,7 +2264,7 @@ named AS (
     WHEN 33 THEN 'fetch_success' WHEN 34 THEN 'fetch_retry'
     WHEN 35 THEN 'fetch_redir_temp' WHEN 36 THEN 'fetch_redir_perm'
     WHEN 37 THEN 'fetch_gone' WHEN 38 THEN 'fetch_notmodified'
-    ELSE 'unknown' END AS sname
+    ELSE 'status_' || CAST(status AS VARCHAR) END AS sname
   FROM fp
 )
 SELECT 'START' AS event_type, url,

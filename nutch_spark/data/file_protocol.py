@@ -94,14 +94,21 @@ def _fetch_one(
 ) -> dict:
     loc = None
     path = url[len("file:"):] if url.startswith("file:") else url
-    path = path[2:] if path.startswith("//") else path
+    if path.startswith("//"):
+        # RFC-8089 authority: file://localhost/etc/x, file:///etc/x —
+        # drop the (empty or localhost) authority, keep the abs path
+        rest = path[2:]
+        cut = rest.find("/")
+        if cut < 0:
+            return dict(url=url, status=404, outcome="notfound", location=loc)
+        path = rest[cut:]
     for _ in range(max_redirects + 1):
         if not os.path.exists(path):
             return dict(url=url, status=404, outcome="notfound", location=loc)
         if not os.access(path, os.R_OK):
             return dict(url=url, status=401, outcome="access_denied", location=loc)
         real = os.path.realpath(path)
-        if real != os.path.normpath(path):
+        if real != path:
             # 300 -> follow to the canonical file (File.java:140-160)
             path, loc = real, "file:" + real
             continue

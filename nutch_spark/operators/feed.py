@@ -42,14 +42,16 @@ def strip_tags(c: Column) -> Column:
 
 def _rss_date_ms(s: Column) -> Column:
     # "Mon, 05 Jan 2026 13:00:00 GMT" — weekday is redundant and Spark
-    # refuses EEE on parse, so drop it; fixture dates are GMT.
-    bare = F.regexp_replace(F.regexp_replace(s, "^[A-Za-z]{3}, ", ""), " GMT$", "")
-    return (F.unix_timestamp(F.to_timestamp(bare, "dd MMM yyyy HH:mm:ss")) * 1000)
+    # refuses EEE on parse, so drop it; ' GMT' becomes the 'Z' offset so
+    # the instant parses as UTC regardless of the session timezone.
+    bare = F.regexp_replace(F.regexp_replace(s, "^[A-Za-z]{3}, ", ""), " GMT$", "Z")
+    return (F.unix_timestamp(F.to_timestamp(bare, "dd MMM yyyy HH:mm:ssX")) * 1000)
 
 
 def _atom_date_ms(s: Column) -> Column:
+    # zone-offset pattern: the trailing 'Z' IS the offset, session-tz-proof
     return (
-        F.unix_timestamp(F.to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss'Z'")) * 1000
+        F.unix_timestamp(F.to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssX")) * 1000
     )
 
 
@@ -69,7 +71,10 @@ def parse_feed(
     FeedParser.getParse:139-144.
     """
     xml = F.col(xml_col)
-    is_atom = xml.contains("<feed")
+    # root-element check, not contains: an RSS item body mentioning
+    # '<feed' (CDATA samples, <feedburner:…> elements) must not flip
+    # the whole document to the Atom branch
+    is_atom = xml.rlike(r"^\s*(<\?[^>]*>\s*)?<feed[\s>]")
 
     # channel-level fields: the fixture (like real feeds) puts the
     # channel <title>/<link>/<description> before any entry

@@ -76,6 +76,11 @@ def geoip_index(
     missing = [f for f in fields if f not in geodb.columns]
     if missing:
         raise ValueError(f"geodb lacks {usage} columns: {missing}")
+    clash = [f for f in fields if f in docs.columns]
+    if clash:
+        # fail fast: a silent duplicate column breaks every downstream
+        # reference with AMBIGUOUS_REFERENCE far from the cause
+        raise ValueError(f"docs already carry geo columns: {clash}")
     lookup = geodb.select(F.col("ip").alias("_geo_ip"), *fields)
     return docs.join(
         F.broadcast(lookup), docs[ip_col] == F.col("_geo_ip"), "left"

@@ -26,9 +26,10 @@ bit-for-bit, including the reference's idiosyncrasies:
 
 Spark-first plan, no Python in the hot path:
 
-- **train**: one explode + two hash aggregations (example-level class
-  counts; token-level class word counts + vocabulary size). The model
-  is a (word, freq_ir, freq_r) DataFrame — vocabulary-sized, i.e.
+- **train**: the heavy token explode is scanned ONCE into a cached
+  per-word aggregate; the scalar counters (numwords, vocabulary) are
+  derived from that vocabulary-sized result, not by re-scanning the
+  corpus. The model is a (word, freq_ir, freq_r) DataFrame —
   broadcastable at any corpus scale because it grows with the
   dictionary, not the corpus.
 - **classify**: explode page tokens, broadcast-join the model, one
@@ -76,20 +77,25 @@ def nb_train(examples: DataFrame) -> tuple[DataFrame, dict]:
         F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("numof_ir"),
         F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("numof_r"),
     )
-    tk = tok.groupBy().agg(
-        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("numwords_ir"),
-        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("numwords_r"),
-        F.countDistinct("w").alias("vocab"),
-    )
-    stats = {**ex.first().asDict(), **tk.first().asDict()}
-    model = (
-        tok.filter(F.col("w") != "")
-        .groupBy("w")
+    # ONE pass over the heavy token explode: aggregate per word first
+    # (empty token included — it counts toward numwords and vocabulary),
+    # cache the vocabulary-sized result, then derive the scalar stats
+    # from it instead of re-scanning the corpus.
+    per_word = (
+        tok.groupBy("w")
         .agg(
             F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("freq_ir"),
             F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("freq_r"),
         )
+        .cache()
     )
+    tk = per_word.groupBy().agg(
+        F.sum("freq_ir").alias("numwords_ir"),
+        F.sum("freq_r").alias("numwords_r"),
+        F.count("*").alias("vocab"),
+    )
+    stats = {**ex.first().asDict(), **tk.first().asDict()}
+    model = per_word.filter(F.col("w") != "")
     return model, stats
 
 

@@ -24,17 +24,11 @@ unioned), no shuffle, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nutch_spark.schema import STATUS_FETCH_SUCCESS, STATUS_NAMES
-
-
-def _status_name(status: Column) -> Column:
-    expr = F.lit("unknown")
-    for code, name in STATUS_NAMES.items():
-        expr = F.when(status == code, F.lit(name)).otherwise(expr)
-    return expr
+from nutch_spark.operators.stats import status_name_col
+from nutch_spark.schema import STATUS_FETCH_SUCCESS
 
 
 def fetch_events(
@@ -56,7 +50,7 @@ def fetch_events(
         F.lit("END").alias("event_type"),
         "url",
         F.col("fetch_time").alias("timestamp_ms"),
-        F.create_map(F.lit("status"), _status_name(F.col("status"))).alias(
+        F.create_map(F.lit("status"), status_name_col(F.col("status"))).alias(
             "event_data"
         ),
     )

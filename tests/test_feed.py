@@ -91,3 +91,36 @@ def test_entry_links_pass_outlink_chain(spark):
     )
     urls = {r["url"] for r in out.filter(F.col("kind") == "entry").collect()}
     assert urls == {"http://example.com/a"}
+
+
+def test_rss_with_feed_mention_stays_rss(spark):
+    tricky = RSS.replace(
+        "<description>Bye</description>",
+        "<description>Bye</description><feedburner:origLink>http://example.com/b0</feedburner:origLink>",
+    )
+    feeds = spark.createDataFrame(
+        [("http://example.com/feed.xml", tricky)], "url string, xml string"
+    )
+    entries = parse_feed(feeds).filter(F.col("kind") == "entry").collect()
+    # the literal '<feed' in the body must not flip the Atom branch
+    assert {r["url"] for r in entries} == {
+        "http://example.com/a",
+        "http://example.com/b",
+    }
+
+
+def test_dates_are_session_timezone_proof(spark):
+    feeds = spark.createDataFrame(
+        [("http://example.com/feed.xml", RSS),
+         ("http://example.org/feed.atom", ATOM)],
+        "url string, xml string",
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+        rows = {r["url"]: r for r in
+                parse_feed(feeds).filter(F.col("kind") == "entry").collect()}
+        assert rows["http://example.com/a"]["published_ms"] == 1767618000000
+        assert rows["http://example.org/x"]["published_ms"] == 1767618000000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

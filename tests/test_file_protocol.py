@@ -87,3 +87,21 @@ def test_read_files_tree_scan(spark, tmp_path):
     assert x["content_type"] == "application/json"
     assert x["content_length"] == 7
     assert x["status"] == 200 and x["last_modified_ms"] > 0
+
+
+def test_authority_and_dot_segments(spark, tmp_path):
+    f = tmp_path / "auth.txt"
+    f.write_bytes(b"ok")
+    (tmp_path / "sub").mkdir()
+    dotted = f"file:{tmp_path}/sub/../auth.txt"
+    got = _fetch(
+        spark,
+        [("file://localhost" + str(f), 0), ("file://" + str(f), 0), (dotted, 0)],
+    )
+    # RFC-8089 authority forms resolve to the same absolute path
+    assert got["file://localhost" + str(f)]["status"] == 200
+    assert got["file://" + str(f)]["status"] == 200
+    # dot segments redirect to the canonical URI (File.java:140-160)
+    r = got[dotted]
+    assert r["status"] == 200
+    assert r["location"] == "file:" + str(f)

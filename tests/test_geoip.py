@@ -62,3 +62,12 @@ def test_usage_validation(spark):
 def test_maxmind_reader_is_honestly_stubbed():
     with pytest.raises(NotImplementedError):
         load_maxmind("/nonexistent/GeoIP2-City.mmdb")
+
+
+def test_collision_with_existing_columns_fails_fast(spark):
+    docs = spark.createDataFrame(
+        [("u", "1.2.3.4", "old-city")],
+        "url string, ip string, cityName string",
+    )
+    with pytest.raises(ValueError, match="already carry geo columns"):
+        geoip_index(docs, _geodb(spark))
