@@ -1972,6 +1972,52 @@ def q_fetch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stamped_datum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fetch cycle's datums with `nutch.protocol.code` stamped,
+    unioned with the untouched frontier as unfetched rows — the (url,
+    datum) table the stats tools map over."""
+    from nutch_spark.operators.fetchsim import fetch
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject_full
+    from nutch_spark.operators.stats import stamp_protocol_code
+    from nutch_spark.schema import STATUS_DB_UNFETCHED
+
+    cfg = replace(CFG, fetch_partitions=8)
+    docs, robots, outcomes, seeds = _web(spark, sf_dir)
+    db = inject_full(spark, None, seeds, cfg, GEN_NOW)
+    fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=8)
+    crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW)
+    stamped = stamp_protocol_code(crawl_fetch).select("url", "status", "metadata")
+    rest = (
+        docs.select(F.col("doc_id").alias("url"))
+        .join(stamped.select("url"), "url", "left_anti")
+        .select(
+            "url",
+            F.lit(STATUS_DB_UNFETCHED).cast("int").alias("status"),
+            F.expr("cast(map() as map<string,string>)").alias("metadata"),
+        )
+    )
+    return stamped.unionByName(rest)
+
+
+def q_protocol_status_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProtocolStatusStatistics (util/ProtocolStatusStatistics.java:
+    118-160 via operators/stats): per-protocol-code counts across the
+    db; rows without the code key count as UNFETCHED."""
+    from nutch_spark.operators.stats import protocol_status_stats
+
+    return protocol_status_stats(_stamped_datum_table(spark, sf_dir))
+
+
+def q_crawl_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlSummaryStats (util/CrawlSummaryStats.java:160-240 via
+    operators/stats): counts by host x status name x protocol code
+    (-1 when absent)."""
+    from nutch_spark.operators.stats import crawl_summary
+
+    return crawl_summary(_stamped_datum_table(spark, sf_dir), mode="host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -2041,6 +2087,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "geoip_index": q_geoip_index,
         "zip_parse": q_zip_parse,
         "fetch_events": q_fetch_events,
+        "protocol_status_stats": q_protocol_status_stats,
+        "crawl_summary": q_crawl_summary,
     }
 
 
@@ -2929,7 +2977,47 @@ FROM documents
     oracles["geoip_index"] = _GEOIP_ORACLE
     oracles["zip_parse"] = _ZIP_PARSE_ORACLE
     oracles["fetch_events"] = _FETCH_EVENTS_ORACLE
+    oracles["protocol_status_stats"] = _PROTOCOL_STATUS_STATS_ORACLE
+    oracles["crawl_summary"] = _CRAWL_SUMMARY_ORACLE
     return oracles
+
+
+# stats-tool replays: seeds are doc_id < 40, their final fetch status
+# (and thus the stamped protocol code) is pure doc_id arithmetic; the
+# remaining frontier rows carry no code key.
+_PROTOCOL_STATUS_STATS_ORACLE = """
+WITH f AS (
+  SELECT CASE WHEN doc_id % 17 = 0 THEN '404'
+              WHEN doc_id % 29 = 0 THEN '503'
+              WHEN doc_id % 23 = 0 THEN '301'
+              ELSE '200' END AS status_code
+  FROM documents WHERE doc_id < 40
+)
+SELECT status_code, COUNT(*) AS count FROM f GROUP BY status_code
+UNION ALL
+SELECT 'UNFETCHED', COUNT(*) FROM documents WHERE doc_id >= 40
+"""
+
+_CRAWL_SUMMARY_ORACLE = """
+WITH f AS (
+  SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS key,
+    CASE WHEN doc_id % 17 = 0 THEN 'fetch_gone'
+         WHEN doc_id % 29 = 0 THEN 'fetch_retry'
+         WHEN doc_id % 23 = 0 THEN 'fetch_redir_perm'
+         ELSE 'fetch_success' END AS status_name,
+    CAST(CASE WHEN doc_id % 17 = 0 THEN 404
+              WHEN doc_id % 29 = 0 THEN 503
+              WHEN doc_id % 23 = 0 THEN 301
+              ELSE 200 END AS INT) AS http_code
+  FROM documents WHERE doc_id < 40
+)
+SELECT key, status_name, http_code, COUNT(*) AS count
+FROM f GROUP BY key, status_name, http_code
+UNION ALL
+SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com',
+       'db_unfetched', CAST(-1 AS INT), COUNT(*)
+FROM documents WHERE doc_id >= 40 GROUP BY 1
+"""
 
 
 # parse-zip replay: entry payloads are synthesized from doc_id

@@ -145,3 +145,74 @@ def segment_stats(segment_rows: DataFrame) -> DataFrame:
         )
         .withColumn("status_name", status_name_col(F.col("status")))
     )
+
+
+# ---------------------------------------------------------------------------
+# ProtocolStatusStatistics + CrawlSummaryStats
+# ---------------------------------------------------------------------------
+
+PROTOCOL_CODE_KEY = "nutch.protocol.code"
+
+# simulated-protocol code: in the reference the fetcher stamps the real
+# HTTP code (Nutch.java:44, FetcherThread); the discrete-event fetch has
+# no wire codes, so the final fetch status maps onto the canonical code
+# each status results from (documented deviation: one code per status)
+_STATUS_TO_CODE = {
+    0x21: "200",  # fetch_success
+    0x22: "503",  # fetch_retry (server error / exception path)
+    0x23: "302",  # fetch_redir_temp
+    0x24: "301",  # fetch_redir_perm
+    0x25: "404",  # fetch_gone
+    0x26: "304",  # fetch_notmodified
+}
+
+
+def stamp_protocol_code(crawl_fetch: DataFrame) -> DataFrame:
+    """Stamp `nutch.protocol.code` into the datum metadata the way the
+    reference fetcher does (store.protocol.status path)."""
+    code = None
+    for s, c in _STATUS_TO_CODE.items():
+        code = (
+            F.when(F.col("status") == s, c)
+            if code is None
+            else code.when(F.col("status") == s, c)
+        )
+    meta = F.map_concat(
+        F.coalesce(F.col("metadata"), F.expr("cast(map() as map<string,string>)")),
+        F.map_from_arrays(
+            F.array(F.lit(PROTOCOL_CODE_KEY)), F.array(code)
+        ),
+    )
+    return crawl_fetch.withColumn("metadata", meta)
+
+
+def protocol_status_stats(crawldb: DataFrame) -> DataFrame:
+    """ProtocolStatusStatistics (util/ProtocolStatusStatistics.java:118-160):
+    count of every protocol code seen across the db; rows whose metadata
+    lacks the code key count as UNFETCHED. One hash aggregation."""
+    key = F.coalesce(
+        F.element_at(F.col("metadata"), PROTOCOL_CODE_KEY), F.lit("UNFETCHED")
+    )
+    return (
+        crawldb.groupBy(key.alias("status_code"))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def crawl_summary(crawldb: DataFrame, mode: str = "host") -> DataFrame:
+    """CrawlSummaryStats (util/CrawlSummaryStats.java:160-240): counts by
+    host/domain x crawl status name x protocol code (-1 when absent)."""
+    key = host_col(F.col("url")) if mode == "host" else domain_udf()(F.col("url"))
+    code = F.coalesce(
+        F.element_at(F.col("metadata"), PROTOCOL_CODE_KEY).cast("int"),
+        F.lit(-1),
+    )
+    return (
+        crawldb.select(
+            key.alias("key"),
+            status_name_col(F.col("status")).alias("status_name"),
+            code.alias("http_code"),
+        )
+        .groupBy("key", "status_name", "http_code")
+        .agg(F.count("*").alias("count"))
+    )
