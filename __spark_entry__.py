@@ -2018,6 +2018,54 @@ def q_crawl_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_summary(_stamped_datum_table(spark, sf_dir), mode="host")
 
 
+def q_dmoz_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DmozParser (tools/DmozParser.java:121-320 via operators/dmoz):
+    20 per-host RDF dumps of Topic/ExternalPage blocks; adult sections
+    drop, and the md5 quarter-digest subset sampler (denom=3,
+    skew=12345) keeps a deterministic third of the rest."""
+    from nutch_spark.operators.dmoz import parse_dmoz
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    topic = F.when(
+        did % 11 == 0,
+        F.concat(F.lit("Top/Adult/Sub"), (did % 3).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("Top/T"), (did % 5).cast("string"),
+            F.lit("/Sub"), (did % 3).cast("string"),
+        )
+    )
+    url = F.concat(
+        F.lit("http://host"), (did % 20).cast("string"),
+        F.lit(".example.com/doc/"), ds,
+    )
+    blk = F.concat(
+        F.lit('<Topic r:id="'), topic, F.lit('">\n<ExternalPage about="'),
+        url, F.lit('">\n<d:Title>T '), ds,
+        F.lit("</d:Title><d:Description>D "), ds,
+        F.lit("</d:Description>\n</ExternalPage></Topic>\n"),
+    )
+    rdf = (
+        d.select((did % 20).alias("h"), did.alias("doc_id"), blk.alias("blk"))
+        .groupBy("h")
+        .agg(
+            F.concat(
+                F.lit("<RDF>\n"),
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "blk"))
+                    ).getField("blk"),
+                    "",
+                ),
+                F.lit("</RDF>"),
+            ).alias("content")
+        )
+    )
+    return parse_dmoz(rdf, subset_denom=3, skew=12345)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -2089,6 +2137,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fetch_events": q_fetch_events,
         "protocol_status_stats": q_protocol_status_stats,
         "crawl_summary": q_crawl_summary,
+        "dmoz_seeds": q_dmoz_seeds,
     }
 
 
@@ -2979,7 +3028,42 @@ FROM documents
     oracles["fetch_events"] = _FETCH_EVENTS_ORACLE
     oracles["protocol_status_stats"] = _PROTOCOL_STATUS_STATS_ORACLE
     oracles["crawl_summary"] = _CRAWL_SUMMARY_ORACLE
+    oracles["dmoz_seeds"] = _dmoz_oracle()
     return oracles
+
+
+def _dmoz_oracle() -> str:
+    """DmozParser replay: the subset sampler (Hadoop md5 quarter-digest,
+    signed, xor skew, abs-mod) rebuilt nibble-by-nibble from md5 hex —
+    bit-identical to the Spark column arithmetic."""
+    uv = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(url), {k}, 1)) - 1)"
+        f" * {16 ** (8 - k)}"
+        for k in range(1, 9)
+    )
+    return f"""
+WITH p AS (
+  SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN doc_id % 11 = 0
+         THEN 'Top/Adult/Sub' || CAST(doc_id % 3 AS VARCHAR)
+         ELSE 'Top/T' || CAST(doc_id % 5 AS VARCHAR)
+              || '/Sub' || CAST(doc_id % 3 AS VARCHAR) END AS topic,
+    'T ' || CAST(doc_id AS VARCHAR) AS title,
+    'D ' || CAST(doc_id AS VARCHAR) AS description
+  FROM documents
+),
+h AS (
+  SELECT *, {uv} AS uv FROM p WHERE topic NOT LIKE 'Top/Adult%'
+),
+s AS (
+  SELECT *, CASE WHEN uv >= 2147483648
+                 THEN uv - 4294967296 ELSE uv END AS sv
+  FROM h
+)
+SELECT url, topic, title, description
+FROM s WHERE abs(xor(sv, 12345)) % 3 = 0
+"""
 
 
 # stats-tool replays: seeds are doc_id < 40, their final fetch status
