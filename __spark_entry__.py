@@ -2066,6 +2066,35 @@ def q_dmoz_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_dmoz(rdf, subset_denom=3, skew=12345)
 
 
+def q_text_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OutlinkExtractor (parse/OutlinkExtractor.java:56-120 via
+    operators/parse.text_outlinks): plain-text URL extraction in
+    document order — two scheme-ful URLs and a mailto per doc are
+    found, the bare www. reference is not."""
+    from nutch_spark.operators.parse import text_outlinks
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    did = F.col("doc_id")
+    t1 = (did * 11 + 3) % n
+    text = F.concat(
+        F.lit("See http://host"), (t1 % 20).cast("string"),
+        F.lit(".example.com/doc/"), t1.cast("string"),
+        F.lit(" and also ftp://site"), (did % 9).cast("string"),
+        F.lit(".org/pub/f"), (did % 4).cast("string"),
+        F.lit(" but not www.bare-host.com alone; write mailto:u"),
+        did.cast("string"), F.lit("@mail.example.org today."),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("http://host"), (did % 20).cast("string"),
+            F.lit(".example.com/doc/"), did.cast("string"),
+        ).alias("url"),
+        text.alias("text"),
+    )
+    return text_outlinks(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -2138,6 +2167,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "protocol_status_stats": q_protocol_status_stats,
         "crawl_summary": q_crawl_summary,
         "dmoz_seeds": q_dmoz_seeds,
+        "text_outlinks": q_text_outlinks,
     }
 
 
@@ -3029,7 +3059,35 @@ FROM documents
     oracles["protocol_status_stats"] = _PROTOCOL_STATUS_STATS_ORACLE
     oracles["crawl_summary"] = _CRAWL_SUMMARY_ORACLE
     oracles["dmoz_seeds"] = _dmoz_oracle()
+    oracles["text_outlinks"] = _TEXT_OUTLINKS_ORACLE
     return oracles
+
+
+# OutlinkExtractor replay: the synthesized text plants exactly three
+# scheme-ful URLs per doc (http, ftp, mailto) in known positions; the
+# bare www. host must not appear.
+_TEXT_OUTLINKS_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+u AS (
+  SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, (doc_id * 11 + 3) % n.n AS t1
+  FROM documents CROSS JOIN n
+)
+SELECT url, CAST(0 AS INT) AS pos,
+       'http://host' || CAST(t1 % 20 AS VARCHAR) || '.example.com/doc/'
+         || CAST(t1 AS VARCHAR) AS to_url, '' AS anchor
+FROM u
+UNION ALL
+SELECT url, CAST(1 AS INT),
+       'ftp://site' || CAST(doc_id % 9 AS VARCHAR) || '.org/pub/f'
+         || CAST(doc_id % 4 AS VARCHAR), ''
+FROM u
+UNION ALL
+SELECT url, CAST(2 AS INT),
+       'mailto:u' || CAST(doc_id AS VARCHAR) || '@mail.example.org', ''
+FROM u
+"""
 
 
 def _dmoz_oracle() -> str:

@@ -254,3 +254,47 @@ def regex_parse_filter(
         F.array(*entries[0::2]), F.array(*entries[1::2])
     )
     return content.select("url", meta.alias("parse_meta"))
+
+
+# ---------------------------------------------------------------------------
+# OutlinkExtractor: plain-text URL extraction (the non-HTML parse fallback)
+# ---------------------------------------------------------------------------
+
+# parse/OutlinkExtractor.java:56-57 — scheme:rest with the reference's
+# bounded character classes; RE2-compatible (no backrefs), so the same
+# pattern replays on any regex engine
+TEXT_URL_PATTERN = (
+    "([A-Za-z][A-Za-z0-9+.-]{1,120}:[A-Za-z0-9/]"
+    "(([A-Za-z0-9$_.+!*,;/?:@&~=-])|%[A-Fa-f0-9]{2}){1,333}"
+    "(#([a-zA-Z0-9][a-zA-Z0-9$_.+!*,;/?:@&~=%-]{0,1000}))?)"
+)
+
+
+def text_outlinks(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    anchor: str = "",
+) -> DataFrame:
+    """OutlinkExtractor.getOutlinks (parse/OutlinkExtractor.java:69-120):
+    scan plain text for scheme-ful URLs in document order (bare
+    ``www.x.com`` without a scheme is NOT a link, per the reference's
+    own tests); every match trims and carries the caller's anchor.
+
+    One map-side ``regexp_extract_all`` + posexplode — JVM only; the
+    reference's 60 s wall-clock bailout for parasitic inputs is
+    unnecessary here (bounded quantifiers make the scan linear, and a
+    runaway row cannot stall a thread pool, only its own task).
+    """
+    matches = F.regexp_extract_all(
+        F.col(text_col), F.lit(TEXT_URL_PATTERN), 1
+    )
+    return pages.select(
+        F.col(url_col).alias("url"), F.posexplode(matches).alias("pos", "_m")
+    ).select(
+        "url",
+        "pos",
+        F.trim(F.col("_m")).alias("to_url"),
+        F.lit(anchor).alias("anchor"),
+    )
