@@ -2095,6 +2095,37 @@ def q_text_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_outlinks(pages)
 
 
+def q_segment_fetch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crawl_fetch merge resolution (SegmentMerger.java:478-494 via
+    operators/merger.merge_crawl_fetch): three synthetic segments mix
+    eligible fetch statuses with retry/notmodified and linked datums;
+    the latest eligible fetch wins, ineligible-only urls drop."""
+    from nutch_spark.operators.merger import merge_crawl_fetch
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://host"), (did % 20).cast("string"),
+        F.lit(".example.com/doc/"), did.cast("string"),
+    )
+    s1 = d.select(
+        url.alias("url"),
+        (33 + did % 6).cast("int").alias("status"),
+        F.lit(10).cast("long").alias("fetch_time"),
+    )
+    s2 = d.filter(did % 2 == 0).select(
+        url.alias("url"),
+        (35 + did % 4).cast("int").alias("status"),
+        F.lit(20).cast("long").alias("fetch_time"),
+    )
+    s3 = d.filter(did % 5 == 0).select(
+        url.alias("url"),
+        F.lit(0x43).cast("int").alias("status"),  # linked: never wins
+        F.lit(30).cast("long").alias("fetch_time"),
+    )
+    return merge_crawl_fetch([s1, s2, s3])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -2168,6 +2199,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "crawl_summary": q_crawl_summary,
         "dmoz_seeds": q_dmoz_seeds,
         "text_outlinks": q_text_outlinks,
+        "segment_fetch_merge": q_segment_fetch_merge,
     }
 
 
@@ -3060,7 +3092,29 @@ FROM documents
     oracles["crawl_summary"] = _CRAWL_SUMMARY_ORACLE
     oracles["dmoz_seeds"] = _dmoz_oracle()
     oracles["text_outlinks"] = _TEXT_OUTLINKS_ORACLE
+    oracles["segment_fetch_merge"] = _SEGMENT_FETCH_MERGE_ORACLE
     return oracles
+
+
+# crawl_fetch merge replay: statuses are doc_id arithmetic; eligible =
+# fetch statuses minus retry(34)/notmodified(38); latest segment
+# (s2 over s1) wins, linked s3 never does, ineligible-only urls drop.
+_SEGMENT_FETCH_MERGE_ORACLE = """
+WITH b AS (
+  SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         33 + doc_id % 6 AS st1,
+         CASE WHEN doc_id % 2 = 0 THEN 35 + doc_id % 4 END AS st2
+  FROM documents
+)
+SELECT url,
+  CAST(CASE WHEN st2 IS NOT NULL AND st2 <> 38 THEN st2 ELSE st1 END
+       AS INT) AS status,
+  CAST(CASE WHEN st2 IS NOT NULL AND st2 <> 38 THEN 20 ELSE 10 END
+       AS BIGINT) AS fetch_time
+FROM b
+WHERE (st2 IS NOT NULL AND st2 <> 38) OR st1 NOT IN (34, 38)
+"""
 
 
 # OutlinkExtractor replay: the synthesized text plants exactly three

@@ -101,3 +101,41 @@ def merge_segments(segments: list[DataFrame], slice_size: int | None = None) -> 
             "slice_id", F.pmod(F.xxhash64("url"), F.lit(slice_size)).cast("int")
         )
     return out
+
+
+def merge_crawl_fetch(segments: list[DataFrame]) -> DataFrame:
+    """crawl_fetch part resolution (``SegmentMerger.java:478-494``,
+    ported TestSegmentMergerCrawlDatums): only real fetch statuses
+    count — ``fetch_retry`` and ``fetch_notmodified`` are ignored
+    (NUTCH-1520, NUTCH-1113) and ``linked`` discovery datums never
+    clobber a fetch — and among the eligible datums the one from the
+    latest segment (name order = our ordinal) wins. URLs with no
+    eligible datum in any segment drop out of the merged crawl_fetch.
+
+    Same single-shuffle shape as :func:`merge_segments`: the
+    eligibility filter is map-side, then one ``groupBy(url).max_by``.
+    """
+    from nutch_spark.schema import (
+        STATUS_FETCH_GONE,
+        STATUS_FETCH_NOTMODIFIED,
+        STATUS_FETCH_REDIR_PERM,
+        STATUS_FETCH_REDIR_TEMP,
+        STATUS_FETCH_RETRY,
+        STATUS_FETCH_SUCCESS,
+    )
+
+    eligible = F.col("status").isin(
+        STATUS_FETCH_SUCCESS,
+        STATUS_FETCH_GONE,
+        STATUS_FETCH_REDIR_TEMP,
+        STATUS_FETCH_REDIR_PERM,
+    ) & ~F.col("status").isin(STATUS_FETCH_RETRY, STATUS_FETCH_NOTMODIFIED)
+    unioned = reduce(
+        lambda a, b: a.unionByName(b),
+        [s.withColumn("_seg_ord", F.lit(i)) for i, s in enumerate(segments)],
+    ).filter(eligible)
+    data_cols = [c for c in unioned.columns if c not in ("url", "_seg_ord")]
+    out = unioned.groupBy("url").agg(
+        F.max_by(F.struct(*data_cols), F.col("_seg_ord")).alias("best")
+    )
+    return out.select("url", *[F.col("best." + c).alias(c) for c in data_cols])
