@@ -2126,6 +2126,36 @@ def q_segment_fetch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_crawl_fetch([s1, s2, s3])
 
 
+def q_index_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexerMapReduce add/delete resolution (IndexerMapReduce.java:
+    299-340 via operators/indexer.index_actions): a status-rich crawldb
+    (every doc_id%12 bucket) against parse output for 2 of every 3
+    docs; gone/redirects delete without parse, duplicates only with
+    it, notmodified rows are skipped, fetched+parsed rows add."""
+    from nutch_spark.operators.indexer import index_actions
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    s = did % 12
+    status = (
+        F.when(s < 5, 1)
+        .when(s < 8, 2)
+        .when(s == 8, 6)
+        .when(s == 9, 3)
+        .when(s == 10, F.when(did % 2 == 0, 4).otherwise(5))
+        .otherwise(7)
+    ).cast("int")
+    url = F.concat(
+        F.lit("http://host"), (did % 20).cast("string"),
+        F.lit(".example.com/doc/"), did.cast("string"),
+    )
+    db = d.select(url.alias("url"), status.alias("status"))
+    parse_text = d.filter(did % 3 != 0).select(
+        url.alias("url"), F.substring("text", 1, 50).alias("text")
+    )
+    return index_actions(db, parse_text, delete=True, skip_notmodified=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -2200,6 +2230,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dmoz_seeds": q_dmoz_seeds,
         "text_outlinks": q_text_outlinks,
         "segment_fetch_merge": q_segment_fetch_merge,
+        "index_actions": q_index_actions,
     }
 
 
@@ -3093,7 +3124,41 @@ FROM documents
     oracles["dmoz_seeds"] = _dmoz_oracle()
     oracles["text_outlinks"] = _TEXT_OUTLINKS_ORACLE
     oracles["segment_fetch_merge"] = _SEGMENT_FETCH_MERGE_ORACLE
+    oracles["index_actions"] = _INDEX_ACTIONS_ORACLE
     return oracles
+
+
+# IndexerMapReduce replay: status by doc_id%12 bucket, parse exists for
+# doc_id%3<>0; the reference's evaluation order — gone/redirect deletes
+# need no parse, the duplicate delete does, notmodified skips, fetched
+# + parsed adds, everything else drops.
+_INDEX_ACTIONS_ORACLE = """
+WITH b AS (
+  SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN doc_id % 12 < 5 THEN 1
+         WHEN doc_id % 12 < 8 THEN 2
+         WHEN doc_id % 12 = 8 THEN 6
+         WHEN doc_id % 12 = 9 THEN 3
+         WHEN doc_id % 12 = 10 THEN
+              CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 5 END
+         ELSE 7 END AS status,
+    (doc_id % 3 <> 0) AS has_parse
+  FROM documents
+)
+SELECT url,
+  CASE WHEN status = 3 THEN 'delete'
+       WHEN status IN (4, 5) THEN 'delete'
+       WHEN has_parse AND status = 7 THEN 'delete'
+       WHEN has_parse AND status = 2 THEN 'add' END AS action,
+  CASE WHEN status = 3 THEN 'gone'
+       WHEN status IN (4, 5) THEN 'redirects'
+       WHEN has_parse AND status = 7 THEN 'duplicates'
+       WHEN has_parse AND status = 2 THEN 'indexed' END AS reason
+FROM b
+WHERE status IN (3, 4, 5)
+   OR (has_parse AND status IN (2, 7))
+"""
 
 
 # crawl_fetch merge replay: statuses are doc_id arithmetic; eligible =

@@ -239,3 +239,61 @@ def dummy_render(docs: DataFrame, *, action: str = "add", id_col: str = "url") -
     return docs.select(
         F.concat(F.lit(action), F.lit("\t"), F.col(id_col)).alias("line")
     )
+
+
+def index_actions(
+    crawldb: DataFrame,
+    parse_text: DataFrame,
+    *,
+    delete: bool = True,
+    skip_notmodified: bool = False,
+) -> DataFrame:
+    """IndexerMapReduce action resolution (``IndexerMapReduce.java:
+    299-340``): which urls become index adds vs deletes.
+
+    Mirrors the reference's evaluation order exactly: gone and redirect
+    deletes fire even for rows with no parse output; the duplicate
+    delete is only reached when fetch+parse exist (the code checks
+    ``fetchDatum == null || parseText == null`` first); notmodified
+    rows are silently skipped when ``indexer.skip.notmodified``; only
+    successfully fetched+parsed pages become adds. Returns (url,
+    action 'add'|'delete', reason) — dropped rows emit nothing.
+
+    One broadcast-sized left join + column logic, no Python.
+    """
+    from nutch_spark.schema import (
+        STATUS_DB_DUPLICATE,
+        STATUS_DB_FETCHED,
+        STATUS_DB_GONE,
+        STATUS_DB_NOTMODIFIED,
+        STATUS_DB_REDIR_PERM,
+        STATUS_DB_REDIR_TEMP,
+    )
+
+    has_parse = F.col("_pt").isNotNull()
+    j = crawldb.join(
+        parse_text.select("url", F.lit(True).alias("_pt")), "url", "left"
+    )
+    st = F.col("status")
+    deleting = F.lit(delete)
+    gone = deleting & (st == STATUS_DB_GONE)
+    redir = deleting & st.isin(STATUS_DB_REDIR_PERM, STATUS_DB_REDIR_TEMP)
+    dup = deleting & has_parse & (st == STATUS_DB_DUPLICATE)
+    addable = has_parse & (
+        st.isin(STATUS_DB_FETCHED)
+        | ((st == STATUS_DB_NOTMODIFIED) & F.lit(not skip_notmodified))
+    )
+    action = (
+        F.when(gone | redir | dup, F.lit("delete"))
+        .when(addable, F.lit("add"))
+    )
+    reason = (
+        F.when(gone, F.lit("gone"))
+        .when(redir, F.lit("redirects"))
+        .when(dup, F.lit("duplicates"))
+        .when(addable, F.lit("indexed"))
+    )
+    return (
+        j.select("url", action.alias("action"), reason.alias("reason"))
+        .filter(F.col("action").isNotNull())
+    )
