@@ -1966,6 +1966,10 @@ def q_fetch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = inject_full(spark, None, seeds, cfg, GEN_NOW)
     fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=8)
     crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW)
+    # the event stream is a 3-way fan-out of the same fetch output;
+    # materialize once so the politeness pipeline doesn't run 3x
+    # (plan audit showed the un-checkpointed fan-out tripling it)
+    crawl_fetch = crawl_fetch.localCheckpoint(eager=True)
     ev = fetch_events(crawl_fetch, start_ms=GEN_NOW)
     return event_json(ev).select(
         "event_type", "url", "timestamp_ms", "payload"
