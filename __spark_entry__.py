@@ -56,6 +56,16 @@ def _url_col(doc_id=None):
     )
 
 
+def _url20(doc_id=None):
+    """The _web fixture's URL shape (20 hosts) — shared by every query
+    builder so a host-count change is a one-line edit."""
+    d = F.col("doc_id") if doc_id is None else doc_id
+    return F.concat(
+        F.lit("http://host"), (d % 20).cast("string"),
+        F.lit(".example.com/doc/"), d.cast("string"),
+    )
+
+
 def _crawldb(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """CrawlDb rows derived 1:1 from the documents table (CrawlDatum
     fields per crawl/CrawlDatum.java:138-145; statuses :63-105)."""
@@ -1809,10 +1819,7 @@ def q_js_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("http://host"), (did % 20).cast("string"),
         F.lit(".example.com/js/"), did.cast("string"), F.lit(".js"),
     )
-    abs_url = F.concat(
-        F.lit("http://host"), (t1 % 20).cast("string"),
-        F.lit(".example.com/doc/"), t1.cast("string"),
-    )
+    abs_url = _url20(t1)
     script = F.concat(
         F.lit('var u = "'), abs_url, F.lit('";\n'),
         F.lit("var r = '/rel/"), (did % 7).cast("string"),
@@ -1991,7 +1998,14 @@ def _stamped_datum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = inject_full(spark, None, seeds, cfg, GEN_NOW)
     fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=8)
     crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW)
-    stamped = stamp_protocol_code(crawl_fetch).select("url", "status", "metadata")
+    # materialize once: the stamped rows feed both the union and the
+    # anti-join below, and an un-checkpointed fan-out re-runs the whole
+    # politeness pipeline per branch (same fix as q_fetch_events)
+    stamped = (
+        stamp_protocol_code(crawl_fetch)
+        .select("url", "status", "metadata")
+        .localCheckpoint(eager=True)
+    )
     rest = (
         docs.select(F.col("doc_id").alias("url"))
         .join(stamped.select("url"), "url", "left_anti")
@@ -2041,10 +2055,7 @@ def q_dmoz_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/Sub"), (did % 3).cast("string"),
         )
     )
-    url = F.concat(
-        F.lit("http://host"), (did % 20).cast("string"),
-        F.lit(".example.com/doc/"), ds,
-    )
+    url = _url20(did)
     blk = F.concat(
         F.lit('<Topic r:id="'), topic, F.lit('">\n<ExternalPage about="'),
         url, F.lit('">\n<d:Title>T '), ds,
@@ -2082,20 +2093,13 @@ def q_text_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = F.col("doc_id")
     t1 = (did * 11 + 3) % n
     text = F.concat(
-        F.lit("See http://host"), (t1 % 20).cast("string"),
-        F.lit(".example.com/doc/"), t1.cast("string"),
+        F.lit("See "), _url20(t1),
         F.lit(" and also ftp://site"), (did % 9).cast("string"),
         F.lit(".org/pub/f"), (did % 4).cast("string"),
         F.lit(" but not www.bare-host.com alone; write mailto:u"),
         did.cast("string"), F.lit("@mail.example.org today."),
     )
-    pages = d.select(
-        F.concat(
-            F.lit("http://host"), (did % 20).cast("string"),
-            F.lit(".example.com/doc/"), did.cast("string"),
-        ).alias("url"),
-        text.alias("text"),
-    )
+    pages = d.select(_url20(did).alias("url"), text.alias("text"))
     return text_outlinks(pages)
 
 
@@ -2108,10 +2112,7 @@ def q_segment_fetch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     did = F.col("doc_id")
-    url = F.concat(
-        F.lit("http://host"), (did % 20).cast("string"),
-        F.lit(".example.com/doc/"), did.cast("string"),
-    )
+    url = _url20(did)
     s1 = d.select(
         url.alias("url"),
         (33 + did % 6).cast("int").alias("status"),
@@ -2149,10 +2150,7 @@ def q_index_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s == 10, F.when(did % 2 == 0, 4).otherwise(5))
         .otherwise(7)
     ).cast("int")
-    url = F.concat(
-        F.lit("http://host"), (did % 20).cast("string"),
-        F.lit(".example.com/doc/"), did.cast("string"),
-    )
+    url = _url20(did)
     db = d.select(url.alias("url"), status.alias("status"))
     parse_text = d.filter(did % 3 != 0).select(
         url.alias("url"), F.substring("text", 1, 50).alias("text")

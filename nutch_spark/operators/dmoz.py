@@ -43,6 +43,21 @@ def md5_quarter_digest(url: Column) -> Column:
     return F.when(val >= F.lit(2**31), val - F.lit(2**32)).otherwise(val)
 
 
+def xml_unescape(c: Column) -> Column:
+    """Predefined-entity decode (the SAX reader hands DmozParser decoded
+    attribute/character data; ``&amp;`` last so double-escapes survive)."""
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
 def subset_keep(url: Column, denom: int, skew: int) -> Column:
     """DmozParser.java:168-171 emit condition."""
     if denom <= 1:
@@ -78,11 +93,15 @@ def parse_dmoz(
             )
         ).alias("_page"),
     ).select(
-        F.regexp_extract(block, 'about="([^"]*)"', 1).alias("url"),
+        # decode entities BEFORE the subset hash — the reference hashes
+        # the SAX-decoded about= value
+        xml_unescape(F.regexp_extract(block, 'about="([^"]*)"', 1)).alias("url"),
         "topic",
-        F.regexp_extract(block, "(?s)<d:Title>(.*?)</d:Title>", 1).alias("title"),
-        F.regexp_extract(
-            block, "(?s)<d:Description>(.*?)</d:Description>", 1
+        xml_unescape(
+            F.regexp_extract(block, "(?s)<d:Title>(.*?)</d:Title>", 1)
+        ).alias("title"),
+        xml_unescape(
+            F.regexp_extract(block, "(?s)<d:Description>(.*?)</d:Description>", 1)
         ).alias("description"),
     )
     if not include_adult:

@@ -117,25 +117,35 @@ def merge_crawl_fetch(segments: list[DataFrame]) -> DataFrame:
     """
     from nutch_spark.schema import (
         STATUS_FETCH_GONE,
-        STATUS_FETCH_NOTMODIFIED,
         STATUS_FETCH_REDIR_PERM,
         STATUS_FETCH_REDIR_TEMP,
-        STATUS_FETCH_RETRY,
         STATUS_FETCH_SUCCESS,
     )
 
+    # the fetch-status whitelist IS the retry/notmodified exclusion
+    # (hasFetchStatus minus the two NUTCH-1520/1113 statuses)
     eligible = F.col("status").isin(
         STATUS_FETCH_SUCCESS,
         STATUS_FETCH_GONE,
         STATUS_FETCH_REDIR_TEMP,
         STATUS_FETCH_REDIR_PERM,
-    ) & ~F.col("status").isin(STATUS_FETCH_RETRY, STATUS_FETCH_NOTMODIFIED)
+    )
     unioned = reduce(
         lambda a, b: a.unionByName(b),
         [s.withColumn("_seg_ord", F.lit(i)) for i, s in enumerate(segments)],
     ).filter(eligible)
     data_cols = [c for c in unioned.columns if c not in ("url", "_seg_ord")]
+    # two eligible datums inside ONE segment: the reference keeps the
+    # last in stream order, which a DataFrame doesn't carry — break the
+    # tie totally on the non-map datum fields instead (documented
+    # deviation, same policy as merge_segments) so replay is
+    # deterministic under any partitioning
+    orderable = F.struct(
+        *[c for c, t in unioned.dtypes if c in data_cols and not t.startswith("map")]
+    )
     out = unioned.groupBy("url").agg(
-        F.max_by(F.struct(*data_cols), F.col("_seg_ord")).alias("best")
+        F.max_by(
+            F.struct(*data_cols), F.struct(F.col("_seg_ord"), orderable)
+        ).alias("best")
     )
     return out.select("url", *[F.col("best." + c).alias(c) for c in data_cols])

@@ -177,12 +177,19 @@ def stamp_protocol_code(crawl_fetch: DataFrame) -> DataFrame:
             if code is None
             else code.when(F.col("status") == s, c)
         )
-    meta = F.map_concat(
-        F.coalesce(F.col("metadata"), F.expr("cast(map() as map<string,string>)")),
-        F.map_from_arrays(
-            F.array(F.lit(PROTOCOL_CODE_KEY)), F.array(code)
-        ),
+    base_meta = F.coalesce(
+        F.col("metadata"), F.expr("cast(map() as map<string,string>)")
     )
+    # only fetched statuses get a code; other datum kinds (linked,
+    # signature, db rows carrying an older code) keep their metadata
+    # untouched — a NULL-valued entry would clobber under LAST_WIN
+    meta = F.when(
+        code.isNotNull(),
+        F.map_concat(
+            base_meta,
+            F.map_from_arrays(F.array(F.lit(PROTOCOL_CODE_KEY)), F.array(code)),
+        ),
+    ).otherwise(base_meta)
     return crawl_fetch.withColumn("metadata", meta)
 
 
