@@ -2158,6 +2158,32 @@ def q_index_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_actions(db, parse_text, delete=True, skip_notmodified=True)
 
 
+def q_reverse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableUtil reversed-url storage keys (util/TableUtil.java:41-140
+    via urls/urlutil): port and query variants reverse to the
+    domain-clustered key form and round-trip back exactly."""
+    from nutch_spark.urls.urlutil import reverse_url_col, unreverse_url_col
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://host"), (did % 20).cast("string"),
+        F.lit(".example.com"),
+        F.when(did % 4 == 0, F.lit(":8983")).otherwise(F.lit("")),
+        F.lit("/doc/"), did.cast("string"),
+        F.when(
+            did % 2 == 0, F.concat(F.lit("?a="), (did % 3).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select(url.alias("url"))
+    rev = reverse_url_col(F.col("url"))
+    return pages.select(
+        "url",
+        rev.alias("reversed"),
+        (unreverse_url_col(rev) == F.col("url")).alias("roundtrip_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
 
@@ -2233,6 +2259,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_outlinks": q_text_outlinks,
         "segment_fetch_merge": q_segment_fetch_merge,
         "index_actions": q_index_actions,
+        "reverse_url": q_reverse_url,
     }
 
 
@@ -3127,7 +3154,27 @@ FROM documents
     oracles["text_outlinks"] = _TEXT_OUTLINKS_ORACLE
     oracles["segment_fetch_merge"] = _SEGMENT_FETCH_MERGE_ORACLE
     oracles["index_actions"] = _INDEX_ACTIONS_ORACLE
+    oracles["reverse_url"] = _REVERSE_URL_ORACLE
     return oracles
+
+
+# TableUtil replay: the reversed key is pure arithmetic over the
+# fixture's host/port/query variants; the round-trip must always hold.
+_REVERSE_URL_ORACLE = """
+SELECT
+  'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+    || CASE WHEN doc_id % 4 = 0 THEN ':8983' ELSE '' END
+    || '/doc/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0
+            THEN '?a=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END AS url,
+  'com.example.host' || CAST(doc_id % 20 AS VARCHAR) || ':http'
+    || CASE WHEN doc_id % 4 = 0 THEN ':8983' ELSE '' END
+    || '/doc/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0
+            THEN '?a=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END AS reversed,
+  TRUE AS roundtrip_ok
+FROM documents
+"""
 
 
 # IndexerMapReduce replay: status by doc_id%12 bucket, parse exists for

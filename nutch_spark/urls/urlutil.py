@@ -284,3 +284,56 @@ def host_col(url_col: Column) -> Column:
     ``parse_url`` runs in the JVM (no Python round-trip).
     """
     return F.lower(F.try_parse_url(url_col, F.lit("HOST")))
+
+
+# ---------------------------------------------------------------------------
+# TableUtil reversed-url keys (util/TableUtil.java:41-140)
+# ---------------------------------------------------------------------------
+
+def reverse_host_col(host):
+    """reverseAppendSplits: dot-segments reversed (com.foo.bar)."""
+    return F.array_join(F.reverse(F.split(host, "\\.")), ".")
+
+
+def reverse_url_col(url):
+    """TableUtil.reverseUrl (``util/TableUtil.java:57-85``):
+    ``http://bar.foo.com:8983/to/x?a=b`` -> ``com.foo.bar:http:8983/to/x?a=b``
+    — the storage key form that clusters scans by domain. Pure JVM
+    columns; the fragment is excluded like ``URL.getFile``."""
+    proto = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    auth = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(auth, r":\d+$", "")
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    file = F.regexp_replace(
+        F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+        "#.*$",
+        "",
+    )
+    file = F.when(
+        (file != "") & ~file.startswith("/"), F.concat(F.lit("/"), file)
+    ).otherwise(file)
+    return F.concat(
+        reverse_host_col(host),
+        F.lit(":"),
+        proto,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        file,
+    )
+
+
+def unreverse_url_col(rev):
+    """TableUtil.unreverseUrl (``util/TableUtil.java:87-110``)."""
+    slash = F.instr(rev, "/")
+    head = F.when(slash > 0, F.substr(rev, F.lit(1), slash - 1)).otherwise(rev)
+    rest = F.when(slash > 0, F.substr(rev, slash)).otherwise(F.lit(""))
+    parts = F.split(head, ":")
+    rev_host = F.element_at(parts, 1)
+    proto = F.element_at(parts, 2)
+    port = F.when(F.size(parts) >= 3, F.element_at(parts, 3))
+    return F.concat(
+        proto,
+        F.lit("://"),
+        reverse_host_col(rev_host),
+        F.when(port.isNotNull(), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        rest,
+    )
