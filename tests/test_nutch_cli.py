@@ -1,0 +1,56 @@
+"""bin/nutch-style CLI dispatcher: a reference user's playbook —
+inject, generate, readdb, mergedb, checkers — runs end-to-end over
+parquet table dirs (tools/nutch.py)."""
+
+import sys
+
+sys.path.insert(0, "tools")
+
+import nutch as nutch_cli  # noqa: E402
+
+
+def test_inject_generate_readdb_roundtrip(spark, tmp_path, capsys):
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text(
+        "http://a.example.com/\n"
+        "# a comment\n"
+        "http://b.example.com/\tnutch.score=2.0\n"
+    )
+    db = str(tmp_path / "crawldb")
+    assert nutch_cli.main(["inject", db, str(seeds)]) == 0
+    assert "2 urls" in capsys.readouterr().out
+
+    fl = str(tmp_path / "fetchlist")
+    assert nutch_cli.main(["generate", db, fl, "--top-n", "10"]) == 0
+    assert "2 urls" in capsys.readouterr().out
+
+    assert nutch_cli.main(["readdb", db, "-stats"]) == 0
+    out = capsys.readouterr().out
+    assert "db_unfetched" in out
+
+    assert nutch_cli.main(["readdb", db, "-topN", "1"]) == 0
+    # nutch.score=2.0 makes b the top-scored url
+    assert "http://b.example.com/" in capsys.readouterr().out
+
+
+def test_mergedb_and_checkers(spark, tmp_path, capsys):
+    s1, s2 = tmp_path / "s1.txt", tmp_path / "s2.txt"
+    s1.write_text("http://a.example.com/\n")
+    s2.write_text("http://c.example.com/\n")
+    d1, d2 = str(tmp_path / "db1"), str(tmp_path / "db2")
+    nutch_cli.main(["inject", d1, str(s1)])
+    nutch_cli.main(["inject", d2, str(s2)])
+    capsys.readouterr()
+    out_db = str(tmp_path / "merged")
+    assert nutch_cli.main(["mergedb", out_db, d1, d2]) == 0
+    assert "2 urls" in capsys.readouterr().out
+
+    assert nutch_cli.main(
+        ["normalizerchecker", "HTTP://WWW.Example.COM:80/a/../b.html"]
+    ) == 0
+    assert capsys.readouterr().out.strip() == "http://www.example.com/b.html"
+
+    assert nutch_cli.main(["filterchecker", "https://ok.example.com/x"]) == 0
+    assert capsys.readouterr().out.strip() == "+https://ok.example.com/x"
+    assert nutch_cli.main(["filterchecker", "ftp://no.example.com/x"]) == 0
+    assert capsys.readouterr().out.strip() == "-ftp://no.example.com/x"

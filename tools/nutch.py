@@ -1,0 +1,272 @@
+"""bin/nutch-style command dispatcher over parquet table directories.
+
+The reference exposes each crawl stage as a CLI subcommand
+(``src/bin/nutch``); this is the same operational surface on Spark so
+a reference user can run their existing playbook verbatim:
+
+    python tools/nutch.py inject   crawldb/ seeds.txt
+    python tools/nutch.py generate crawldb/ fetchlist/ --top-n 50000 --num-lists 8
+    python tools/nutch.py updatedb crawldb/ segment_rows/
+    python tools/nutch.py readdb   crawldb/ -stats
+    python tools/nutch.py readdb   crawldb/ -topN 10
+    python tools/nutch.py readdb   crawldb/ -dump out/ [--status N] [--regex R]
+    python tools/nutch.py mergedb  out/ db1/ db2/ ...
+    python tools/nutch.py invertlinks linkdb/ outlinks/
+    python tools/nutch.py dedup    crawldb/
+    python tools/nutch.py hostdb   crawldb/ hostdb/
+    python tools/nutch.py normalizerchecker 'http://WWW.Ex.COM:80/a/../b'
+    python tools/nutch.py filterchecker 'https://example.com/x'
+
+Tables are parquet directories (the SnapshotCatalog wraps the same
+operators for versioned/resumable production use — crawl_loop.py);
+every subcommand is a thin shell over the operator modules, so command
+semantics and scale behavior are exactly the library's.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nutch_spark.config import NutchConfig  # noqa: E402
+
+
+def _spark():
+    from nutch_spark.session import get_spark
+
+    return get_spark(
+        master=os.environ.get("NUTCH_SPARK_MASTER", "local[*]"),
+        shuffle_partitions=int(os.environ.get("NUTCH_SPARK_SHUFFLE", "32")),
+    )
+
+
+def _now(args) -> int:
+    return args.now_ms
+
+
+def _read(spark, path):
+    return spark.read.parquet(path)
+
+
+def _write(df, path):
+    df.write.mode("overwrite").parquet(path)
+
+
+def cmd_inject(args) -> int:
+    from nutch_spark.operators.inject import inject_full
+
+    spark = _spark()
+    cfg = NutchConfig()
+    db = _read(spark, args.crawldb) if os.path.exists(args.crawldb) else None
+    out = inject_full(spark, db, args.seeds, cfg, _now(args))
+    # write-then-swap semantics belong to the catalog; plain CLI mode
+    # writes to a temp dir then replaces, mirroring CrawlDb.install
+    tmp = args.crawldb.rstrip("/") + ".tmp"
+    _write(out, tmp)
+    if db is not None:
+        import shutil
+
+        shutil.rmtree(args.crawldb)
+    os.replace(tmp, args.crawldb)
+    print(f"inject: crawldb now {_read(spark, args.crawldb).count()} urls")
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from nutch_spark.operators.generate import generate
+
+    spark = _spark()
+    cfg = NutchConfig()
+    fl = generate(
+        _read(spark, args.crawldb), cfg, _now(args),
+        top_n=args.top_n, num_lists=args.num_lists,
+    )
+    _write(fl, args.out)
+    print(f"generate: {_read(spark, args.out).count()} urls in fetchlist")
+    return 0
+
+
+def cmd_updatedb(args) -> int:
+    from nutch_spark.operators.updatedb import updatedb
+
+    spark = _spark()
+    cfg = NutchConfig()
+    db = _read(spark, args.crawldb) if os.path.exists(args.crawldb) else None
+    out = updatedb(db, _read(spark, args.segment), cfg, _now(args))
+    tmp = args.crawldb.rstrip("/") + ".tmp"
+    _write(out, tmp)
+    if db is not None:
+        import shutil
+
+        shutil.rmtree(args.crawldb)
+    os.replace(tmp, args.crawldb)
+    print(f"updatedb: crawldb now {_read(spark, args.crawldb).count()} urls")
+    return 0
+
+
+def cmd_readdb(args) -> int:
+    from nutch_spark.operators import stats
+
+    spark = _spark()
+    db = _read(spark, args.crawldb)
+    if args.stats:
+        for r in stats.crawldb_stats(db).collect():
+            print(r.asDict())
+    elif args.topN is not None:
+        df = stats.top_n(db, args.topN)
+        if args.out:
+            _write(df, args.out)
+        for r in df.collect():
+            print(r["url"], r["score"])
+    elif args.dump:
+        df = stats.dump(db, status=args.status, regex=args.regex)
+        _write(df, args.dump)
+        print(f"readdb: dumped {df.count()} rows to {args.dump}")
+    elif args.url:
+        for r in stats.read_url(db, args.url).collect():
+            print(r.asDict())
+    else:
+        print("readdb: one of -stats/-topN/-dump/-url required", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_mergedb(args) -> int:
+    from nutch_spark.operators.merger import merge_crawldbs
+
+    spark = _spark()
+    cfg = NutchConfig()
+    out = merge_crawldbs([_read(spark, p) for p in args.dbs], cfg)
+    _write(out, args.out)
+    print(f"mergedb: {_read(spark, args.out).count()} urls")
+    return 0
+
+
+def cmd_invertlinks(args) -> int:
+    from nutch_spark.operators.linkdb import invert_links, merge_linkdbs
+
+    spark = _spark()
+    cfg = NutchConfig()
+    new = invert_links(_read(spark, args.outlinks), cfg)
+    existing = (
+        _read(spark, args.linkdb) if os.path.exists(args.linkdb) else None
+    )
+    out = merge_linkdbs(existing, new, cfg)
+    tmp = args.linkdb.rstrip("/") + ".tmp"
+    _write(out, tmp)
+    if existing is not None:
+        import shutil
+
+        shutil.rmtree(args.linkdb)
+    os.replace(tmp, args.linkdb)
+    print(f"invertlinks: linkdb now {_read(spark, args.linkdb).count()} targets")
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    from nutch_spark.operators.dedup import dedup
+
+    spark = _spark()
+    cfg = NutchConfig()
+    out = dedup(_read(spark, args.crawldb), cfg)
+    tmp = args.crawldb.rstrip("/") + ".tmp"
+    _write(out, tmp)
+    import shutil
+
+    shutil.rmtree(args.crawldb)
+    os.replace(tmp, args.crawldb)
+    print("dedup: done")
+    return 0
+
+
+def cmd_hostdb(args) -> int:
+    from nutch_spark.operators.stats import hostdb_update
+
+    spark = _spark()
+    cfg = NutchConfig()
+    out = hostdb_update(_read(spark, args.crawldb), cfg)
+    _write(out, args.hostdb)
+    print(f"hostdb: {_read(spark, args.hostdb).count()} hosts")
+    return 0
+
+
+def cmd_normalizerchecker(args) -> int:
+    from nutch_spark.urls.normalizer import normalize
+
+    out = normalize(args.url, scope=args.scope)
+    print(out if out is not None else "<rejected>")
+    return 0
+
+
+def cmd_filterchecker(args) -> int:
+    from nutch_spark.urls.filters import default_filter
+
+    ok = default_filter().accept(args.url)
+    print(f"{'+' if ok else '-'}{args.url}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nutch", description=__doc__)
+    p.add_argument("--now-ms", type=int, default=1_704_000_000_000,
+                   help="injected clock (determinism)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("inject")
+    s.add_argument("crawldb"); s.add_argument("seeds")
+    s.set_defaults(fn=cmd_inject)
+
+    s = sub.add_parser("generate")
+    s.add_argument("crawldb"); s.add_argument("out")
+    s.add_argument("--top-n", type=int, default=50_000)
+    s.add_argument("--num-lists", type=int, default=1)
+    s.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("updatedb")
+    s.add_argument("crawldb"); s.add_argument("segment")
+    s.set_defaults(fn=cmd_updatedb)
+
+    s = sub.add_parser("readdb")
+    s.add_argument("crawldb")
+    s.add_argument("-stats", action="store_true", dest="stats")
+    s.add_argument("-topN", type=int, default=None, dest="topN")
+    s.add_argument("-dump", default=None, dest="dump")
+    s.add_argument("-url", default=None, dest="url")
+    s.add_argument("--out", default=None)
+    s.add_argument("--status", type=int, default=None)
+    s.add_argument("--regex", default=None)
+    s.set_defaults(fn=cmd_readdb)
+
+    s = sub.add_parser("mergedb")
+    s.add_argument("out"); s.add_argument("dbs", nargs="+")
+    s.set_defaults(fn=cmd_mergedb)
+
+    s = sub.add_parser("invertlinks")
+    s.add_argument("linkdb"); s.add_argument("outlinks")
+    s.set_defaults(fn=cmd_invertlinks)
+
+    s = sub.add_parser("dedup")
+    s.add_argument("crawldb")
+    s.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("hostdb")
+    s.add_argument("crawldb"); s.add_argument("hostdb")
+    s.set_defaults(fn=cmd_hostdb)
+
+    s = sub.add_parser("normalizerchecker")
+    s.add_argument("url"); s.add_argument("--scope", default="default")
+    s.set_defaults(fn=cmd_normalizerchecker)
+
+    s = sub.add_parser("filterchecker")
+    s.add_argument("url")
+    s.set_defaults(fn=cmd_filterchecker)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
