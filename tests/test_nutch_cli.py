@@ -54,3 +54,30 @@ def test_mergedb_and_checkers(spark, tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "+https://ok.example.com/x"
     assert nutch_cli.main(["filterchecker", "ftp://no.example.com/x"]) == 0
     assert capsys.readouterr().out.strip() == "-ftp://no.example.com/x"
+
+
+def test_parsechecker_and_indexchecker(spark, tmp_path, capsys):
+    page = tmp_path / "page.html"
+    page.write_text(
+        "<html><head><title>My <b>Page</b></title></head>"
+        '<body><a href="/next.html">next</a>Hello world</body></html>'
+    )
+    assert nutch_cli.main(
+        ["parsechecker", str(page), "--url", "http://h.example.com/a/page.html"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Title: My Page" in out
+    assert "outlink: http://h.example.com/next.html" in out
+
+    txt = tmp_path / "plain.txt"
+    txt.write_text("Read http://link.example.org/x and more")
+    assert nutch_cli.main(["parsechecker", str(txt)]) == 0
+    assert "outlink: http://link.example.org/x" in capsys.readouterr().out
+
+    assert nutch_cli.main(
+        ["indexchecker", str(page), "--url", "http://h.example.com/a/page.html"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "host :\th.example.com" in out
+    assert "type :\ttext/html" in out
+    assert "digest :" in out and "quality :" in out

@@ -193,6 +193,80 @@ def cmd_hostdb(args) -> int:
     return 0
 
 
+def cmd_parsechecker(args) -> int:
+    """ParserChecker: parse a local file as the given URL and print
+    title/text/outlinks (html via tag strip + href resolve, plain text
+    via the OutlinkExtractor regex)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.feed import strip_tags
+    from nutch_spark.operators.js_parse import resolve_url
+    from nutch_spark.operators.parse import text_outlinks
+
+    spark = _spark()
+    raw = open(args.file, "rb").read().decode("utf-8", "replace")
+    df = spark.createDataFrame([(args.url, raw)], "url string, content string")
+    is_html = "<" in raw and ">" in raw
+    if is_html:
+        row = df.select(
+            strip_tags(
+                F.regexp_extract("content", "(?s)<title>(.*?)</title>", 1)
+            ).alias("title"),
+            strip_tags(F.col("content")).alias("text"),
+            F.transform(
+                F.regexp_extract_all(
+                    "content", F.lit('<a[^>]*href="([^"]*)"'), 1
+                ),
+                lambda h: resolve_url(F.col("url"), h),
+            ).alias("outlinks"),
+        ).first()
+        title, text, links = row["title"], row["text"], row["outlinks"]
+    else:
+        title = raw.splitlines()[0][:80] if raw else ""
+        text = raw
+        links = [
+            r["to_url"]
+            for r in text_outlinks(
+                df.select("url", F.col("content").alias("text"))
+            ).collect()
+        ]
+    print(f"Title: {title}")
+    print(f"Text: {text[:200]}")
+    print(f"Outlinks: {len(links)}")
+    for l in links:
+        print(f"  outlink: {l}")
+    return 0
+
+
+def cmd_indexchecker(args) -> int:
+    """IndexingFiltersChecker: parsechecker + the indexable fields."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.feed import strip_tags
+    from nutch_spark.operators.index_filters import detect_mime_by_url
+    from nutch_spark.ml.text import quality_score
+
+    spark = _spark()
+    raw = open(args.file, "rb").read().decode("utf-8", "replace")
+    df = spark.createDataFrame([(args.url, raw)], "url string, content string")
+    text = F.when(
+        F.lit("<" in raw), strip_tags(F.col("content"))
+    ).otherwise(F.col("content"))
+    row = df.select(
+        F.col("url").alias("id"),
+        F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("host"),
+        detect_mime_by_url(F.col("url")).alias("type"),
+        F.substring(text, 1, 100).alias("title"),
+        F.substring(text, 1, 10000).alias("content"),
+        F.md5("content").alias("digest"),
+    ).first()
+    for k, v in row.asDict().items():
+        print(f"{k} :\t{str(v)[:120]}")
+    q = df.select(quality_score(text).alias("q")).first()["q"]
+    print(f"quality :\t{q}")
+    return 0
+
+
 def cmd_normalizerchecker(args) -> int:
     from nutch_spark.urls.normalizer import normalize
 
@@ -255,6 +329,14 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("hostdb")
     s.add_argument("crawldb"); s.add_argument("hostdb")
     s.set_defaults(fn=cmd_hostdb)
+
+    s = sub.add_parser("parsechecker")
+    s.add_argument("file"); s.add_argument("--url", default="http://example.com/")
+    s.set_defaults(fn=cmd_parsechecker)
+
+    s = sub.add_parser("indexchecker")
+    s.add_argument("file"); s.add_argument("--url", default="http://example.com/")
+    s.set_defaults(fn=cmd_indexchecker)
 
     s = sub.add_parser("normalizerchecker")
     s.add_argument("url"); s.add_argument("--scope", default="default")
