@@ -4157,7 +4157,7 @@ SELECT url,
   'example.com' AS domain,
   'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
   regexp_replace(substr(text, 1, 10000), '[\\x00-\\x1f\\x7f]', ' ', 'g') AS content,
-  regexp_replace(substr(text, 1, 100), '[\\x00-\\x1f\\x7f]', ' ', 'g') AS title,
+  NULLIF(regexp_replace(substr(text, 1, 100), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '') AS title,
   fetch_time AS tstamp,
   signature AS digest,
   CAST(score AS DOUBLE) AS boost,

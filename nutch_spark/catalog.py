@@ -141,6 +141,21 @@ class SnapshotCatalog:
                 return spark.read.parquet(os.path.join(self.root, table, s["path"]))
         raise FileNotFoundError(f"snapshot {sid} of {table} not found")
 
+    def update_snapshot_metrics(
+        self, table: str, snapshot_id: int, metrics: dict[str, Any]
+    ) -> None:
+        """Merge ``metrics`` into an existing snapshot's metrics map
+        (Iceberg snapshot-summary style). Lets callers commit the data
+        file FIRST and derive expensive aggregates from the committed
+        parquet instead of executing the uncommitted lineage twice."""
+        meta = self._load_meta(table)
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                s["metrics"] = {**s.get("metrics", {}), **metrics}
+                self._store_meta(table, meta)
+                return
+        raise FileNotFoundError(f"snapshot {snapshot_id} of {table} not found")
+
     def rollback(self, table: str, snapshot_id: int) -> None:
         """Point ``current`` back at an older snapshot (resume-from-checkpoint)."""
         meta = self._load_meta(table)

@@ -105,6 +105,11 @@ def depth_gate_outlinks(
         )
 
     gated = (
+        # INNER join is deliberate: a parent absent from ``parents`` has
+        # unknown depth, and the reference drops ALL outlinks of a page
+        # with missing depth metadata (DepthScoringFilter.java:96-100
+        # "Missing depth, removing all outlinks") — same with _int_meta's
+        # default below: depth==max fails the gate
         links.join(p, links["from_url"] == p["_p_url"], "inner")
         .filter(F.col("_p_depth") < F.col("_p_max"))
         .withColumn(

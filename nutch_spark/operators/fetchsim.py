@@ -106,10 +106,10 @@ def fetch(
     # (FetchItem.create, fetcher/FetchItem.java:87-121). Robots rules
     # stay host-keyed in every mode, so `host` is the real host and
     # `_queue` the politeness unit.
+    fl = fetchlist.withColumn("host", host_col(F.col("url")))
     if cfg.fetcher_queue_mode == "byIP":
         if dns is None:
             raise ValueError("fetcher.queue.mode=byIP requires a dns fixture (host, ip)")
-        fl = fetchlist.withColumn("host", host_col(F.col("url")))
         fl = fl.join(
             F.broadcast(dns.select(F.col("host"), F.col("ip").alias("_queue"))),
             "host",
@@ -118,13 +118,12 @@ def fetch(
         # unresolved host => item skipped entirely, no host-name fallback
         # (FetchItem.java:101-104)
         fl = fl.filter(F.col("_queue").isNotNull())
+    elif cfg.fetcher_queue_mode == "byDomain":
+        from nutch_spark.urls.urlutil import domain_udf
+
+        fl = fl.withColumn("_queue", F.lower(domain_udf()(F.col("url"))))
     else:
-        if cfg.fetcher_queue_mode == "byDomain":
-            from nutch_spark.urls.urlutil import domain_udf
-            queue_key = F.lower(domain_udf()(F.col("url")))
-        else:
-            queue_key = host_col(F.col("url"))
-        fl = fetchlist.withColumn("host", queue_key).withColumn("_queue", F.col("host"))
+        fl = fl.withColumn("_queue", F.col("host"))
 
     fl = fl.join(F.broadcast(robots), "host", "left")
     fl = fl.join(outcomes, "url", "left")

@@ -240,7 +240,6 @@ def links_fields(
         F.array_sort(F.collect_set(o_val)).alias("outlinks")
     )
 
-    il = F.transform(F.col("inlinks"), lambda l: l["from_url"])
     joined = (
         docs.join(outs, "url", "left")
         .join(linkdb.select("url", F.col("inlinks").alias("_il")), "url", "left")

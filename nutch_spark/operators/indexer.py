@@ -12,11 +12,14 @@ format every Nutch index writer ultimately serializes through, plus a
 ``.format("kafka")``/``.format("es")`` the same rows.
 
 Fields (BasicIndexingFilter): domain, host, url (repr-url preferred),
-content (cleaned parse text, length-capped), title (first text span,
-length-capped), tstamp (fetch time), plus digest (signature) and boost
-(score) stamped by IndexerMapReduce itself (:305-320). Skips are the
-reference's: only db_fetched/db_notmodified datums with a successful
-parse are indexed (:197-214).
+content (cleaned parse text, length-capped), title (the parser's
+extracted title when ``parse_text`` carries a ``title`` column,
+length-capped per indexer.max.title.length; zero-length titles become
+NULL per NUTCH-1004; with no title column the documented fallback is
+the content prefix), tstamp (fetch time), plus digest (signature) and
+boost (score) stamped by IndexerMapReduce itself (:305-320). Skips are
+the reference's: only db_fetched/db_notmodified datums with a
+successful parse are indexed (:197-214).
 
 Scale: one shuffle (the url join); everything else is map-side JVM.
 """
@@ -52,11 +55,18 @@ def index_documents(
     db = crawldb.filter(
         F.col("status").isin(STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED)
     )
-    joined = db.join(parse_text.select("url", "text"), "url", "inner")
+    has_title = "title" in parse_text.columns
+    pt_cols = ["url", "text"] + (["title"] if has_title else [])
+    joined = db.join(parse_text.select(*pt_cols), "url", "inner")
     url_out = F.coalesce(F.col("repr_url"), F.col("url"))
     host = F.lower(F.try_parse_url(url_out, F.lit("HOST")))
     content = _clean_field(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, max_content))
-    title = _clean_field(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, max_title))
+    # BasicIndexingFilter:110-118: parser title truncated to
+    # indexer.max.title.length; NUTCH-1004: zero-length title not added.
+    # Fallback without a parser title: content prefix (documented deviation).
+    raw_title = F.col("title") if has_title else F.coalesce(F.col("text"), F.lit(""))
+    title = _clean_field(F.substring(raw_title, 1, max_title))
+    title = F.when(F.length(title) > 0, title)
     return joined.select(
         url_out.alias("url"),
         domain_udf()(url_out).alias("domain"),

@@ -43,11 +43,13 @@ from nutch_spark.urls.urlutil import host_col
 _EMPTY_MAP = "cast(map() as map<string,string>)"
 
 
-def span_signature(spans: Column) -> Column:
-    """MD5 over the canonical span serialization (kind, text, media_ref,
-    offset joined with unit separators) — deterministic and expressible
-    identically in ANSI SQL for the oracle."""
-    ser = F.concat_ws(
+def span_payload(spans: Column) -> Column:
+    """THE canonical span serialization (kind, text, media_ref, offset
+    joined with unit separators). Single definition on purpose: the T12
+    signature, the WARC Content-Length contract, and the regex parse
+    filter's 'html' source must all digest the identical byte string —
+    and each has a byte-equality DuckDB oracle against it."""
+    return F.concat_ws(
         "\x1f",
         F.transform(
             spans,
@@ -60,7 +62,12 @@ def span_signature(spans: Column) -> Column:
             ),
         ),
     )
-    return F.md5(ser)
+
+
+def span_signature(spans: Column) -> Column:
+    """MD5 over ``span_payload`` — deterministic and expressible
+    identically in ANSI SQL for the oracle."""
+    return F.md5(span_payload(spans))
 
 
 def parse_text_col(spans: Column) -> Column:
@@ -230,19 +237,7 @@ def regex_parse_filter(
     Returns (url, parse_meta map<string,string>) rows ready to merge
     into parse_data / crawl_parse STATUS_PARSE_META datums."""
     text = parse_text_col(F.col("spans"))
-    html = F.concat_ws(
-        "\x1f",
-        F.transform(
-            F.col("spans"),
-            lambda s: F.concat_ws(
-                "\x1e",
-                F.coalesce(s["kind"], F.lit("")),
-                F.coalesce(s["text"], F.lit("")),
-                F.coalesce(s["media_ref"], F.lit("")),
-                F.coalesce(s["offset"].cast("string"), F.lit("")),
-            ),
-        ),
-    )
+    html = span_payload(F.col("spans"))
     entries = []
     for field, source, regex in rules:
         src = text if source.lower() == "text" else html

@@ -191,6 +191,17 @@ def sitemap_merge(
                 F.lit(now_ms).cast("long")
             )
         else:
-            col = F.col(f"o.{c}")
+            # new urls get fresh-datum defaults (SitemapProcessor builds a
+            # new CrawlDatum, not nulls): retries=0, empty metadata,
+            # modified_time=0; signature/gen_time/repr_url legitimately null
+            if c == "retries":
+                new_val = F.lit(0).cast("int")
+            elif c == "metadata":
+                new_val = F.expr("map()").cast("map<string,string>")
+            elif c == "modified_time":
+                new_val = F.lit(0).cast("long")
+            else:
+                new_val = F.lit(None)
+            col = F.when(has_old, F.col(f"o.{c}")).otherwise(new_val)
         out_cols.append(col.alias(c))
     return joined.select(*out_cols)

@@ -62,8 +62,12 @@ def propagate_url_meta(
             F.when(
                 F.col("_p_meta").isNotNull(),
                 F.map_concat(
+                    # drop only keys the parent actually provides (re-added
+                    # from tag_map); configured keys ABSENT on the parent
+                    # stay as-is on the link row
                     F.map_filter(
-                        F.col("metadata"), lambda k, _: ~F.array_contains(key_arr, k)
+                        F.col("metadata"),
+                        lambda k, _: F.element_at(tag_map, k).isNull(),
                     ),
                     tag_map,
                 ),
@@ -102,7 +106,6 @@ def patch_new_url_meta(
         ),
         lambda _, v: v.isNotNull(),
     )
-    key_arr = F.array(*[F.lit(k) for k in keys])
     patched = (
         merged.join(agg, "url", "left")
         .withColumn(
@@ -114,8 +117,11 @@ def patch_new_url_meta(
                     F.lit(False),
                 ),
                 F.map_concat(
+                    # as in propagate_url_meta: only keys the link rows
+                    # actually provide are replaced
                     F.map_filter(
-                        F.col("metadata"), lambda k, _: ~F.array_contains(key_arr, k)
+                        F.col("metadata"),
+                        lambda k, _: F.element_at(tag_map, k).isNull(),
                     ),
                     tag_map,
                 ),

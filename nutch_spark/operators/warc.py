@@ -30,22 +30,7 @@ from nutch_spark.schema import STATUS_FETCH_SUCCESS
 CRLF = "\r\n"
 
 
-def _span_payload(spans: Column) -> Column:
-    """Canonical span serialization — identical to the string the T12
-    signature (parse.span_signature) digests."""
-    return F.concat_ws(
-        "\x1f",
-        F.transform(
-            spans,
-            lambda s: F.concat_ws(
-                "\x1e",
-                F.coalesce(s["kind"], F.lit("")),
-                F.coalesce(s["text"], F.lit("")),
-                F.coalesce(s["media_ref"], F.lit("")),
-                F.coalesce(s["offset"].cast("string"), F.lit("")),
-            ),
-        ),
-    )
+from nutch_spark.operators.parse import span_payload as _span_payload
 
 
 def _uuid_from_md5(h: Column) -> Column:
@@ -147,10 +132,9 @@ def _json_escape(c: Column) -> Column:
     return F.regexp_replace(c, '(["\\\\])', r"\\$1")
 
 
-def reverse_host(host: Column) -> Column:
-    """Reversed-domain key prefix (CommonCrawlDataDumper.reverseUrl):
-    www.example.com -> com.example.www."""
-    return F.concat_ws(".", F.reverse(F.split(host, r"\.")))
+# Reversed-domain key prefix (CommonCrawlDataDumper.reverseUrl) — same
+# transform as TableUtil's reversed storage keys; one definition.
+from nutch_spark.urls.urlutil import reverse_host_col as reverse_host
 
 
 def commoncrawl_records(

@@ -160,12 +160,12 @@ class Crawler:
         # metrics (one extra pass each over small aggregates)
         fetched = crawl_fetch.count()
         makespan = crawl_fetch.agg(F.max("fetch_time")).collect()[0][0] or now_ms
-        status_counts = {
-            STATUS_NAMES.get(r["status"], str(r["status"])): r["count"]
-            for r in newdb.groupBy("status").count().collect()
-        }
-        db_size = sum(status_counts.values())
 
+        # commit FIRST: the parquet write is the only execution of the
+        # merge lineage; status counts then come from a column-pruned
+        # scan of the committed snapshot instead of re-running the whole
+        # updatedb DAG (at 10^10-row frontier scale that re-run would
+        # double the heaviest stage)
         snap = self.catalog.commit(
             newdb, CRAWLDB, now_ms=now_ms,
             lineage={
@@ -176,10 +176,18 @@ class Crawler:
             metrics={
                 "generated": generated,
                 "fetched": fetched,
-                "db_status_counts": status_counts,
                 "virtual_makespan_ms": int(makespan - now_ms),
             },
             expected_parent=parent,
+        )
+        committed = self.catalog.read(self.spark, CRAWLDB, snap.snapshot_id)
+        status_counts = {
+            STATUS_NAMES.get(r["status"], str(r["status"])): r["count"]
+            for r in committed.groupBy("status").count().collect()
+        }
+        db_size = sum(status_counts.values())
+        self.catalog.update_snapshot_metrics(
+            CRAWLDB, snap.snapshot_id, {"db_status_counts": status_counts}
         )
         if self.write_segments:
             seg = f"segment_{cycle_id:04d}"

@@ -421,6 +421,11 @@ def ajax_normalize(url: str | None, scope: str = "default") -> str | None:
         if not m or m.group("query") is None:
             return url
         query = m.group("query")
+        # reference quirk kept deliberately (AjaxURLNormalizer.java:138-151):
+        # the FIRST '&' splits query from the fragment pair, so with >=2
+        # parameters before _escaped_fragment_ the extra ones leak into the
+        # rebuilt #! fragment exactly as the Java normalizer emits them
+        # (the AJAX convention requires the pair to be sole or second).
         amp = query.find("&")
         if amp == -1:
             kv, query = query, ""

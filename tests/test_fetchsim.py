@@ -305,3 +305,34 @@ def test_byip_partitioning(spark):
         "10.0.0.1", cfg.partition_url_seed, 7)
     assert parts["http://nx.example.com/doc/1"] == partition_index(
         "", cfg.partition_url_seed, 7)
+
+
+def test_bydomain_queue_robots_stay_host_keyed(spark):
+    """fetcher.queue.mode=byDomain (FetchItem.java:87-96): subdomain
+    hosts of one domain share ONE politeness queue, but robots rules
+    are still looked up by the REAL host (RobotRulesParser keys the
+    cache by protocol+host, FetcherThread.java:349-366) — a disallow
+    for www.example.com must gate even though the queue id is
+    example.com."""
+    cfg = CFG.with_(fetcher_queue_mode="byDomain")
+    urls = [
+        "http://a.example.com/doc/1",
+        "http://b.example.com/doc/1",    # same domain as a -> same queue
+        "http://www.example.com/private/x",  # robots-denied on its host
+        "http://other.example.org/doc/1",    # different domain -> own queue
+    ]
+    fl = fetchlist(spark, urls)
+    out = outcomes_df(spark, [(u, "success", None, 100) for u in urls])
+    robots = robots_df(
+        spark, [("www.example.com", ["/private"], None, False, False)]
+    )
+    cf, _ = fetch(fl, robots, out, cfg, NOW)
+    rows = {r["url"]: r for r in cf.collect()}
+    # host-keyed robots gate fired despite the domain-level queue id
+    assert rows["http://www.example.com/private/x"]["status"] == S.STATUS_FETCH_GONE
+    # the two fetched example.com subdomains serialized on one clock
+    a = rows["http://a.example.com/doc/1"]["fetch_time"]
+    b = rows["http://b.example.com/doc/1"]["fetch_time"]
+    assert abs(a - b) == 100 + 5000
+    # the other domain runs on its own (parallel) clock
+    assert rows["http://other.example.org/doc/1"]["fetch_time"] == NOW

@@ -124,3 +124,20 @@ def test_merge_overwrite_copies_sitemap_fields(spark):
     assert (a["score"], a["fetch_interval"], a["modified_time"]) == (
         0.75, 86400, 1705276800000)
     assert a["status"] == S.STATUS_DB_FETCHED  # status still the original
+
+
+def test_merge_new_urls_get_fresh_datum_defaults(spark):
+    """SitemapProcessor builds a NEW CrawlDatum for unknown urls — so
+    retries=0 (not null: updatedb's retry arithmetic would never
+    exhaust a null counter), metadata={} (map_concat(null,..) nulls
+    merges), modified_time=0."""
+    entries, _ = parse_sitemaps(
+        content_df(spark, [("http://h1.example.com/sitemap.xml", URLSET)]), CFG
+    )
+    out = {r["url"]: r for r in
+           sitemap_merge(_crawldb(spark), entries, CFG, NOW).collect()}
+    b = out["http://h1.example.com/b"]
+    assert b["retries"] == 0
+    assert b["metadata"] == {}
+    assert b["modified_time"] == 0
+    assert b["signature"] is None and b["gen_time"] is None

@@ -58,3 +58,20 @@ def test_patch_new_urls_take_min_tag_through_updatedb(spark):
            patch_new_url_meta(merged, old, stamped, ["campaign"]).collect()}
     assert out["http://new/"]["metadata"]["campaign"] == "alpha"  # min value
     assert out["http://p1/"]["metadata"]["campaign"] == "beta"    # untouched
+
+
+def test_propagate_keeps_link_value_when_parent_lacks_key(spark):
+    """A configured key already on the link row survives when the
+    parent's metadata map is non-null but has no entry for it (the
+    strip-then-restamp must only strip keys the parent provides)."""
+    parents = spark.createDataFrame(
+        [_datum("http://p/", meta={"campaign": "c1"})], DATUM_COLS
+    )
+    seg = spark.createDataFrame(
+        [_link("http://c/", "http://p/",
+               meta={"campaign": "old", "license": "mit"})],
+        LINK_COLS,
+    )
+    (out,) = propagate_url_meta(seg, parents, ["campaign", "license"]).collect()
+    assert out["metadata"]["campaign"] == "c1"   # parent wins where present
+    assert out["metadata"]["license"] == "mit"   # parent lacks it: left as-is

@@ -137,3 +137,15 @@ def test_extras_compose_as_chain():
     ]
     out = apply_extra_normalizers("https://example.org/p?b=2&a=1", steps)
     assert out == "http://www.example.org/p?a=1&b=2"
+
+
+def test_ajax_indexer_first_amp_quirk():
+    """Reference-faithful quirk (AjaxURLNormalizer.java:138-151): the
+    FIRST '&' splits query from the fragment pair, so extra parameters
+    before _escaped_fragment_ leak into the rebuilt fragment — pinned
+    so nobody 'fixes' us out of Java parity."""
+    i = partial(ajax_normalize, scope="indexer")
+    assert (
+        i("http://h/p?a=1&b=2&_escaped_fragment_=k")
+        == "http://h/p?a=1#!b=2&k"
+    )

@@ -166,3 +166,29 @@ def test_route_documents_by_expression(spark):
     assert out["http://a/"] == ["high_boost"]
     assert out["http://b/"] == ["german"]
     assert out["http://c/"] == ["high_boost", "german"]
+
+
+def test_index_documents_parser_title_and_nutch_1004(spark):
+    """BasicIndexingFilter:110-118 — when parse_text carries a parser
+    title it is used (truncated to max_title); a zero-length title is
+    not added (NUTCH-1004 -> NULL)."""
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.indexer import index_documents
+
+    db = spark.createDataFrame(
+        [("http://h/a", 2, 1000, 0, 2592000, 1.0, "sig", 0, {}, None, None),
+         ("http://h/b", 2, 1000, 0, 2592000, 1.0, "sig", 0, {}, None, None)],
+        "url string, status int, fetch_time long, retries int,"
+        " fetch_interval int, score float, signature string,"
+        " modified_time long, metadata map<string,string>,"
+        " gen_time long, repr_url string",
+    )
+    pt = spark.createDataFrame(
+        [("http://h/a", "body text here", "My Title " + "x" * 200),
+         ("http://h/b", "body text here", "")],
+        "url string, text string, title string",
+    )
+    out = {r["url"]: r for r in index_documents(db, pt, NutchConfig()).collect()}
+    assert out["http://h/a"]["title"] == ("My Title " + "x" * 200)[:100]
+    assert out["http://h/a"]["content"].startswith("body text")
+    assert out["http://h/b"]["title"] is None  # NUTCH-1004
