@@ -2766,9 +2766,9 @@ p AS (
   FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
 ),
 r AS (
-  SELECT query_id, vec_id, round(dp / (na * nq), 6) AS cosine_sim,
+  SELECT query_id, vec_id, CASE WHEN na * nq = 0 THEN 0.0 ELSE round(dp / (na * nq), 6) END AS cosine_sim,
     CAST(row_number() OVER (
-      PARTITION BY query_id ORDER BY round(dp / (na * nq), 6) DESC, vec_id ASC
+      PARTITION BY query_id ORDER BY (CASE WHEN na * nq = 0 THEN 0.0 ELSE round(dp / (na * nq), 6) END) DESC, vec_id ASC
     ) AS INTEGER) AS rank
   FROM p
 )
@@ -2800,12 +2800,14 @@ cand AS (
 ),
 p AS (
   SELECT c.vec_a, c.vec_b,
-    round(
+    CASE WHEN sqrt(list_reduce(list_transform(ea.emb, x -> x * x), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(eb.emb, x -> x * x), (x, y) -> x + y)) = 0
+    THEN 0.0 ELSE round(
       list_reduce(list_transform(list_zip(ea.emb, eb.emb), z -> z[1] * z[2]),
                   (x, y) -> x + y)
       / (sqrt(list_reduce(list_transform(ea.emb, x -> x * x), (x, y) -> x + y))
          * sqrt(list_reduce(list_transform(eb.emb, x -> x * x), (x, y) -> x + y))),
-      6) AS cosine_sim
+      6) END AS cosine_sim
   FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cosine_sim FROM p WHERE cosine_sim >= {threshold}
@@ -3854,9 +3856,9 @@ p AS (
   WHERE a.vec_id <> qp.query_id
 ),
 r AS (
-  SELECT query_id, vec_id, round(dp / (na * nq), 6) AS cosine_sim,
+  SELECT query_id, vec_id, CASE WHEN na * nq = 0 THEN 0.0 ELSE round(dp / (na * nq), 6) END AS cosine_sim,
     CAST(row_number() OVER (
-      PARTITION BY query_id ORDER BY round(dp / (na * nq), 6) DESC, vec_id ASC
+      PARTITION BY query_id ORDER BY (CASE WHEN na * nq = 0 THEN 0.0 ELSE round(dp / (na * nq), 6) END) DESC, vec_id ASC
     ) AS INTEGER) AS rank
   FROM p
 )
@@ -4409,9 +4411,9 @@ p AS (
   WHERE e.vec_id <> q.query_id
 ),
 r AS (
-  SELECT query_id, vec_id, round(dp / (na * nq), 6) AS cosine_sim,
+  SELECT query_id, vec_id, CASE WHEN na * nq = 0 THEN 0.0 ELSE round(dp / (na * nq), 6) END AS cosine_sim,
     CAST(row_number() OVER (
-      PARTITION BY query_id ORDER BY round(dp / (na * nq), 6) DESC, vec_id ASC
+      PARTITION BY query_id ORDER BY (CASE WHEN na * nq = 0 THEN 0.0 ELSE round(dp / (na * nq), 6) END) DESC, vec_id ASC
     ) AS INTEGER) AS rank
   FROM p
 )

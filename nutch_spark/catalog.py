@@ -23,6 +23,8 @@ only touches :meth:`read` / :meth:`commit`, so the swap is config-only.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -56,6 +58,23 @@ class SnapshotCatalog:
     # -- metadata ----------------------------------------------------------
     def _meta_path(self, table: str) -> str:
         return os.path.join(self.root, table, "metadata.json")
+
+    @contextlib.contextmanager
+    def _meta_lock(self, table: str):
+        """Exclusive advisory lock on the table's metadata — the
+        ``.locked`` file of CrawlDb.java:69 done properly: load-check-
+        store under one flock so two concurrent committers cannot both
+        pass the expected_parent check and last-writer-wins each other's
+        snapshot entries out of the metadata list."""
+        table_dir = os.path.join(self.root, table)
+        os.makedirs(table_dir, exist_ok=True)
+        fd = os.open(os.path.join(table_dir, ".locked"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _load_meta(self, table: str) -> dict:
         p = self._meta_path(table)
@@ -103,30 +122,44 @@ class SnapshotCatalog:
         pass the snapshot id you read from to enforce it.
         ``now_ms`` is the injected clock (no wall-clock in logic paths).
         """
-        meta = self._load_meta(table)
-        if expected_parent != -1 and meta["current_snapshot_id"] != expected_parent:
+        # cheap pre-flight CAS check before the expensive write
+        pre = self._load_meta(table)
+        if expected_parent != -1 and pre["current_snapshot_id"] != expected_parent:
             raise ConcurrentCommitError(
-                f"{table}: current={meta['current_snapshot_id']} expected={expected_parent}"
+                f"{table}: current={pre['current_snapshot_id']} expected={expected_parent}"
             )
-        # ids must be unique across the whole history: after rollback()
-        # current may be lower than already-used ids, and read() resolves
-        # by id — so allocate past the global max, not current+1
-        used = [s["snapshot_id"] for s in meta["snapshots"]]
-        snap_id = max([meta["current_snapshot_id"] or 0, *used], default=0) + 1
-        rel = f"snap-{snap_id:06d}-{uuid.uuid4().hex[:8]}"
-        snap_dir = os.path.join(self.root, table, rel)
-        df.write.mode("overwrite").parquet(snap_dir)
-        snap = Snapshot(
-            snapshot_id=snap_id,
-            parent_id=meta["current_snapshot_id"],
-            committed_at_ms=now_ms,
-            path=rel,
-            lineage=lineage or {},
-            metrics=metrics or {},
-        )
-        meta["snapshots"].append(snap.__dict__)
-        meta["current_snapshot_id"] = snap_id
-        self._store_meta(table, meta)
+        # parquet write OUTSIDE the lock (long-running, conflict-free in a
+        # uuid-unique pending dir); the id is allocated and the dir renamed
+        # under the lock, where the CAS check is re-done authoritatively
+        token = uuid.uuid4().hex[:8]
+        pending = os.path.join(self.root, table, f"snap-pending-{token}")
+        df.write.mode("overwrite").parquet(pending)
+        with self._meta_lock(table):
+            meta = self._load_meta(table)
+            if expected_parent != -1 and meta["current_snapshot_id"] != expected_parent:
+                shutil.rmtree(pending, ignore_errors=True)
+                raise ConcurrentCommitError(
+                    f"{table}: current={meta['current_snapshot_id']} "
+                    f"expected={expected_parent}"
+                )
+            # ids must be unique across the whole history: after rollback()
+            # current may be lower than already-used ids, and read() resolves
+            # by id — so allocate past the global max, not current+1
+            used = [s["snapshot_id"] for s in meta["snapshots"]]
+            snap_id = max([meta["current_snapshot_id"] or 0, *used], default=0) + 1
+            rel = f"snap-{snap_id:06d}-{token}"
+            os.rename(pending, os.path.join(self.root, table, rel))
+            snap = Snapshot(
+                snapshot_id=snap_id,
+                parent_id=meta["current_snapshot_id"],
+                committed_at_ms=now_ms,
+                path=rel,
+                lineage=lineage or {},
+                metrics=metrics or {},
+            )
+            meta["snapshots"].append(snap.__dict__)
+            meta["current_snapshot_id"] = snap_id
+            self._store_meta(table, meta)
         return snap
 
     def read(
@@ -148,36 +181,41 @@ class SnapshotCatalog:
         (Iceberg snapshot-summary style). Lets callers commit the data
         file FIRST and derive expensive aggregates from the committed
         parquet instead of executing the uncommitted lineage twice."""
-        meta = self._load_meta(table)
-        for s in meta["snapshots"]:
-            if s["snapshot_id"] == snapshot_id:
-                s["metrics"] = {**s.get("metrics", {}), **metrics}
-                self._store_meta(table, meta)
-                return
+        with self._meta_lock(table):
+            meta = self._load_meta(table)
+            for s in meta["snapshots"]:
+                if s["snapshot_id"] == snapshot_id:
+                    s["metrics"] = {**s.get("metrics", {}), **metrics}
+                    self._store_meta(table, meta)
+                    return
         raise FileNotFoundError(f"snapshot {snapshot_id} of {table} not found")
 
     def rollback(self, table: str, snapshot_id: int) -> None:
         """Point ``current`` back at an older snapshot (resume-from-checkpoint)."""
-        meta = self._load_meta(table)
-        if not any(s["snapshot_id"] == snapshot_id for s in meta["snapshots"]):
-            raise FileNotFoundError(f"snapshot {snapshot_id} of {table} not found")
-        meta["current_snapshot_id"] = snapshot_id
-        self._store_meta(table, meta)
+        with self._meta_lock(table):
+            meta = self._load_meta(table)
+            if not any(s["snapshot_id"] == snapshot_id for s in meta["snapshots"]):
+                raise FileNotFoundError(f"snapshot {snapshot_id} of {table} not found")
+            meta["current_snapshot_id"] = snapshot_id
+            self._store_meta(table, meta)
 
     def expire_snapshots(self, table: str, keep: int = 2) -> int:
         """Drop all but the newest ``keep`` snapshots (old-dir cleanup)."""
-        meta = self._load_meta(table)
-        snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
-        drop, kept = snaps[:-keep] if keep else snaps, snaps[-keep:] if keep else []
-        current = meta["current_snapshot_id"]
-        dropped = 0
-        remaining = []
-        for s in snaps:
-            if s in drop and s["snapshot_id"] != current:
-                shutil.rmtree(os.path.join(self.root, table, s["path"]), ignore_errors=True)
-                dropped += 1
-            else:
-                remaining.append(s)
-        meta["snapshots"] = remaining
-        self._store_meta(table, meta)
+        with self._meta_lock(table):
+            meta = self._load_meta(table)
+            snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
+            drop = snaps[:-keep] if keep else snaps
+            current = meta["current_snapshot_id"]
+            dropped = 0
+            remaining = []
+            for s in snaps:
+                if s in drop and s["snapshot_id"] != current:
+                    shutil.rmtree(
+                        os.path.join(self.root, table, s["path"]), ignore_errors=True
+                    )
+                    dropped += 1
+                else:
+                    remaining.append(s)
+            meta["snapshots"] = remaining
+            self._store_meta(table, meta)
         return dropped

@@ -164,6 +164,11 @@ def fetch_file_urls(
                          "content_type", "content_length",
                          "last_modified_ms", "location"],
             )
+            # keys absent from a row dict become float NaN; in a batch
+            # where a column is ALL NaN, Arrow converts float64->binary
+            # as b'' instead of null — force object dtype with real None
+            # so a 404's content is null regardless of batch composition
+            out = out.astype(object).where(pd.notna(out), None)
             yield out
 
     return urls.select(*cols).mapInPandas(run, _OUT_SCHEMA)

@@ -26,6 +26,26 @@ from pyspark.sql import functions as F
 DEFAULT_SEED = 42
 
 
+def _doc_hash(id_col, seed) -> F.Column:
+    """The per-doc hash every topology decision derives from."""
+    return F.abs(F.xxhash64(id_col, F.lit(seed)))
+
+
+def _host_of(id_col, n_hosts: int, seed: int, skew_factor: int) -> F.Column:
+    """Host assignment as a pure function of the doc id — shared by
+    synth_docs and synth_outcomes so redirect targets / canonical-owner
+    hosts can be recomputed WITHOUT a join. Skewed: the first
+    ``skew_factor`` buckets all map to host 0."""
+    bucket = F.pmod(_doc_hash(id_col, seed), F.lit(n_hosts - 1 + skew_factor))
+    return F.when(bucket < skew_factor, F.lit(0)).otherwise(
+        bucket - skew_factor + 1
+    )
+
+
+def _is_private(id_col, seed) -> F.Column:
+    return F.pmod(_doc_hash(id_col, seed), 19) == 0
+
+
 def doc_url(host_id, doc_id, private=None) -> F.Column:
     base = F.concat(
         F.lit("http://host"), host_id.cast("string"), F.lit(".example.com")
@@ -43,22 +63,31 @@ def synth_docs(
 ) -> DataFrame:
     """The docs table. Host assignment is skewed: host 0 owns
     ``skew_factor``/(skew_factor+n_hosts-1) of all docs."""
-    df = spark.range(n_docs).withColumn("h", F.abs(F.xxhash64("id", F.lit(seed))))
-    # skewed host assignment: bucket space n_hosts-1+skew_factor, first
-    # skew_factor buckets all map to host 0
-    bucket = F.pmod(F.col("h"), F.lit(n_hosts - 1 + skew_factor))
-    host_id = F.when(bucket < skew_factor, F.lit(0)).otherwise(bucket - skew_factor + 1)
-    df = df.withColumn("host_id", host_id)
-    df = df.withColumn("is_private", F.pmod(F.col("h"), 19) == 0)
+    df = spark.range(n_docs).withColumn("h", _doc_hash(F.col("id"), seed))
+    df = df.withColumn("host_id", _host_of(F.col("id"), n_hosts, seed, skew_factor))
+    df = df.withColumn("is_private", _is_private(F.col("id"), seed))
     df = df.withColumn("url", doc_url(F.col("host_id"), F.col("id"), F.col("is_private")))
-    # duplicate-content pairs: docs where h%7==0 share content with doc id/2
+    # duplicate-content pairs: docs where h%7==0 take content_key id/2 and
+    # EVERY span field below is a pure function of content_key — so any
+    # two docs sharing a content_key have bit-identical span arrays (and
+    # span signatures). A doc X pairs with doc X/2 itself whenever X/2 is
+    # not re-keyed in turn (6/7 of pairs); the rest still share spans with
+    # every other doc of the same key.
     df = df.withColumn(
         "content_key",
         F.when(F.pmod(F.col("h"), 7) == 0, (F.col("id") / 2).cast("long")).otherwise(F.col("id")),
     )
     df = df.withColumn("is_canonical", F.pmod(F.col("h"), 23) != 0)
 
-    n_spans = (F.pmod(F.abs(F.xxhash64("id", F.lit(seed + 1))), 4) + 3).cast("int")
+    # span count keyed on content_key, NOT the doc id, or dup pairs would
+    # have different span counts and never share a signature
+    n_spans = (
+        F.pmod(F.abs(F.xxhash64(F.col("content_key"), F.lit(seed + 1))), 4) + 3
+    ).cast("int")
+    # link/media spans of duplicated content embed the CANONICAL owner's
+    # host (mirror pages copy content verbatim, absolute links included);
+    # for non-dup docs this is the doc's own host
+    ck_host = _host_of(F.col("content_key"), n_hosts, seed, skew_factor)
 
     def span(kidx):
         sh = F.abs(F.xxhash64(F.col("content_key"), kidx, F.lit(seed + 2)))
@@ -71,7 +100,7 @@ def synth_docs(
         # derived from the span hash (dense in [0, n_docs))
         tgt_doc = F.pmod(sh, F.lit(n_docs))
         tgt_host = F.when(
-            F.pmod(sh, 10) < 7, F.col("host_id")
+            F.pmod(sh, 10) < 7, ck_host
         ).otherwise(F.pmod(sh, F.lit(n_hosts)))
         # media refs use media paths on the same doc-id space
         media_ref = (
@@ -123,11 +152,21 @@ def synth_robots(spark: SparkSession, n_hosts: int, seed: int = DEFAULT_SEED) ->
     return df
 
 
-def synth_outcomes(docs: DataFrame, seed: int = DEFAULT_SEED) -> DataFrame:
+def synth_outcomes(
+    docs: DataFrame,
+    n_docs: int = 0,
+    n_hosts: int = 0,
+    seed: int = DEFAULT_SEED,
+    skew_factor: int = 10,
+) -> DataFrame:
     """Scripted protocol outcomes per URL (FIXTURES.md §7), deterministic:
     ~84% success, 4% gone, 3% notfound, 3% retry/exception, 3% moved,
-    2% temp_moved, 1% notmodified. Redirect targets point at the next
-    doc on the same host (chains arise naturally)."""
+    2% temp_moved, 1% notmodified. Redirect targets are REAL corpus
+    URLs: a hash-chosen doc id in [0, n_docs) whose host/private path is
+    recomputed with the same pure-function topology as synth_docs (no
+    join needed) — chains arise whenever the target doc is itself
+    moved. ``n_docs``/``n_hosts`` must match the synth_docs call (0
+    falls back to a never-resolving target, only for legacy callers)."""
     h = F.abs(F.xxhash64("doc_id", F.lit(seed + 3)))
     b = F.pmod(h, 100)
     outcome = (
@@ -140,13 +179,19 @@ def synth_outcomes(docs: DataFrame, seed: int = DEFAULT_SEED) -> DataFrame:
         .when(b < 99, F.lit("temp_moved"))
         .otherwise(F.lit("notmodified"))
     )
-    redirect_to = F.when(
-        outcome.isin("moved", "temp_moved"),
-        F.concat(
+    if n_docs > 0 and n_hosts > 0:
+        tid = F.pmod(h, F.lit(n_docs))
+        target = doc_url(
+            _host_of(tid, n_hosts, seed, skew_factor), tid, _is_private(tid, seed)
+        )
+    else:
+        target = F.concat(
             F.regexp_extract("doc_id", r"^(http://[^/]+)", 1),
             F.lit("/doc/"),
             F.pmod(h, 1_000_000).cast("string"),
-        ),
+        )
+    redirect_to = F.when(
+        outcome.isin("moved", "temp_moved"), target
     ).otherwise(F.lit(None).cast("string"))
     return docs.select(
         F.col("doc_id").alias("url"),
@@ -181,6 +226,6 @@ def synth_web(
     return {
         "docs": docs,
         "robots": synth_robots(spark, n_hosts, seed),
-        "outcomes": synth_outcomes(docs, seed),
+        "outcomes": synth_outcomes(docs, n_docs, n_hosts, seed, skew_factor),
         "seeds": synth_seeds(docs),
     }

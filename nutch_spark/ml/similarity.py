@@ -34,7 +34,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm guard: 0/0 is NaN, and Spark sorts NaN ABOVE every real
+    # double and passes NaN >= t filters — a zero vector would win rank 1
+    # for every query and appear as a near-dup of its whole bucket.
+    # Define cosine(0, x) = 0 instead (no similarity).
+    den = norm(a) * norm(b)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
 def brute_force_topk(

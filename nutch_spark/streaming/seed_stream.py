@@ -61,12 +61,16 @@ def start_seed_stream(
         newdb = inject_full(
             spark, old, batch_df, cfg, now_ms, url_filter_rules=url_filter_rules
         )
-        n = newdb.count()
-        catalog.commit(
+        # commit FIRST — the parquet write is the only execution of the
+        # inject lineage; the urls metric then comes from a count of the
+        # committed snapshot (metadata-only scan) instead of re-running
+        # the whole merge DAG per micro-batch
+        snap = catalog.commit(
             newdb, CRAWLDB, now_ms=now_ms,
             lineage={"stage": "inject_stream", "batch_id": batch_id},
-            metrics={"urls": n},
         )
+        n = catalog.read(spark, CRAWLDB, snap.snapshot_id).count()
+        catalog.update_snapshot_metrics(CRAWLDB, snap.snapshot_id, {"urls": n})
 
     writer = (
         lines.writeStream.foreachBatch(handle)

@@ -76,6 +76,17 @@ def batch_sessionize(events: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
     )
 
 
+def _dadd(a: Decimal | None, b: Decimal | None) -> Decimal | None:
+    """Null-skipping sum — the semantics of the batch twin's F.sum: null
+    contributes nothing, and a session whose every value is null sums to
+    NULL (not 0, and never NaN)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
 def _session_fn(gap_ms: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -83,10 +94,13 @@ def _session_fn(gap_ms: int):
         (user_id,) = key
         cols = [f.name for f in OUTPUT_SCHEMA]
 
-        # sessions: [start, last, n, Decimal sum], sorted by start
+        # sessions: [start, last, n, Decimal-or-None sum], sorted by start
         if state.exists:
             st, la, ns, sms = state.get
-            sessions = [[s, l, n, Decimal(m)] for s, l, n, m in zip(st, la, ns, sms)]
+            sessions = [
+                [s, l, n, Decimal(m) if m is not None else None]
+                for s, l, n, m in zip(st, la, ns, sms)
+            ]
         else:
             sessions = []
 
@@ -94,17 +108,23 @@ def _session_fn(gap_ms: int):
             rows = pd.concat(list(pdfs)).sort_values("ms")
             for ms, v in zip(rows["ms"], rows["v"]):
                 ms = int(ms)
-                # match Spark's double -> decimal(18,6) cast (HALF_UP)
-                dv = Decimal(str(v)).quantize(
-                    Decimal("0.000001"), rounding=ROUND_HALF_UP
-                )
+                if pd.isna(v):
+                    # a null value still counts the event but adds
+                    # nothing (batch F.sum skips nulls; Decimal('nan')
+                    # would poison the whole session's sum)
+                    dv = None
+                else:
+                    # match Spark's double -> decimal(18,6) cast (HALF_UP)
+                    dv = Decimal(str(v)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
                 placed = False
                 for sess in sessions:
                     if sess[0] - gap_ms <= ms <= sess[1] + gap_ms:
                         sess[0] = min(sess[0], ms)
                         sess[1] = max(sess[1], ms)
                         sess[2] += 1
-                        sess[3] += dv
+                        sess[3] = _dadd(sess[3], dv)
                         placed = True
                         break
                 if not placed:
@@ -118,7 +138,7 @@ def _session_fn(gap_ms: int):
                     if nxt[0] - curr[1] <= gap_ms:
                         curr[1] = max(curr[1], nxt[1])
                         curr[2] += nxt[2]
-                        curr[3] += nxt[3]
+                        curr[3] = _dadd(curr[3], nxt[3])
                     else:
                         merged.append(nxt)
                 sessions = merged
@@ -134,7 +154,7 @@ def _session_fn(gap_ms: int):
         out: list[dict[str, Any]] = [
             {"user_id": user_id, "session_start_ms": s[0],
              "session_end_ms": s[1], "n_events": s[2],
-             "sum_value": float(s[3])}
+             "sum_value": float(s[3]) if s[3] is not None else None}
             for s in sealed
         ]
         if sessions:
@@ -142,7 +162,7 @@ def _session_fn(gap_ms: int):
                 [s[0] for s in sessions],
                 [s[1] for s in sessions],
                 [s[2] for s in sessions],
-                [str(s[3]) for s in sessions],
+                [str(s[3]) if s[3] is not None else None for s in sessions],
             ))
             # earliest instant any open session can close, clamped past
             # the watermark (a kept session may sit exactly AT wm, and
@@ -152,7 +172,14 @@ def _session_fn(gap_ms: int):
             )
         elif state.exists:
             state.remove()
-        yield pd.DataFrame(out, columns=cols)
+        opdf = pd.DataFrame(out, columns=cols)
+        # keep an all-None / mixed sum_value column as object dtype —
+        # pandas would coerce None -> float NaN and Arrow ships NaN as a
+        # (non-null) double, diverging from the batch twin's SQL NULL
+        opdf["sum_value"] = opdf["sum_value"].astype(object).where(
+            pd.notna(opdf["sum_value"]), None
+        )
+        yield opdf
 
     return fn
 

@@ -59,3 +59,37 @@ def test_commit_after_rollback_allocates_fresh_id(spark, tmp_path):
     assert snap.snapshot_id == 4  # past the global max, not current+1
     assert cat.read(spark, "t").count() == 10  # resolves the NEW snapshot
     assert cat.read(spark, "t", snapshot_id=2).count() == 2  # history intact
+
+
+def test_concurrent_commit_cas_single_winner(spark, tmp_path):
+    """Two committers racing from the same parent: exactly one wins,
+    the loser gets ConcurrentCommitError, and the winner's snapshot
+    entry is never erased (the load-check-store runs under a lock)."""
+    import threading
+
+    from nutch_spark.catalog import ConcurrentCommitError, SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    df = spark.range(3).toDF("id")
+    base = cat.commit(df, "t", now_ms=1)
+    results = []
+
+    def committer(tag):
+        try:
+            cat.commit(df, "t", now_ms=2, lineage={"who": tag},
+                       expected_parent=base.snapshot_id)
+            results.append((tag, "ok"))
+        except ConcurrentCommitError:
+            results.append((tag, "cas_fail"))
+
+    ts = [threading.Thread(target=committer, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    outcomes = sorted(r[1] for r in results)
+    assert outcomes == ["cas_fail", "ok"]
+    snaps = cat.snapshots("t")
+    assert len(snaps) == 2  # base + the single winner, nothing erased
+    assert cat.current_snapshot_id("t") == max(s.snapshot_id for s in snaps)
+    # no orphaned pending dirs left behind
+    import os
+    assert not [d for d in os.listdir(tmp_path / "cat" / "t") if "pending" in d]

@@ -105,3 +105,16 @@ def test_authority_and_dot_segments(spark, tmp_path):
     r = got[dotted]
     assert r["status"] == 200
     assert r["location"] == "file:" + str(f)
+
+
+def test_all_miss_batch_content_is_null(spark, tmp_path):
+    """A batch containing ONLY miss rows (no content key anywhere) must
+    still yield NULL content, not b'' — pandas turns an all-NaN column
+    into float64 and Arrow converts that to empty bytes unless the UDF
+    forces object dtype."""
+    urls = spark.createDataFrame(
+        [(f"file:{tmp_path}/nope_{i}.txt",) for i in range(3)], "url string"
+    ).coalesce(1)
+    rows = fetch_file_urls(urls).collect()
+    assert all(r["outcome"] == "notfound" for r in rows)
+    assert all(r["content"] is None for r in rows)

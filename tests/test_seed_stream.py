@@ -253,3 +253,51 @@ def test_sessionize_watermark_boundary_event_still_joins():
     final = pd.concat(list(fn((1,), iter([]), st)))
     got = [(r.session_start_ms, r.session_end_ms, r.n_events) for r in final.itertuples()]
     assert got == [(0, 300, 2)]  # one merged session, as the batch twin
+
+def test_sessionize_null_values_match_batch_sum_semantics():
+    """Null event values must not poison the session sum: the batch
+    twin's F.sum skips nulls and returns NULL when EVERY value in the
+    session is null — the stream path must do the same (NaN through
+    Decimal arithmetic would wipe the whole session's sum and NaN is a
+    non-null double on the Arrow wire, diverging from SQL NULL)."""
+    import pandas as pd
+
+    from nutch_spark.streaming.sessionize import _session_fn
+
+    fn = _session_fn(300)
+    st = _FakeState()
+    st._wm = 0
+    rows = [
+        (100, 1.5), (200, None), (250, 2.0),    # session A: nulls skipped
+        (5000, None), (5100, None),             # session B: all-null -> NULL
+    ]
+    list(fn((1,), iter([pd.DataFrame(rows, columns=["ms", "v"])]), st))
+    st.hasTimedOut = True
+    st._wm = 50_000
+    out = pd.concat(list(fn((1,), iter([]), st))).sort_values("session_start_ms")
+    got = [
+        (r.session_start_ms, r.n_events, r.sum_value) for r in out.itertuples()
+    ]
+    assert got[0] == (100, 3, 3.5)          # null skipped, count kept
+    assert got[1][:2] == (5000, 2)
+    assert got[1][2] is None                # SQL NULL, not NaN and not 0.0
+    assert not st.exists
+
+
+def test_seed_stream_commits_urls_metric_without_lineage_rerun(spark, tmp_path):
+    """The per-batch urls metric is derived from the committed snapshot
+    (update_snapshot_metrics), not a pre-commit count of the uncommitted
+    merge plan — and still lands on the right snapshot."""
+    seeds = tmp_path / "seeds_m"
+    os.makedirs(seeds)
+    (seeds / "b.txt").write_text("http://a.example.com/\nhttp://b.example.com/\n")
+    catalog = SnapshotCatalog(str(tmp_path / "wh_m"))
+    q = start_seed_stream(
+        spark, str(seeds), str(tmp_path / "ckpt_m"), catalog, NutchConfig()
+    )
+    _drain(q)
+    (snap,) = [
+        s for s in catalog.snapshots("crawldb")
+        if s.lineage.get("stage") == "inject_stream"
+    ]
+    assert snap.metrics["urls"] == 2

@@ -210,12 +210,12 @@ def cmd_parsechecker(args) -> int:
     if is_html:
         row = df.select(
             strip_tags(
-                F.regexp_extract("content", "(?s)<title>(.*?)</title>", 1)
+                F.regexp_extract("content", "(?is)<title>(.*?)</title>", 1)
             ).alias("title"),
             strip_tags(F.col("content")).alias("text"),
             F.transform(
                 F.regexp_extract_all(
-                    "content", F.lit('<a[^>]*href="([^"]*)"'), 1
+                    "content", F.lit('(?i)<a[^>]*href="([^"]*)"'), 1
                 ),
                 lambda h: resolve_url(F.col("url"), h),
             ).alias("outlinks"),
@@ -245,6 +245,7 @@ def cmd_indexchecker(args) -> int:
     from nutch_spark.operators.feed import strip_tags
     from nutch_spark.operators.index_filters import detect_mime_by_url
     from nutch_spark.ml.text import quality_score
+    from nutch_spark.urls.urlutil import host_col
 
     spark = _spark()
     raw = open(args.file, "rb").read().decode("utf-8", "replace")
@@ -254,7 +255,7 @@ def cmd_indexchecker(args) -> int:
     ).otherwise(F.col("content"))
     row = df.select(
         F.col("url").alias("id"),
-        F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("host"),
+        host_col(F.col("url")).alias("host"),
         detect_mime_by_url(F.col("url")).alias("type"),
         F.substring(text, 1, 100).alias("title"),
         F.substring(text, 1, 10000).alias("content"),
