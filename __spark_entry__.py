@@ -1613,7 +1613,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs, _, _, _ = _web(spark, sf_dir)
     refs = media_refs_from_docs(docs)
-    media = synth_media(spark, refs)
+    media = synth_media(refs)
     feats = extract_features(media)
     return feats.select(
         "media_ref", F.posexplode("feature").alias("dim_idx", "_v")
@@ -4240,7 +4240,7 @@ FROM documents
         "text_profile_sig": """
 WITH toks AS (
   SELECT doc_id,
-    unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+    unnest(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+'),
                        t -> length(t) > 2)) AS tok
   FROM documents
 ),
@@ -4308,9 +4308,9 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id,
-  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+  CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
   {lang_case} AS lang_pred,
   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM base

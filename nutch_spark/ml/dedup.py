@@ -164,6 +164,13 @@ def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
 def minhash_band_values(text: Column, num_hashes: int, bands: int, k: int = 3) -> Column:
     """Signature + banding fused: the finish lambda sees the signature
     as a bound value, so banding never re-evaluates the minhash fold."""
+    if num_hashes % bands != 0:
+        # a silent remainder would band only the first bands*(n//bands)
+        # hashes — the effective signature/collision probability would
+        # differ from the requested parameters without any signal
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) exactly"
+        )
     rows = num_hashes // bands
     return _minhash_fold(
         word_shingles(text, k), num_hashes, finish=lambda sig: minhash_bands(sig, bands, rows)

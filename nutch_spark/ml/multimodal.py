@@ -21,7 +21,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -39,7 +39,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synth_media(spark: SparkSession, refs: DataFrame, seed: int = 42) -> DataFrame:
+def synth_media(refs: DataFrame, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for the given media_ref column:
     bytes = md5-derived pseudo-payload, mime by extension."""
     h = F.md5(F.concat(F.col("media_ref"), F.lit(str(seed))))

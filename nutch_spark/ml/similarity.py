@@ -34,12 +34,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    # zero-norm guard: 0/0 is NaN, and Spark sorts NaN ABOVE every real
-    # double and passes NaN >= t filters — a zero vector would win rank 1
-    # for every query and appear as a near-dup of its whole bucket.
-    # Define cosine(0, x) = 0 instead (no similarity).
+    # zero-norm/NaN guard: 0/0 is NaN, a NaN embedding component makes
+    # den NaN, and Spark sorts NaN ABOVE every real double and passes
+    # NaN >= t filters — such a vector would win rank 1 for every query
+    # and appear as a near-dup of its whole bucket. Define both
+    # degenerate cases as similarity 0 instead.
     den = norm(a) * norm(b)
-    return F.when(den == 0.0, F.lit(0.0)).otherwise(dot(a, b) / den)
+    return F.when(F.isnan(den) | (den == 0.0), F.lit(0.0)).otherwise(
+        dot(a, b) / den
+    )
 
 
 def brute_force_topk(

@@ -34,8 +34,9 @@ _BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    t = F.trim(text)
+    """Whitespace token count (NULL text counts 0 — size(NULL) would
+    return -1 and poison downstream length filters)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, _WORD_SPLIT))
     )
@@ -43,8 +44,8 @@ def token_count(text: Column) -> Column:
 
 def bpe_token_count(text: Column) -> Column:
     """Sub-word-ish token count: words + numbers + punctuation marks,
-    the usual cheap proxy for BPE token budgeting."""
-    return F.size(F.regexp_extract_all(text, F.lit(_BPE_TOKEN), 0))
+    the usual cheap proxy for BPE token budgeting (NULL text counts 0)."""
+    return F.size(F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(_BPE_TOKEN), 0))
 
 
 def _count_occurrences(text_lc: Column, word: str) -> Column:
@@ -212,13 +213,14 @@ def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _word_ngrams(words: Column, n: int) -> Column:
+def _word_ngrams(words: Column, n: int | Column) -> Column:
     """Overlapping word n-grams as strings (space-joined). Guarded:
     Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty."""
-    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+    nc = F.lit(n) if isinstance(n, int) else n
+    return F.when(F.size(words) < nc, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            F.sequence(F.lit(1), F.size(words) - (nc - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, nc)),
         )
     )
 
@@ -252,47 +254,43 @@ def gopher_repetition(
         .otherwise(words)
         .alias("_words"),
     )
-    exploded = None
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        part = base.select(
+    # ONE scan of base fans out every n level (no per-n union branches
+    # re-splitting the text): explode the n values first, then build the
+    # grams from the carried _words array with a single lambda (nested
+    # per-n lambdas in one expression mis-bind their variables). The
+    # per-n features come back through a single conditional aggregation
+    # + one join — not one join per n (each was a full shuffle on doc_id)
+    ns = sorted(set(top_ns) | set(dup_ns))
+    exploded = (
+        base.select(
             "doc_id",
-            F.lit(n).alias("n"),
-            F.explode(_word_ngrams(F.col("_words"), n)).alias("gram"),
+            "_words",
+            F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
         )
-        exploded = part if exploded is None else exploded.unionByName(part)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(_word_ngrams(F.col("_words"), F.col("n"))).alias("gram"),
+        )
+    )
     counts = exploded.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
 
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id", "n").orderBy(F.desc("c"), F.asc("gram"))
-    top = (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "doc_id", "n", (F.length("gram") * F.col("c")).alias("top_chars")
-        )
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    chars = F.length("gram") * F.col("c")
+    feats = ranked.groupBy("doc_id").agg(
+        *[
+            F.max(F.when((F.col("n") == n) & (F.col("_rn") == 1), chars)).alias(f"_t{n}")
+            for n in top_ns
+        ],
+        *[
+            F.sum(F.when((F.col("n") == n) & (F.col("c") > 1), chars)).alias(f"_d{n}")
+            for n in dup_ns
+        ],
     )
-    dup = (
-        counts.filter(F.col("c") > 1)
-        .groupBy("doc_id", "n")
-        .agg(F.sum(F.length("gram") * F.col("c")).alias("dup_chars"))
-    )
-
-    out = base.select("doc_id", "_len")
-    for n in top_ns:
-        out = out.join(
-            top.filter(F.col("n") == n).select(
-                "doc_id", F.col("top_chars").alias(f"_t{n}")
-            ),
-            "doc_id", "left",
-        )
-    for n in dup_ns:
-        out = out.join(
-            dup.filter(F.col("n") == n).select(
-                "doc_id", F.col("dup_chars").alias(f"_d{n}")
-            ),
-            "doc_id", "left",
-        )
+    out = base.select("doc_id", "_len").join(feats, "doc_id", "left")
     safe = F.when(F.col("_len") > 0, F.col("_len")).otherwise(F.lit(1)).cast("double")
     return out.select(
         "doc_id",

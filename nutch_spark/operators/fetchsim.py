@@ -45,7 +45,7 @@ from nutch_spark.schema import (
 )
 from nutch_spark.urls.urlutil import choose_repr, host_col
 
-_EMPTY_MAP = "cast(map() as map<string,string>)"
+from nutch_spark.schema import EMPTY_META_EXPR as _EMPTY_MAP
 
 OUTCOME_TO_STATUS = {
     "success": STATUS_FETCH_SUCCESS,

@@ -152,12 +152,24 @@ def apply_quota_windowed(
         w_host = Window.partitionBy("host_key").orderBy(*order)
         df = df.withColumn("rn_host", F.row_number().over(w_host))
         df = df.filter(capc.isNull() | (F.col("rn_host") <= capc * max_num_segments))
+        # rows from hosts WITHOUT a cap (hostdb present but no
+        # _hdb_max_count for the host, config cap -1) still spill across
+        # segments by rank like the reference reducer loop — pinning them
+        # to segment 1 would let rn_seg<=limit silently DROP over-budget
+        # rows that the reference rotates into segments 2..max
+        w_part = (
+            Window.partitionBy(*red)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        rn_uncapped = F.sum(F.when(capc.isNull(), 1).otherwise(0)).over(w_part)
         df = df.withColumn(
             "segnum",
-            F.when(capc.isNull(), F.lit(1)).otherwise(
-                ((F.col("rn_host") - 1) / capc).cast("int") + 1
-            ),
-        )
+            F.when(
+                capc.isNull(),
+                ((rn_uncapped - 1) / F.lit(limit)).cast("int") + 1,
+            ).otherwise(((F.col("rn_host") - 1) / capc).cast("int") + 1),
+        ).filter(F.col("segnum") <= max_num_segments)
         # per-segment reducer budget (`limit`, :396-397)
         w_seg = Window.partitionBy(*red, "segnum").orderBy(*order)
         df = df.withColumn("rn_seg", F.row_number().over(w_seg)).filter(

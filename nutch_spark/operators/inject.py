@@ -36,7 +36,7 @@ RESERVED_SCORE = "nutch.score"
 RESERVED_INTERVAL = "nutch.fetchInterval"
 RESERVED_FIXED_INTERVAL = "nutch.fetchInterval.fixed"
 
-_EMPTY_MAP = "cast(map() as map<string,string>)"
+from nutch_spark.schema import EMPTY_META_EXPR as _EMPTY_MAP
 
 
 def parse_seeds(
@@ -55,13 +55,19 @@ def parse_seeds(
     else:
         lines = spark.read.text(path_or_df)
 
-    lines = lines.select(F.trim(F.col("value")).alias("line")).filter(
+    # java.lang.String.trim() strips every char <= U+0020 (tabs, CR,
+    # control chars) — F.trim only strips spaces, which would turn a
+    # tab-indented seed line into an empty url + a discarded token
+    def java_trim(c):
+        return F.regexp_replace(c, r"^[\x00-\x20]+|[\x00-\x20]+$", "")
+
+    lines = lines.select(java_trim(F.col("value")).alias("line")).filter(
         (F.length("line") > 0) & ~F.col("line").startswith("#")
     )
     parts = lines.select(
         F.split("line", "\t").alias("parts")
     ).select(
-        F.trim(F.element_at("parts", 1)).alias("url"),
+        java_trim(F.element_at("parts", 1)).alias("url"),
         F.slice("parts", 2, 1_000_000).alias("kvs"),
     )
     # key=value pairs; anything without '=' skipped (:178-181); value is

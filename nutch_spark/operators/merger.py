@@ -20,32 +20,50 @@ from nutch_spark.config import NutchConfig
 from nutch_spark.operators.schedules import calculate_last_fetch_time
 from nutch_spark.schema import STATUS_DB_UNFETCHED
 
-_EMPTY_MAP = "cast(map() as map<string,string>)"
+from nutch_spark.schema import EMPTY_META_EXPR as _EMPTY_MAP
 
 
 def merge_crawldbs(dbs: list[DataFrame], cfg: NutchConfig) -> DataFrame:
     assert dbs, "need at least one crawldb"
-    unioned = reduce(lambda a, b: a.unionByName(b), dbs)
+    unioned = reduce(
+        lambda a, b: a.unionByName(b),
+        # ordinal for the total tie-break below: the reference's isNewer
+        # is strict, so on a full (lastFetchTime, fetchTime) tie the
+        # first-iterated datum keeps the slot — emulated as "first db in
+        # arg order wins" (negated ordinal inside max_by), then the
+        # non-map datum fields, so replay is deterministic under any
+        # partitioning (same policy as merge_segments below)
+        [d.withColumn("_nord", F.lit(-i)) for i, d in enumerate(dbs)],
+    )
     lft = calculate_last_fetch_time(
         F.col("status"), F.col("fetch_time"), F.col("fetch_interval"), STATUS_DB_UNFETCHED
     )
     unioned = unioned.withColumn("_lft", lft)
 
-    datum = F.struct(*[c for c in unioned.columns if c not in ("url",)])
+    data_cols = [c for c in unioned.columns if c not in ("url", "_nord")]
+    datum = F.struct(*data_cols)
+    orderable = F.struct(
+        *[c for c, t in unioned.dtypes if c in data_cols and not t.startswith("map")]
+    )
     # metadata union, newer (by fetch_time) wins: structs holding maps are
     # not orderable, so sort (ft, entry-array) structs and rebuild the map
     # with LAST_WIN dedup (map_from_entries honors spark.sql.mapKeyDedupPolicy)
     # precedence must follow the same (lastFetchTime, fetchTime) order
     # that picks the winning datum (isNewer, :107-111) — sorting by
     # fetch_time alone would let an unfetched-but-recent loser's
-    # metadata override the fetched winner's
+    # metadata override the fetched winner's; the (_nord, orderable)
+    # tail keeps the fold order total on ties, matching the winner
     meta_entries = F.struct(
         F.col("_lft").alias("lft"),
         F.col("fetch_time").alias("ft"),
+        F.col("_nord").alias("nord"),
+        orderable.alias("d"),
         F.map_entries(F.coalesce(F.col("metadata"), F.expr(_EMPTY_MAP))).alias("entries"),
     )
     agg = unioned.groupBy("url").agg(
-        F.max_by(datum, F.struct("_lft", "fetch_time")).alias("best"),
+        F.max_by(
+            datum, F.struct(F.col("_lft"), F.col("fetch_time"), F.col("_nord"), orderable)
+        ).alias("best"),
         F.map_from_entries(
             F.flatten(
                 F.transform(F.array_sort(F.collect_list(meta_entries)), lambda s: s["entries"])

@@ -40,7 +40,7 @@ from nutch_spark.urls.filters import url_filter_cond
 from nutch_spark.urls.normalizer import normalize_udf
 from nutch_spark.urls.urlutil import host_col
 
-_EMPTY_MAP = "cast(map() as map<string,string>)"
+from nutch_spark.schema import EMPTY_META_EXPR as _EMPTY_MAP
 
 
 def span_payload(spans: Column) -> Column:
@@ -94,12 +94,14 @@ def parse(
     parse_text = c.select("url", parse_text_col(F.col("spans")).alias("text"))
 
     # ---- outlink extraction: media_ref spans in span order, capped at
-    # extraction time (db.max.outlinks.per.page)
-    link_spans = F.slice(
-        F.filter(F.col("spans"), lambda s: s["media_ref"].isNotNull()),
-        1,
-        cfg.db_max_outlinks_per_page,
-    )
+    # extraction time (db.max.outlinks.per.page; < 0 means unlimited —
+    # ParseOutputFormat maps it to Integer.MAX_VALUE, and F.slice would
+    # throw on a non-positive length)
+    all_links = F.filter(F.col("spans"), lambda s: s["media_ref"].isNotNull())
+    if cfg.db_max_outlinks_per_page < 0:
+        link_spans = all_links
+    else:
+        link_spans = F.slice(all_links, 1, cfg.db_max_outlinks_per_page)
     exploded = (
         c.select("url", "score", "fetch_time", F.posexplode(link_spans).alias("pos", "span"))
         .select(

@@ -69,7 +69,9 @@ def orphan_update(
     new_meta = F.when(
         has_inlinks,
         F.map_concat(
-            F.col("metadata"),
+            # NULL metadata would null the whole map_concat and the
+            # last-seen stamp would never be recorded
+            F.coalesce(F.col("metadata"), F.expr("map()").cast("map<string,string>")),
             F.create_map(F.lit(ORPHAN_KEY), F.lit(str(now_s))),
         ),
     ).otherwise(F.col("metadata"))

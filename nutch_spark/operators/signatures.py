@@ -42,11 +42,17 @@ def text_profile_signature(
     min_token_len: int = 2,
 ) -> DataFrame:
     """Returns (id_col, signature) — one row per input row."""
+    # Unicode letter-or-digit runs, exactly Character.isLetterOrDigit
+    # (TextProfileSignature.java:96-116: isLetter = \p{L}, isDigit =
+    # \p{Nd}) — an ASCII-only [a-z0-9] would shred 'café' into
+    # 'caf' and collide accented variants onto one signature
     toks = df.select(
         F.col(id_col),
         F.explode_outer(
             F.filter(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0),
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(r"[\p{L}\p{Nd}]+"), 0
+                ),
                 lambda t: F.length(t) > min_token_len,
             )
         ).alias("tok"),

@@ -55,7 +55,7 @@ from nutch_spark.schema import (
     STATUS_SIGNATURE,
 )
 
-_EMPTY_MAP = "cast(map() as map<string,string>)"
+from nutch_spark.schema import EMPTY_META_EXPR as _EMPTY_MAP
 
 _DATUM_COLS = [
     "status",
@@ -133,7 +133,17 @@ def updatedb(
         # top-K of the shard-wise top-Ks.
         linked_rows = both.filter(is_link)
         rest = both.filter(F.col("status") != STATUS_LINKED)
-        shard = F.pmod(F.xxhash64(F.col("url"), F.lit(9173)), F.lit(link_shards))
+        # the shard key MUST carry per-row entropy (the link fields), not
+        # just the url — hashing the url alone puts every inlink row of a
+        # hot URL in ONE shard and the pre-cap protects nothing
+        shard = F.pmod(
+            F.xxhash64(
+                F.col("url"), F.col("score"), F.col("fetch_time"),
+                F.col("retries"), F.col("fetch_interval"),
+                F.col("modified_time"), F.lit(9173),
+            ),
+            F.lit(link_shards),
+        )
         pre = linked_rows.groupBy("url", shard.alias("_s")).agg(
             F.slice(
                 F.reverse(F.array_sort(F.collect_list(link_struct))), 1, max_inlinks
@@ -346,15 +356,15 @@ def updatedb(
     )
 
     # forceRefetch when interval exceeds db.fetch.interval.max (:276-281),
-    # success family only
-    force = success_family & ~(is_linked_fetch & has_old) & ~keep_old_only & (
-        F.lit(cfg.db_fetch_interval_max) < new_interval
-    )
+    # success family only (success_family is already false for linked
+    # rows — st == STATUS_LINKED — and null for keep-old-only rows,
+    # where st itself is null, so no extra guards are needed)
+    force = success_family & (F.lit(cfg.db_fetch_interval_max) < new_interval)
     forced_iv = F.round(
         F.lit(cfg.db_fetch_interval_max).cast("float") * F.lit(0.9).cast("float")
     ).cast("int")
     new_status = F.when(force, F.lit(STATUS_DB_UNFETCHED)).otherwise(new_status)
-    new_interval = F.when(force & (new_interval > cfg.db_fetch_interval_max), forced_iv).otherwise(new_interval)
+    new_interval = F.when(force, forced_iv).otherwise(new_interval)
     new_retries = F.when(force, F.lit(0)).otherwise(new_retries)
     new_signature = F.when(force, F.lit(None).cast("string")).otherwise(new_signature)
     new_modified = F.when(force, F.lit(0).cast("long")).otherwise(new_modified)

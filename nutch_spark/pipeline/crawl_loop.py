@@ -157,9 +157,12 @@ class Crawler:
                 newdb, base_db, segment_rows, list(self.cfg.urlmeta_tags)
             )
 
-        # metrics (one extra pass each over small aggregates)
-        fetched = crawl_fetch.count()
-        makespan = crawl_fetch.agg(F.max("fetch_time")).collect()[0][0] or now_ms
+        # metrics: one aggregation pass over the persisted segment
+        # (count + max in a single job, not two scans)
+        fetched, makespan = crawl_fetch.agg(
+            F.count("*"), F.max("fetch_time")
+        ).collect()[0]
+        makespan = makespan or now_ms
 
         # commit FIRST: the parquet write is the only execution of the
         # merge lineage; status counts then come from a column-pruned
@@ -193,7 +196,11 @@ class Crawler:
             seg = f"segment_{cycle_id:04d}"
             self.catalog.commit(crawl_fetch, f"{seg}_crawl_fetch", now_ms=now_ms,
                                 lineage={"cycle_id": cycle_id})
-            self.catalog.commit(parsed["crawl_parse"], f"{seg}_crawl_parse", now_ms=now_ms,
+            # the urlmeta/depth-PATCHED crawl_parse — the rows updatedb
+            # actually consumed — not parsed['crawl_parse']: replaying
+            # updatedb from the committed segment must reproduce the
+            # committed crawldb (resume/lineage contract)
+            self.catalog.commit(crawl_parse, f"{seg}_crawl_parse", now_ms=now_ms,
                                 lineage={"cycle_id": cycle_id})
             self.catalog.commit(parsed["parse_text"], f"{seg}_parse_text", now_ms=now_ms,
                                 lineage={"cycle_id": cycle_id})

@@ -145,3 +145,8 @@ def docs_schema() -> T.StructType:
             T.StructField("spans", spans_schema(), True),
         ]
     )
+
+
+# the canonical empty metadata literal (SQL-expr form for F.expr) — one
+# definition; if the metadata value type ever changes, change it here
+EMPTY_META_EXPR = "cast(map() as map<string,string>)"

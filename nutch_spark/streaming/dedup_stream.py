@@ -80,10 +80,12 @@ def start_dedup_stream(
 ):
     """File-source streaming dedup writing to an in-memory sink named
     ``query_name`` (read back via ``spark.table(query_name)``)."""
-    reader = spark.readStream
-    if schema is not None:
-        reader = reader.schema(schema)
-    src = reader.parquet(events_dir)
+    if schema is None:
+        # streaming parquet sources require an explicit schema (no
+        # inference); borrow it from a batch read of the same dir, like
+        # event_stream.start_event_stream does
+        schema = spark.read.parquet(events_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_dir)
     deduped = stream_first_seen(src, keys, late_threshold=late_threshold)
     writer = (
         deduped.writeStream.outputMode("append")

@@ -82,10 +82,12 @@ class PrefixURLFilter:
 
 
 class SuffixURLFilter:
-    """urlfilter-suffix: *reject* iff url ends with any listed suffix."""
+    """urlfilter-suffix: *reject* iff url ends with any listed suffix
+    (case-insensitive — suffixes are lowercased to match the lowercased
+    URL, else an entry like '.GIF' could never fire)."""
 
     def __init__(self, suffixes: Iterable[str]):
-        self._suffixes = tuple(suffixes)
+        self._suffixes = tuple(s.lower() for s in suffixes)
 
     def accept(self, url: str | None) -> bool:
         return url is not None and not url.lower().endswith(self._suffixes)
@@ -254,17 +256,24 @@ class FastURLFilter:
             line = raw.split("#", 1)[0].strip()
             if not line:
                 continue
+            fields = line.split(None, 1)
+            operand = fields[1] if len(fields) > 1 else None
             if line.startswith("Host"):
-                kind, name = "host", line.split()[1]
+                # a bare section/rule word without its operand is
+                # skipped, like every other malformed line — not an
+                # IndexError at construction
+                if operand:
+                    kind, name = "host", operand.split()[0]
             elif line.startswith("Domain"):
-                kind, name = "domain", line.split()[1]
-            elif kind is not None:
+                if operand:
+                    kind, name = "domain", operand.split()[0]
+            elif kind is not None and operand:
                 if _FAST_CATCH_ALL.match(line):
                     self._rules.append((kind, name, "path", None))
                 elif line.startswith("DenyPathQuery"):
-                    self._rules.append((kind, name, "pathquery", line.split(None, 1)[1]))
+                    self._rules.append((kind, name, "pathquery", operand))
                 elif line.startswith("DenyPath"):
-                    self._rules.append((kind, name, "path", line.split(None, 1)[1]))
+                    self._rules.append((kind, name, "path", operand))
                 # unknown rule lines are skipped, like the reference
 
     def cond(self, url_col: Column) -> Column:

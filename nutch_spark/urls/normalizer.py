@@ -338,7 +338,11 @@ def normalize(url: str | None, scope: str = "default") -> str | None:
 # exact per-string slow path. On crawl corpora the hit rate is the
 # overwhelming majority — this is what makes normalization Arrow-speed
 # instead of Python-speed at 10^10 URLs.
-_FAST_CANONICAL = re.compile(r"^https?://[a-z0-9.\-]+/[A-Za-z0-9._~\-/]*$")
+_FAST_CANONICAL = re.compile(r"^https?://[a-z0-9.\-]+/[A-Za-z0-9._~\-/]*\Z")
+# \Z, not $: '$' also matches just BEFORE a trailing newline, so
+# 'http://a.com/x\n' would take the fast path unmodified while the slow
+# path strips the newline — the same URL would normalize to two
+# different frontier keys depending on batch composition.
 
 
 def normalize_series(urls: pd.Series, scope: str = "default") -> pd.Series:
@@ -519,6 +523,10 @@ def slash_normalize(
     trailing = path.endswith("/")
     if not trailing and want_slash:
         dot = path.rfind(".")
+        # reference quirk kept deliberately (SlashURLNormalizer.java:185):
+        # `path.length() < 6` short-circuits the extension check, so a
+        # short path WITH an extension ('/a.js') still gains a slash —
+        # bit-faithful to the Java normalizer, do not "fix"
         if len(path) < 6 or dot == -1 or dot < len(path) - 6:
             new_path = path + "/"
         else:

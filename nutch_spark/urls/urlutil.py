@@ -302,6 +302,9 @@ def reverse_url_col(url):
     columns; the fragment is excluded like ``URL.getFile``."""
     proto = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     auth = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    # java.net.URL.getHost() excludes userinfo — 'user@bar.com' must key
+    # as com.bar, not corrupt the ':'-delimited head format
+    auth = F.regexp_replace(auth, r"^[^@]*@", "")
     host = F.regexp_replace(auth, r":\d+$", "")
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     file = F.regexp_replace(

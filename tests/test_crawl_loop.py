@@ -125,3 +125,30 @@ def test_urlmeta_tags_ride_the_frontier(spark, web, tmp_path):
     # seeds are tagged; everything discovered FROM them inherits the tag
     # (redirect targets carry empty metadata by design, so allow a few)
     assert tagged >= total * 0.9 and tagged > 10
+
+
+def test_committed_segment_carries_patched_crawl_parse(spark, web, tmp_path):
+    """With urlmeta propagation on, the committed segment's crawl_parse
+    must be the rows updatedb consumed (tag metadata stamped), not the
+    raw pre-patch parse output — replaying updatedb from the committed
+    segment must reproduce the committed crawldb (lineage contract)."""
+    cfg = NutchConfig(fetch_partitions=4, urlmeta_tags=("campaign",))
+    cat = SnapshotCatalog(str(tmp_path / "catalog_seg"))
+    crawler = Crawler(
+        spark, cat, cfg, web["docs"], web["robots"], web["outcomes"],
+        url_filter_rules=CRAWL_RULES, write_segments=True,
+    )
+    # stamp a campaign tag on the seeds via injected metadata
+    seeds = web["seeds"].withColumn(
+        "value", F.concat(F.col("value"), F.lit("\tcampaign=alpha"))
+    )
+    crawler.inject(seeds, START)
+    crawler.run_cycle(1, START + 1_000_000, top_n=50)
+    seg_cp = cat.read(spark, "segment_0001_crawl_parse")
+    linked = seg_cp.filter(F.col("status") == S.STATUS_LINKED)
+    assert linked.count() > 0
+    # every link row carries the propagated parent tag
+    untagged = linked.filter(
+        F.coalesce(F.element_at("metadata", "campaign"), F.lit("")) != "alpha"
+    ).count()
+    assert untagged == 0

@@ -49,3 +49,19 @@ def test_stream_first_seen_drains_one_row_per_key(spark, tmp_path):
     # batch-mode degradation keeps the same key set too
     batch = stream_first_seen(e, ["user_id", "event_type"]).collect()
     assert sorted((r["user_id"], r["event_type"]) for r in batch) == sorted(keys)
+
+
+def test_default_schema_inferred_from_batch_read(spark, tmp_path):
+    """The documented schema=None default works: the streaming parquet
+    source gets its schema from a batch read of the same dir (streaming
+    sources do no inference on their own)."""
+    e = _events(spark)
+    edir = str(tmp_path / "ev_noschema")
+    e.write.parquet(edir)
+    q = start_dedup_stream(
+        spark, edir, str(tmp_path / "ck_ns"), ["user_id", "event_type"],
+        query_name="first_seen_ns",
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["event_type"]) for r in spark.table("first_seen_ns").collect()}
+    assert got == {(10, "click"), (10, "view"), (11, "click")}

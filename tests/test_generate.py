@@ -247,3 +247,42 @@ def test_hostdb_budgets_parity_mode(spark):
     per_host = {r["h"]: r["count"] for r in
                 fl.select(F.col("host_key").alias("h")).groupBy("h").count().collect()}
     assert per_host == {"h1.example.com": 5, "h2.example.com": 3}
+
+
+def test_windowed_uncapped_hosts_spill_segments_like_parity(spark):
+    """Hosts WITHOUT a hostdb cap (and config maxCount=-1) must spill
+    across segments by rank exactly like the reference reducer loop —
+    not be pinned to segment 1 where the per-segment budget silently
+    drops everything past the limit (Generator.java:427-443)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.generate import generate
+
+    rows = [
+        (f"http://h{h}.example.com/doc/{i}", 1, 0, 0, 3600, 1.0 + i / 4.0,
+         None, 0, {}, None, None)
+        for h in range(5) for i in range(5)
+    ]  # 25 eligible rows, all from hosts absent in hostdb
+    db = spark.createDataFrame(
+        rows,
+        "url string, status int, fetch_time long, retries int, fetch_interval int,"
+        " score float, signature string, modified_time long,"
+        " metadata map<string,string>, gen_time long, repr_url string",
+    )
+    hostdb = spark.createDataFrame(
+        [("h9.example.com", 2, None)],  # no crawldb row matches
+        "host string, max_count int, fetch_delay_ms long",
+    )
+
+    def counts(parity):
+        cfg = NutchConfig(generate_max_count=-1, fetch_partitions=1,
+                          generator_parity_mode=parity)
+        fl = generate(db, cfg, 1_000, top_n=10, max_num_segments=3,
+                      num_lists=1, hostdb=hostdb)
+        return {r["segnum"]: r["count"]
+                for r in fl.groupBy("segnum").count().collect()}
+
+    windowed, parity = counts(False), counts(True)
+    assert windowed == {1: 10, 2: 10, 3: 5}  # all 25 emitted, none dropped
+    assert windowed == parity

@@ -232,3 +232,20 @@ def test_link_and_opic_indexer_scores(spark):
     assert [r["lk"] for r in rows] == [6.0, 0.375, 2.0]
     assert [r["op"] for r in rows] == [4.0, 1.0, 2.0]
     assert rows[0]["gs"] == 12.0
+
+
+def test_orphan_stamp_survives_null_metadata(spark):
+    """A crawldb row with metadata=NULL that gains inlinks still gets
+    the _orphan_ last-seen stamp (map_concat(NULL, ..) would null it)."""
+    from nutch_spark.operators.scoring import ORPHAN_KEY, orphan_update
+
+    db = spark.createDataFrame(
+        [("http://n/", 2, 0, 0, 3600, 1.0, None, 0, None, None, None)],
+        "url string, status int, fetch_time long, retries int,"
+        " fetch_interval int, score float, signature string,"
+        " modified_time long, metadata map<string,string>,"
+        " gen_time long, repr_url string",
+    )
+    inl = spark.createDataFrame([("http://n/", 3)], "url string, n_inlinks int")
+    (row,) = orphan_update(db, inl, 1_000).collect()
+    assert row["metadata"][ORPHAN_KEY] == "1000"

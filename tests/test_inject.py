@@ -108,3 +108,21 @@ def test_inject_update_default_score_keeps_old(spark):
     seeds = parse_seeds(spark, seeds_df(spark, [url]), CFG, NOW)
     row = inject(db, seeds, CFG, update=True).collect()[0]
     assert row["score"] == pytest.approx(5.0)
+
+
+def test_seed_lines_java_trim_control_whitespace(spark):
+    """String.trim() strips every char <= U+0020: a tab-indented or
+    CR-terminated seed line still injects its URL (F.trim alone leaves
+    the tab and the URL would become a discarded metadata token)."""
+    lines = [
+        "\thttp://tabbed.example.com/",
+        "http://cr.example.com/\r",
+        "  http://spaced.example.com/\tnutch.score=3",
+    ]
+    rows = {r["url"]: r for r in
+            parse_seeds(spark, seeds_df(spark, lines), CFG, NOW).collect()}
+    assert set(rows) == {
+        "http://tabbed.example.com/", "http://cr.example.com/",
+        "http://spaced.example.com/",
+    }
+    assert rows["http://spaced.example.com/"]["score"] == 3.0

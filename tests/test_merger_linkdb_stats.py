@@ -169,3 +169,27 @@ def test_dump_retry_score_filters_and_read_url(spark):
     assert {r["url"] for r in dump(db, min_score=1.0, max_score=2.0).collect()} == {"http://b/"}
     (row,) = read_url(db, "http://c/").collect()
     assert row["status"] == 2 and row["retries"] == 3
+
+
+def test_merge_crawldbs_full_tie_first_db_wins(spark):
+    """Full (lastFetchTime, fetchTime) tie between dbs: the reference's
+    strict isNewer keeps the first-iterated datum, emulated as 'first db
+    in arg order wins' with a total datum tie-break — deterministic
+    under any partitioning."""
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.merger import merge_crawldbs
+
+    schema = ("url string, status int, fetch_time long, retries int,"
+              " fetch_interval int, score float, signature string,"
+              " modified_time long, metadata map<string,string>,"
+              " gen_time long, repr_url string")
+    # both unfetched (lft=0), same fetch_time, different retries/score
+    a = spark.createDataFrame(
+        [("http://t/", 1, 100, 7, 3600, 9.0, None, 0, {"k": "a"}, None, None)], schema)
+    b = spark.createDataFrame(
+        [("http://t/", 1, 100, 2, 3600, 1.0, None, 0, {"k": "b"}, None, None)], schema)
+    (r1,) = merge_crawldbs([a, b], NutchConfig()).collect()
+    (r2,) = merge_crawldbs([a.repartition(8), b.repartition(3)], NutchConfig()).collect()
+    assert r1["retries"] == 7 and r1["score"] == 9.0   # first db won
+    assert r1["metadata"]["k"] == "a"                  # meta winner consistent
+    assert r1 == r2                                    # replay-deterministic

@@ -77,7 +77,7 @@ def test_multimodal_plumbing(spark):
     )
     refs = media_refs_from_docs(docs)
     assert refs.count() == 2
-    media = synth_media(spark, refs)
+    media = synth_media(refs)
     rows = media.collect()
     assert all(r["mime"] == "image/png" for r in rows)
     assert all(len(r["bytes"]) == 64 for r in rows)  # 4x md5 hex -> 64 raw bytes
@@ -97,7 +97,7 @@ def test_real_decode_path_is_stubbed(spark):
         [("http://h.example.com/d", [("media", "m", "http://h.example.com/m.img", 0)])],
         "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
     )
-    media = synth_media(spark, media_refs_from_docs(docs))
+    media = synth_media(media_refs_from_docs(docs))
     with pytest.raises(Exception) as ei:
         extract_features(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "image decoding" in str(ei.value)
@@ -164,3 +164,19 @@ def test_ivf_train_improves_or_keeps_cells(spark):
         by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] < 20)
     # every cell is pure: all blob-A members or all blob-B members
     assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_cosine_nan_embedding_scores_zero(spark):
+    """A NaN component must not make its vector rank #1 everywhere:
+    Spark sorts NaN above every real double, so cosine() maps a NaN
+    denominator to 0 like the zero-norm case."""
+    from nutch_spark.ml.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([float("nan"), 1.0], [1.0, 1.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r["c"] for r in
+            df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == 0.0
+    assert abs(vals[1] - 1.0) < 1e-9

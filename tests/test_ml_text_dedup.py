@@ -182,3 +182,35 @@ def test_gopher_repetition(spark):
         for c in out[d].asDict():
             if c != "doc_id":
                 assert out[d][c] == 0.0
+
+
+def test_token_counts_null_text_zero(spark):
+    """NULL text counts 0 tokens (size(NULL) would be -1 and negative
+    counts poison downstream length filters)."""
+    from nutch_spark.ml.text import bpe_token_count, token_count
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "two words")], "doc_id string, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["t"], r["b"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("t"),
+            bpe_token_count(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert rows["a"] == (0, 0)
+    assert rows["b"] == (0, 0)
+    assert rows["c"] == (2, 2)
+
+
+def test_minhash_bands_must_divide():
+    """bands not dividing num_hashes is a hard error, not a silent
+    truncation of the signature."""
+    import pytest
+
+    from nutch_spark.ml.dedup import minhash_band_values
+
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_band_values(F.lit("x"), num_hashes=16, bands=5)

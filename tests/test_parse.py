@@ -154,3 +154,23 @@ def test_regex_parse_filter_sources(spark):
            regex_parse_filter(content, rules).collect()}
     assert out["u1"] == {"has_the": "true", "has_img": "true"}
     assert out["u2"] == {"has_the": "false", "has_img": "false"}
+
+
+def test_unlimited_outlinks_when_cap_negative(spark):
+    """db.max.outlinks.per.page < 0 = unlimited (ParseOutputFormat maps
+    it to Integer.MAX_VALUE); F.slice would throw on negative length."""
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.parse import parse
+
+    spans = [("text", "t", None, 0)] + [
+        ("link", f"a{i}", f"http://o.example.com/{i}", i + 1) for i in range(150)
+    ]
+    c = spark.createDataFrame(
+        [("http://p.example.com/", 1.0, 1000, None, spans, True)],
+        "url string, score float, fetch_time long, gen_time long,"
+        " spans array<struct<kind string, text string, media_ref string,"
+        " offset int>>, is_canonical boolean",
+    )
+    cfg = NutchConfig(db_max_outlinks_per_page=-1)
+    n = parse(c, cfg)["outlinks"].count()
+    assert n == 150  # default cap (100) would have truncated

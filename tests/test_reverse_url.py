@@ -54,3 +54,15 @@ def test_reverse_host(spark):
         for r in df.select(reverse_host_col(F.col("h")).alias("r")).collect()
     ]
     assert got == ["com.foo.bar", "localhost"]
+
+
+def test_reverse_url_strips_userinfo(spark):
+    """java.net.URL.getHost() excludes userinfo (TableUtil.reverseUrl
+    keys by host only): user@bar.com must key as com.bar."""
+    df = spark.createDataFrame(
+        [("http://user:pw@bar.com:8080/x?a=b",), ("http://u@bar.com/y",)],
+        "url string",
+    )
+    rows = df.select(reverse_url_col(F.col("url")).alias("rev")).collect()
+    assert rows[0]["rev"] == "com.bar:http:8080/x?a=b"
+    assert rows[1]["rev"] == "com.bar:http/y"

@@ -57,3 +57,12 @@ def test_prefix_suffix_filters():
     sf = SuffixURLFilter([".pdf", ".exe"])
     assert sf.accept("http://a.com/x.html")
     assert not sf.accept("http://a.com/x.PDF")
+
+
+def test_suffix_filter_case_insensitive_entries():
+    """A mixed-case suffix entry ('.GIF') must still reject — suffixes
+    are lowercased to match the lowercased URL."""
+    sf = SuffixURLFilter([".GIF"])
+    assert not sf.accept("http://x/a.gif")
+    assert not sf.accept("http://x/a.GIF")
+    assert sf.accept("http://x/a.html")

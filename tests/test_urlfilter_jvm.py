@@ -173,3 +173,19 @@ def test_twins_agree_on_edge_urls(spark):
     assert fast.accept("/doc/1") is False                       # unparseable
     assert fast.accept("http://www.example.com:8080/private/x") is False  # host rule
     assert dom.accept("http://user@lucene.apache.org/x") is True
+
+
+def test_fast_filter_tolerates_malformed_lines():
+    """Bare section words and operand-less rules are skipped like any
+    other malformed line (reference parser behavior), not an
+    IndexError at construction."""
+    f = FastURLFilter([
+        "Host",                   # no operand
+        "Domain # comment only",  # operand eaten by comment strip
+        "Host www.example.com",
+        "DenyPath # todo",        # operand-less after comment strip
+        "DenyPath /private",
+    ])
+    assert not f.accept("http://www.example.com/private/x")
+    assert f.accept("http://www.example.com/public")
+    assert f.accept("http://other.example.org/private/x")

@@ -194,3 +194,15 @@ def test_querystring_normalize_idempotent(url):
 
     once = querystring_normalize(url)
     assert querystring_normalize(once) == once
+
+
+def test_fast_path_excludes_trailing_newline():
+    """'$' matches before a final newline; the fast-path regex must use
+    \\Z so 'url\\n' takes the slow path and normalizes identically to
+    its clean twin (one frontier key, not two)."""
+    import pandas as pd
+
+    out = normalize_series(pd.Series([
+        "http://a.example.com/x\n", "http://a.example.com/x",
+    ]))
+    assert out[0] == out[1]
