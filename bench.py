@@ -59,7 +59,11 @@ def run_bench(master: str | None = None) -> dict:
     top_n = int(os.environ.get("NUTCH_BENCH_TOPN", 50_000))
 
     master = master or f"local[{CPUS}]"
-    cores = int(master[len("local[") : -1]) if master.startswith("local[") else CPUS
+    # session's parser handles 'local[*]' / 'local[N,F]' — a naive
+    # int(master[6:-1]) crashes on the '*' default tools/nutch.py uses
+    from nutch_spark.session import _parse_local_cores
+
+    cores = _parse_local_cores(master) or CPUS
     # strong-scaling runs pin the partition count so every parallelism
     # level executes the IDENTICAL plan over identical file layouts and
     # only the thread count varies (otherwise partitioning — and hence
@@ -146,7 +150,10 @@ def run_bench(master: str | None = None) -> dict:
             updatedb_incremental(dbin, seg, cfg, now_ms + 3_600_000), f"{tag}_crawldb"
         )
         timings[f"{tag}_updatedb"] = time.time() - t0
-        return dbout, nf
+        # generated = fetchlist size (metadata-only count of the written
+        # parquet) — NOT the fetched count: robots/exception-gated rows
+        # are generated but never fetched
+        return dbout, nf, fl.count()
 
     n_cycles = int(os.environ.get("NUTCH_BENCH_CYCLES", "3"))
     db = _swap(db_injected, "crawldb_0")
@@ -154,7 +161,7 @@ def run_bench(master: str | None = None) -> dict:
     # held across cycles starves execution memory at high parallelism
     # (observed: cycle-2 stages slower than cycle-1 at local[8]+)
     db_injected.unpersist()
-    db2, n_fetched1 = run_cycle("c1", db, 1_704_000_000_000)
+    db2, n_fetched1, n_gen1 = run_cycle("c1", db, 1_704_000_000_000)
     # a third cycle gives a second warm sample; the headline is the best
     # warm cycle (min-of-warm-runs — standard single-box noise reduction;
     # the frontier is >> topN so successive cycles are comparable work).
@@ -163,12 +170,12 @@ def run_bench(master: str | None = None) -> dict:
     # across parallelism levels — cycle N>1 reads files the phase itself
     # wrote, making the work a function of the core count under test.
     n_fetched = n_fetched3 = n_fetched1
+    n_gen = n_gen3 = n_gen1
     if n_cycles >= 2:
-        db3, n_fetched = run_cycle("c2", db2, 1_704_007_200_000)
-        n_fetched3 = n_fetched
+        db3, n_fetched, n_gen = run_cycle("c2", db2, 1_704_007_200_000)
+        n_fetched3, n_gen3 = n_fetched, n_gen
     if n_cycles >= 3:
-        db4, n_fetched3 = run_cycle("c3", db3, 1_704_014_400_000)
-    n_gen = n_fetched
+        db4, n_fetched3, n_gen3 = run_cycle("c3", db3, 1_704_014_400_000)
 
     if not os.environ.get("NUTCH_BENCH_SKIP_EXTRAS"):
         # warm inject: the first inject above also pays session/codegen
@@ -184,13 +191,15 @@ def run_bench(master: str | None = None) -> dict:
     if n_cycles >= 3:
         c2_sec = sum(timings["c2_" + k] for k in stage_keys)
         c3_sec = sum(timings["c3_" + k] for k in stage_keys)
-        cycle_sec, n_for_rate = min((c2_sec, n_fetched), (c3_sec, n_fetched3))
+        cycle_sec, n_for_rate, n_gen = min(
+            (c2_sec, n_fetched, n_gen), (c3_sec, n_fetched3, n_gen3)
+        )
     elif n_cycles == 2:
         cycle_sec, n_for_rate = (
             sum(timings["c2_" + k] for k in stage_keys), n_fetched
         )
     else:
-        cycle_sec, n_for_rate = c1_sec, n_fetched1
+        cycle_sec, n_for_rate, n_gen = c1_sec, n_fetched1, n_gen1
     urls_per_sec = n_for_rate / cycle_sec if cycle_sec else 0.0
 
     # ---- training-data operators over the sf-dir tables -------------------
@@ -288,9 +297,9 @@ def run_scaling() -> None:
                 json.dump({"best": {str(c): results.get(c) for c in core_list},
                            "runs": all_runs}, f, indent=1)
 
-    ok = {c: r for c, r in results.items() if "error" not in r}
-    results = ok
-    core_list = [c for c in core_list if c in ok]
+    # error placeholders only ever land in all_runs, never results —
+    # just drop core levels with no successful repeat
+    core_list = [c for c in core_list if c in results]
     pairs = [(n, n * 4) for n in core_list if n * 4 in results]
     effs = {
         f"eff_{n}_to_{m}": round(

@@ -133,7 +133,14 @@ class SnapshotCatalog:
         # under the lock, where the CAS check is re-done authoritatively
         token = uuid.uuid4().hex[:8]
         pending = os.path.join(self.root, table, f"snap-pending-{token}")
-        df.write.mode("overwrite").parquet(pending)
+        try:
+            df.write.mode("overwrite").parquet(pending)
+        except BaseException:
+            # a failed/interrupted write must not leak a partial snapshot's
+            # worth of parquet (driver crashes still leak — expire_snapshots
+            # sweeps those)
+            shutil.rmtree(pending, ignore_errors=True)
+            raise
         with self._meta_lock(table):
             meta = self._load_meta(table)
             if expected_parent != -1 and meta["current_snapshot_id"] != expected_parent:
@@ -218,4 +225,12 @@ class SnapshotCatalog:
                     remaining.append(s)
             meta["snapshots"] = remaining
             self._store_meta(table, meta)
+            # orphan sweep (Iceberg remove-orphan-files style): a commit
+            # whose driver died mid-write leaves a snap-pending-* dir no
+            # metadata references; expire is the maintenance window, so
+            # no commit is in flight and any pending dir is garbage
+            table_dir = os.path.join(self.root, table)
+            for d in os.listdir(table_dir):
+                if d.startswith("snap-pending-"):
+                    shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
         return dropped

@@ -93,3 +93,29 @@ def test_concurrent_commit_cas_single_winner(spark, tmp_path):
     # no orphaned pending dirs left behind
     import os
     assert not [d for d in os.listdir(tmp_path / "cat" / "t") if "pending" in d]
+
+
+def test_failed_write_cleans_pending_and_expire_sweeps_orphans(spark, tmp_path):
+    """A commit whose Spark write fails leaves no snap-pending-* dir;
+    a dir orphaned by a crashed driver is swept by expire_snapshots."""
+    import os
+
+    import pytest
+
+    from nutch_spark.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat2"))
+    cat.commit(spark.range(3).toDF("id"), "t", now_ms=1)
+    # a plan that fails at execution time (division via expr on strings)
+    bad = spark.createDataFrame([("x",)], "s string").selectExpr(
+        "assert_true(s = 'y') as chk"
+    )
+    with pytest.raises(Exception):
+        cat.commit(bad, "t", now_ms=2)
+    tdir = tmp_path / "cat2" / "t"
+    assert not [d for d in os.listdir(tdir) if d.startswith("snap-pending-")]
+    # simulate a crashed commit's orphan
+    os.makedirs(tdir / "snap-pending-deadbeef")
+    cat.expire_snapshots("t", keep=5)
+    assert not [d for d in os.listdir(tdir) if d.startswith("snap-pending-")]
+    assert cat.read(spark, "t").count() == 3  # table intact

@@ -81,3 +81,25 @@ def test_parsechecker_and_indexchecker(spark, tmp_path, capsys):
     assert "host :\th.example.com" in out
     assert "type :\ttext/html" in out
     assert "digest :" in out and "quality :" in out
+
+
+def test_install_preserves_old_until_new_lands(tmp_path):
+    """_install renames the previous table aside before the new one
+    moves in (CrawlDb.install): no window where the live dir is gone."""
+    import os
+
+    from nutch import _install
+
+    target = tmp_path / "db"
+    os.makedirs(target); (target / "a.parquet").write_text("old")
+    tmp = tmp_path / "db.tmp"
+    os.makedirs(tmp); (tmp / "b.parquet").write_text("new")
+    _install(str(tmp), str(target))
+    assert (target / "b.parquet").read_text() == "new"
+    assert not os.path.exists(tmp_path / "db.old")
+    assert not os.path.exists(tmp)
+    # fresh-install path (no previous table)
+    tmp2 = tmp_path / "db2.tmp"
+    os.makedirs(tmp2); (tmp2 / "c.parquet").write_text("new2")
+    _install(str(tmp2), str(tmp_path / "db2"))
+    assert (tmp_path / "db2" / "c.parquet").read_text() == "new2"

@@ -42,11 +42,19 @@ def main() -> int:
     spark = get_spark(app_name="explain_audit", master="local[4]", shuffle_partitions=4)
     os.makedirs("BENCH/plans", exist_ok=True)
     qs = E.queries()
+    rc = 0
     for name in names:
-        df = qs[name](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
+        # one bad name / one analysis error must not abort the audit and
+        # leave the remaining plan files silently stale
+        try:
+            df = qs[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED to plan ({type(e).__name__}: {e})")
+            rc = 1
+            continue
         text = buf.getvalue()
         flags = []
         if "BatchEvalPython" in text:
@@ -62,7 +70,7 @@ def main() -> int:
             f.write(summary + text)
         print(f"{name}: exchanges={n_exchange} {' '.join(flags)}")
     spark.stop()
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

@@ -34,6 +34,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from nutch_spark.config import NutchConfig  # noqa: E402
 
 
+def _install(tmp: str, target: str) -> None:
+    """CrawlDb.install semantics: the previous table is renamed aside
+    BEFORE the new one moves in, so a crash between steps leaves either
+    the old db or both — never neither. (A bare rmtree-then-replace has
+    a window where the live frontier is simply gone.)"""
+    import shutil
+
+    old = target.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    had_old = os.path.exists(target)
+    if had_old:
+        os.replace(target, old)
+    os.replace(tmp, target)
+    if had_old:
+        shutil.rmtree(old)
+
+
 def _spark():
     from nutch_spark.session import get_spark
 
@@ -66,11 +84,7 @@ def cmd_inject(args) -> int:
     # writes to a temp dir then replaces, mirroring CrawlDb.install
     tmp = args.crawldb.rstrip("/") + ".tmp"
     _write(out, tmp)
-    if db is not None:
-        import shutil
-
-        shutil.rmtree(args.crawldb)
-    os.replace(tmp, args.crawldb)
+    _install(tmp, args.crawldb)
     print(f"inject: crawldb now {_read(spark, args.crawldb).count()} urls")
     return 0
 
@@ -98,11 +112,7 @@ def cmd_updatedb(args) -> int:
     out = updatedb(db, _read(spark, args.segment), cfg, _now(args))
     tmp = args.crawldb.rstrip("/") + ".tmp"
     _write(out, tmp)
-    if db is not None:
-        import shutil
-
-        shutil.rmtree(args.crawldb)
-    os.replace(tmp, args.crawldb)
+    _install(tmp, args.crawldb)
     print(f"updatedb: crawldb now {_read(spark, args.crawldb).count()} urls")
     return 0
 
@@ -124,7 +134,9 @@ def cmd_readdb(args) -> int:
     elif args.dump:
         df = stats.dump(db, status=args.status, regex=args.regex)
         _write(df, args.dump)
-        print(f"readdb: dumped {df.count()} rows to {args.dump}")
+        # count the WRITTEN parquet (metadata-only) — counting df would
+        # re-run the whole filtered scan a second time
+        print(f"readdb: dumped {_read(spark, args.dump).count()} rows to {args.dump}")
     elif args.url:
         for r in stats.read_url(db, args.url).collect():
             print(r.asDict())
@@ -157,11 +169,7 @@ def cmd_invertlinks(args) -> int:
     out = merge_linkdbs(existing, new, cfg)
     tmp = args.linkdb.rstrip("/") + ".tmp"
     _write(out, tmp)
-    if existing is not None:
-        import shutil
-
-        shutil.rmtree(args.linkdb)
-    os.replace(tmp, args.linkdb)
+    _install(tmp, args.linkdb)
     print(f"invertlinks: linkdb now {_read(spark, args.linkdb).count()} targets")
     return 0
 
@@ -174,10 +182,7 @@ def cmd_dedup(args) -> int:
     out = dedup(_read(spark, args.crawldb), cfg)
     tmp = args.crawldb.rstrip("/") + ".tmp"
     _write(out, tmp)
-    import shutil
-
-    shutil.rmtree(args.crawldb)
-    os.replace(tmp, args.crawldb)
+    _install(tmp, args.crawldb)
     print("dedup: done")
     return 0
 

@@ -60,6 +60,11 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    # a typo'd CLI name must not yield a green "FAILURES: none" run that
+    # verified nothing — unknown names are failures up front
+    for unknown in sorted(only - qs.keys()):
+        print(f"FAIL  {unknown}: no such query in queries()")
+        failures.append(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
