@@ -206,3 +206,23 @@ def test_fast_path_excludes_trailing_newline():
         "http://a.example.com/x\n", "http://a.example.com/x",
     ]))
     assert out[0] == out[1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    base=st.from_regex(
+        r"https?://[a-z0-9.\-]{1,20}(/[A-Za-z0-9._~\-/]{0,30})?", fullmatch=True
+    ),
+    junk=st.sampled_from(["", "\n", "\r", "\t", " ", "\r\n", "\n\n", " \n"]),
+    lead=st.sampled_from(["", " ", "\t"]),
+)
+def test_fast_path_agrees_with_slow_path_under_whitespace(base, junk, lead):
+    """The fast-path mask must treat whitespace-padded URLs exactly like
+    the per-string chain does — '$'-style regex anchors that match
+    before a trailing newline silently fork the frontier key space."""
+    import pandas as pd
+
+    url = lead + base + junk
+    got = normalize_series(pd.Series([url]))[0]
+    want = normalize(url)
+    assert got == want
