@@ -44,6 +44,34 @@ CFG = NutchConfig()
 # shared synthetic-crawldb derivation (Spark side)
 # ---------------------------------------------------------------------------
 
+_N_DOCS_CACHE: dict[str, int] = {}
+
+
+def _n_docs(docs: DataFrame, sf_dir: str) -> int:
+    """Memoized docs row count per sf_dir — several fixture builders
+    parametrize on it, and re-running the count job for every contract
+    query invocation is pure waste (the parquet footer count never
+    changes within a run)."""
+    if sf_dir not in _N_DOCS_CACHE:
+        _N_DOCS_CACHE[sf_dir] = docs.count()
+    return _N_DOCS_CACHE[sf_dir]
+
+
+def _dns(spark: SparkSession):
+    """THE dns fixture (host0..host18 resolved, two hosts per IP,
+    host19+ unresolved) — one definition; the byIP politeness oracle's
+    host_id <> 19 and the geoip oracle's k < 19 both encode this
+    topology."""
+    return spark.range(19).select(
+        F.concat(
+            F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(
+            F.lit("10.0.0."), (F.col("id") / 2).cast("int").cast("string")
+        ).alias("ip"),
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -140,6 +168,43 @@ def _seg_row(df, status, *, sig, ft, retries, iv, score):
     )
 
 
+def _updatedb_inputs(docs: DataFrame):
+    """THE shared (old crawldb, segment rows) fixture for the updatedb
+    state-machine queries. One definition on purpose: oracle_sql()
+    aliases updatedb_incremental's oracle to updatedb_states', which is
+    only sound while the two queries consume row-identical inputs."""
+    old = _crawldb(docs.filter(F.col("doc_id") % 3 != 0))
+    seg = docs.filter(F.col("doc_id") % 5 != 4)
+    k = F.col("doc_id") % 4
+    score = (F.col("doc_id") % 64) / 4.0
+    succ = _seg_row(
+        seg.filter(k == 0), 0x21,
+        sig=F.when(F.col("doc_id") % 8 == 0, F.md5("text")).otherwise(
+            F.md5(F.concat(F.col("text"), F.lit("x")))),
+        ft=FETCH_TS, retries=F.lit(0), iv=2592000, score=score,
+    )
+    gone = _seg_row(
+        seg.filter(k == 1), 0x25,
+        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
+        iv=2592000, score=score,
+    )
+    retry = _seg_row(
+        seg.filter(k == 2), 0x22,
+        sig=F.lit(None).cast("string"), ft=FETCH_TS,
+        retries=(F.col("doc_id") % 3), iv=2592000, score=score,
+    )
+    linked = _seg_row(
+        seg.filter(k == 3), 0x43,
+        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
+        iv=2592000, score=F.lit(0.25),
+    )
+    seg_rows = (
+        succ.unionByName(gone).unionByName(retry)
+        .unionByName(linked).unionByName(linked)
+    )
+    return old, seg_rows
+
+
 # ---------------------------------------------------------------------------
 # crawl queries (SURVEY §2: J1 J2 J4 J5, G1/G2, A1-A5)
 # ---------------------------------------------------------------------------
@@ -188,33 +253,7 @@ def q_updatedb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.operators.updatedb import updatedb
 
     docs = _docs(spark, sf_dir)
-    old = _crawldb(docs.filter(F.col("doc_id") % 3 != 0))
-    seg = docs.filter(F.col("doc_id") % 5 != 4)
-    k = F.col("doc_id") % 4
-    score = (F.col("doc_id") % 64) / 4.0
-
-    succ = _seg_row(
-        seg.filter(k == 0), 0x21,
-        sig=F.when(F.col("doc_id") % 8 == 0, F.md5("text")).otherwise(
-            F.md5(F.concat(F.col("text"), F.lit("x")))),
-        ft=FETCH_TS, retries=F.lit(0), iv=2592000, score=score,
-    )
-    gone = _seg_row(
-        seg.filter(k == 1), 0x25,
-        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
-        iv=2592000, score=score,
-    )
-    retry = _seg_row(
-        seg.filter(k == 2), 0x22,
-        sig=F.lit(None).cast("string"), ft=FETCH_TS,
-        retries=(F.col("doc_id") % 3), iv=2592000, score=score,
-    )
-    linked = _seg_row(
-        seg.filter(k == 3), 0x43,
-        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
-        iv=2592000, score=F.lit(0.25),
-    )
-    seg_rows = succ.unionByName(gone).unionByName(retry).unionByName(linked).unionByName(linked)
+    old, seg_rows = _updatedb_inputs(docs)
     out = updatedb(old, seg_rows, CFG, UPD_NOW)
     return out.select(
         "url", "status", "fetch_time", "retries", "fetch_interval",
@@ -253,32 +292,7 @@ def q_updatedb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.operators.updatedb import updatedb_incremental
 
     docs = _docs(spark, sf_dir)
-    old = _crawldb(docs.filter(F.col("doc_id") % 3 != 0))
-    seg = docs.filter(F.col("doc_id") % 5 != 4)
-    k = F.col("doc_id") % 4
-    score = (F.col("doc_id") % 64) / 4.0
-    succ = _seg_row(
-        seg.filter(k == 0), 0x21,
-        sig=F.when(F.col("doc_id") % 8 == 0, F.md5("text")).otherwise(
-            F.md5(F.concat(F.col("text"), F.lit("x")))),
-        ft=FETCH_TS, retries=F.lit(0), iv=2592000, score=score,
-    )
-    gone = _seg_row(
-        seg.filter(k == 1), 0x25,
-        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
-        iv=2592000, score=score,
-    )
-    retry = _seg_row(
-        seg.filter(k == 2), 0x22,
-        sig=F.lit(None).cast("string"), ft=FETCH_TS,
-        retries=(F.col("doc_id") % 3), iv=2592000, score=score,
-    )
-    linked = _seg_row(
-        seg.filter(k == 3), 0x43,
-        sig=F.lit(None).cast("string"), ft=FETCH_TS, retries=F.lit(0),
-        iv=2592000, score=F.lit(0.25),
-    )
-    seg_rows = succ.unionByName(gone).unionByName(retry).unionByName(linked).unionByName(linked)
+    old, seg_rows = _updatedb_inputs(docs)
     out = updatedb_incremental(old, seg_rows, CFG, UPD_NOW, membership="bloom")
     return out.select(
         "url", "status", "fetch_time", "retries", "fetch_interval",
@@ -332,7 +346,7 @@ def q_linkdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.operators.linkdb import invert_links
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    n = _n_docs(docs, sf_dir)
     cfg = replace(CFG, linkdb_max_inlinks=4)
     ks = docs.select("doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"))
     tid = (F.col("doc_id") * 7 + F.col("k") * 13 + 1) % n
@@ -379,7 +393,7 @@ def q_linkdb_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.operators.linkdb import invert_links, merge_linkdbs
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    n = _n_docs(docs, sf_dir)
     cfg = replace(CFG, linkdb_max_inlinks=3)
 
     def outlinks(mult, koff):
@@ -511,7 +525,14 @@ def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(""))
     content = (
         d.groupBy((did % 40).alias("h"))
-        .agg(F.concat_ws("", F.collect_list(F.concat(known, fresh, bad))).alias("body"))
+        # array_sort: collect_list order is task-scheduling-dependent; a
+        # deterministic body keeps the fixture reproducible run-to-run
+        # (same policy as the dmoz fixture)
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.concat(known, fresh, bad)))
+            ).alias("body")
+        )
         .select(
             F.concat(
                 F.lit("http://host"), F.col("h").cast("string"),
@@ -586,7 +607,7 @@ def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.operators.webgraph import build_webgraph, linkrank
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    n = _n_docs(docs, sf_dir)
     ks = docs.select("doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"))
     tid = (F.col("doc_id") * 7 + F.col("k") * 13 + 1) % n
     outlinks = ks.select(_url_col().alias("url"), _url_col(tid).alias("to_url"))
@@ -894,7 +915,7 @@ def _web(spark: SparkSession, sf_dir: str, n_hosts: int = 20):
     """Deterministic fetchable web derived from documents.parquet, in
     the BASELINE.json input_hint shape (doc_id, spans[])."""
     d = _docs(spark, sf_dir)
-    n = d.count()
+    n = _n_docs(d, sf_dir)
     host_id = F.col("doc_id") % n_hosts
 
     def url_of(did):
@@ -1024,10 +1045,7 @@ def q_fetch_politeness_byip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = replace(CFG, fetch_partitions=8, fetcher_queue_mode="byIP")
     docs, robots, outcomes, seeds = _web(spark, sf_dir)
-    dns = spark.range(19).select(
-        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")).alias("host"),
-        F.concat(F.lit("10.0.0."), (F.col("id") / 2).cast("int").cast("string")).alias("ip"),
-    )
+    dns = _dns(spark)
     db = inject_full(spark, None, seeds, cfg, GEN_NOW)
     fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=8)
     crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW, dns=dns)
@@ -1170,7 +1188,7 @@ def q_index_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.urls.urlutil import host_col, tld_udf
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    n = _n_docs(docs, sf_dir)
     db = _crawldb(docs, extra=("doc_id", "text")).filter(
         F.col("status").isin(2, 6)
     )
@@ -1361,7 +1379,7 @@ def q_metadata_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.schema import STATUS_LINKED
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.count()
+    n = _n_docs(docs, sf_dir)
     d = F.col("doc_id")
     q = (d % 8) / 4.0
     pages = docs.select(
@@ -1701,7 +1719,7 @@ def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.operators.feed import parse_feed
 
     d = _docs(spark, sf_dir)
-    n = d.count()
+    n = _n_docs(d, sf_dir)
     did = F.col("doc_id")
     feeds_src = d.filter(did % 10 == 0)
     atom = (did % 20) == 10
@@ -1812,7 +1830,7 @@ def q_js_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.operators.js_parse import js_outlinks
 
     d = _docs(spark, sf_dir)
-    n = d.count()
+    n = _n_docs(d, sf_dir)
     did = F.col("doc_id")
     t1 = (did * 3 + 1) % n
     page = F.concat(
@@ -1848,14 +1866,7 @@ def q_geoip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, _, _, _ = _web(spark, sf_dir)
     host = F.regexp_extract(F.col("doc_id"), "^http://([^/]*)/", 1)
     pages = docs.select(F.col("doc_id").alias("url"), host.alias("host"))
-    dns = spark.range(19).select(
-        F.concat(
-            F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")
-        ).alias("host"),
-        F.concat(
-            F.lit("10.0.0."), (F.col("id") / 2).cast("int").cast("string")
-        ).alias("ip"),
-    )
+    dns = _dns(spark)
     j = F.col("id")
     js = j.cast("string")
     geodb = spark.range(10).select(
@@ -1910,7 +1921,7 @@ def q_zip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.operators.zip_parse import parse_zip
 
     d = _docs(spark, sf_dir)
-    n = d.count()
+    n = _n_docs(d, sf_dir)
     src = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
 
     def build(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
@@ -2089,7 +2100,7 @@ def q_text_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutch_spark.operators.parse import text_outlinks
 
     d = _docs(spark, sf_dir)
-    n = d.count()
+    n = _n_docs(d, sf_dir)
     did = F.col("doc_id")
     t1 = (did * 11 + 3) % n
     text = F.concat(
@@ -2120,7 +2131,11 @@ def q_segment_fetch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = d.filter(did % 2 == 0).select(
         url.alias("url"),
-        (35 + did % 4).cast("int").alias("status"),
+        # keyed off did//2 so the even-only filter still produces ALL of
+        # {35,36,37,38} — did%4 over even dids never hits 36/38 and the
+        # "latest segment ineligible, fall back to earlier fetch" path
+        # would go untested
+        (35 + (did / 2).cast("long") % 4).cast("int").alias("status"),
         F.lit(20).cast("long").alias("fetch_time"),
     )
     s3 = d.filter(did % 5 == 0).select(
@@ -2147,7 +2162,9 @@ def q_index_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s < 8, 2)
         .when(s == 8, 6)
         .when(s == 9, 3)
-        .when(s == 10, F.when(did % 2 == 0, 4).otherwise(5))
+        # (did//12)%2, NOT did%2: doc_id%12==10 forces did even, so a
+        # did%2 split would leave status 5 (db_redir_perm) unreachable
+        .when(s == 10, F.when((did / 12).cast("long") % 2 == 0, 4).otherwise(5))
         .otherwise(7)
     ).cast("int")
     url = _url20(did)
@@ -2275,7 +2292,7 @@ _LANGS = {
 }
 
 
-def _cnt_sql(word: str, col: str = "lower(text)") -> str:
+def _cnt_sql(word: str, col: str = "lower(COALESCE(text, ''))") -> str:
     return f"(len(regexp_split_to_array({col}, '\\b{word}\\b')) - 1)"
 
 
@@ -2313,7 +2330,7 @@ dd AS (
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ),
 norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt FROM dd
+  SELECT doc_id, regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g') AS nt FROM dd
 ),
 w AS (SELECT doc_id, nt, string_split(nt, ' ') AS words FROM norm),
 g AS (
@@ -2381,7 +2398,7 @@ WITH dd AS (
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ),
 norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt FROM dd
+  SELECT doc_id, regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g') AS nt FROM dd
 ),
 w AS (SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS ws FROM norm),
 tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
@@ -3192,7 +3209,7 @@ WITH b AS (
          WHEN doc_id % 12 = 8 THEN 6
          WHEN doc_id % 12 = 9 THEN 3
          WHEN doc_id % 12 = 10 THEN
-              CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 5 END
+              CASE WHEN (doc_id // 12) % 2 = 0 THEN 4 ELSE 5 END
          ELSE 7 END AS status,
     (doc_id % 3 <> 0) AS has_parse
   FROM documents
@@ -3220,7 +3237,7 @@ WITH b AS (
   SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR)
          || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
          33 + doc_id % 6 AS st1,
-         CASE WHEN doc_id % 2 = 0 THEN 35 + doc_id % 4 END AS st2
+         CASE WHEN doc_id % 2 = 0 THEN 35 + (doc_id // 2) % 4 END AS st2
   FROM documents
 )
 SELECT url,
@@ -4312,7 +4329,7 @@ SELECT doc_id,
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
   CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
   {lang_case} AS lang_pred,
-  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+  md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
 FROM base
 """,
         # ---- quality ------------------------------------------------------
@@ -4355,7 +4372,7 @@ WITH dd AS (
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ),
 fp AS (
-  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  SELECT doc_id, md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g')) AS fp
   FROM dd
 )
 SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
@@ -4368,7 +4385,7 @@ WITH dd AS (
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ),
 norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt FROM dd
+  SELECT doc_id, regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g') AS nt FROM dd
 ),
 w AS (SELECT doc_id, nt, string_split(nt, ' ') AS words FROM norm),
 g AS (

@@ -55,7 +55,9 @@ def _count_occurrences(text_lc: Column, word: str) -> Column:
 
 
 def marker_counts(text: Column) -> dict[str, Column]:
-    t = F.lower(text)
+    # NULL text counts 0 for every marker (split(NULL) has size -1,
+    # which would skew the lang-ID argmax to -2 per word)
+    t = F.lower(F.coalesce(text, F.lit("")))
     return {
         lang: sum((_count_occurrences(t, w) for w in words), F.lit(0))
         for lang, words in LANG_MARKERS.items()
