@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nutch_spark.urls.filters import url_filter_cond
-from nutch_spark.urls.normalizer import normalize_udf
+from nutch_spark.urls.normalizer import normalize_col
 
 
 def strip_tags(c: Column) -> Column:
@@ -144,7 +144,7 @@ def parse_feed(
     )
     if normalize_links:
         entries = entries.withColumn(
-            "url", normalize_udf("outlink")(F.col("url"))
+            "url", normalize_col(F.col("url"), "outlink")
         ).filter(F.col("url").isNotNull())
     if url_filter_rules is not None:
         entries = entries.filter(url_filter_cond(F.col("url"), url_filter_rules))

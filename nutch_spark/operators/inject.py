@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from nutch_spark.config import NutchConfig
 from nutch_spark.schema import META_FIXED_INTERVAL, STATUS_DB_UNFETCHED, crawldb_schema
 from nutch_spark.urls.filters import url_filter_cond
-from nutch_spark.urls.normalizer import normalize_udf
+from nutch_spark.urls.normalizer import normalize_col
 
 RESERVED_SCORE = "nutch.score"
 RESERVED_INTERVAL = "nutch.fetchInterval"
@@ -112,7 +112,7 @@ def parse_seeds(
     )
 
     if do_normalize:
-        seeds = seeds.withColumn("url", normalize_udf("inject")(F.col("url")))
+        seeds = seeds.withColumn("url", normalize_col(F.col("url"), "inject"))
     seeds = seeds.filter(F.col("url").isNotNull())
     if url_filter_rules is not None:
         seeds = seeds.filter(url_filter_cond(F.col("url"), url_filter_rules))

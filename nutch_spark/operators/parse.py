@@ -37,7 +37,7 @@ from nutch_spark.schema import (
     STATUS_SIGNATURE,
 )
 from nutch_spark.urls.filters import url_filter_cond
-from nutch_spark.urls.normalizer import normalize_udf
+from nutch_spark.urls.normalizer import normalize_col
 from nutch_spark.urls.urlutil import host_col
 
 from nutch_spark.schema import EMPTY_META_EXPR as _EMPTY_MAP
@@ -116,7 +116,7 @@ def parse(
     )
     to_url = F.col("to_url_raw")
     if normalize_outlinks:
-        exploded = exploded.withColumn("to_url", normalize_udf("outlink")(to_url)).filter(
+        exploded = exploded.withColumn("to_url", normalize_col(to_url, "outlink")).filter(
             F.col("to_url").isNotNull()
         )
     else:

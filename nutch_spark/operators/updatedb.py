@@ -419,7 +419,7 @@ def crawldb_filter(
     re-filter URLs."""
     from nutch_spark.schema import STATUS_DB_ORPHAN
     from nutch_spark.urls.filters import url_filter_cond
-    from nutch_spark.urls.normalizer import normalize_udf
+    from nutch_spark.urls.normalizer import normalize_col
 
     if purge_404 is None:
         purge_404 = cfg.db_update_purge_404
@@ -430,7 +430,7 @@ def crawldb_filter(
     if purge_orphans:
         df = df.filter(F.col("status") != STATUS_DB_ORPHAN)
     if url_normalize:
-        df = df.withColumn("url", normalize_udf("crawldb")(F.col("url"))).filter(
+        df = df.withColumn("url", normalize_col(F.col("url"), "crawldb")).filter(
             F.col("url").isNotNull()
         )
     if url_filter_rules is not None:

@@ -1,6 +1,7 @@
 from nutch_spark.urls.normalizer import (  # noqa: F401
     basic_normalize,
     normalize,
+    normalize_col,
     normalize_udf,
     regex_normalize,
 )

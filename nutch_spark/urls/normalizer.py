@@ -346,6 +346,11 @@ _FAST_CANONICAL = re.compile(r"^https?://[a-z0-9.\-]+/[A-Za-z0-9._~\-/]*\Z")
 
 
 def normalize_series(urls: pd.Series, scope: str = "default") -> pd.Series:
+    if not urls.notna().any():
+        # normalize_col nulls out fast rows JVM-side; a batch from an
+        # all-canonical source arrives here as pure nulls — skip the
+        # mask computation entirely (normalize(None) is None)
+        return urls
     fast = (
         urls.str.match(_FAST_CANONICAL, na=False)
         & ~urls.str.contains("/.", regex=False, na=True)
@@ -353,7 +358,10 @@ def normalize_series(urls: pd.Series, scope: str = "default") -> pd.Series:
         & ~urls.str.slice(8).str.contains("//", regex=False, na=True)
     )
     out = urls.copy()
-    slow = ~fast
+    # nulls stay null without a per-row normalize(None) call — under
+    # normalize_col the input series is null-dominated (fast rows are
+    # nulled out JVM-side), so this skip is what keeps the UDF O(slow)
+    slow = ~fast & urls.notna()
     if slow.any():
         out[slow] = urls[slow].map(lambda u: normalize(u, scope))
     return out
@@ -367,6 +375,52 @@ def normalize_udf(scope: str = "default"):
         return normalize_series(urls, scope)
 
     return _norm
+
+
+# Java-regex twin of _FAST_CANONICAL for evaluation inside whole-stage
+# codegen. \z (absolute end), NOT Java's \Z: Java \Z matches before a
+# final line terminator, which would wave 'http://a.com/x\n' through the
+# fast path while the slow path strips the newline — exactly the \Z/'$'
+# trap documented above, one dialect over.
+_FAST_CANONICAL_JAVA = r"^https?://[a-z0-9.\-]+/[A-Za-z0-9._~\-/]*\z"
+
+
+def fast_canonical_cond(col):
+    """JVM boolean column: URL is a fixed point of the Basic+Regex chain.
+
+    Same four checks as the pandas mask in ``normalize_series``, null
+    semantics included (null url -> null cond -> caller's ``when`` falls
+    through to the slow path, where ``normalize(None)`` is None).
+    """
+    return (
+        col.rlike(_FAST_CANONICAL_JAVA)
+        & (F.locate("/.", col) == 0)
+        & ~col.endswith(".")
+        # no '//' at or after char 9 (1-based) — past the 'http(s)://'
+        # prefix for every string the regex above accepts
+        & (F.locate("//", col, 9) == 0)
+    )
+
+
+def normalize_col(col, scope: str = "default"):
+    """Hybrid JVM/Arrow normalization: url column -> normalized url column.
+
+    Catalyst evaluates Python UDFs unconditionally (ArrowEvalPython runs
+    on every row even under ``when``), so gating the UDF with a boolean
+    doesn't skip work. Instead the fast-path rows are NULLED on the way
+    into the UDF — Arrow ships a validity bitmap instead of 10^10 URL
+    strings, and the pandas side maps only the slow minority — then
+    restored from the untouched JVM column on the way out:
+
+        coalesce(udf(when(fast, NULL).otherwise(url)), when(fast, url))
+
+    fast row: udf(NULL) -> NULL -> coalesce falls to url (fixed point).
+    slow row: udf(url) -> normalized, or NULL if malformed; the second
+    arm is NULL for slow rows, so malformed stays NULL.
+    """
+    fast = fast_canonical_cond(col)
+    slow_in = F.when(fast, F.lit(None).cast("string")).otherwise(col)
+    return F.coalesce(normalize_udf(scope)(slow_in), F.when(fast, col))
 
 
 # ---------------------------------------------------------------------------
