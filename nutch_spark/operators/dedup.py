@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from nutch_spark.config import NutchConfig
 from nutch_spark.schema import STATUS_DB_DUPLICATE, STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED
-from nutch_spark.urls.urlutil import domain_udf, host_col
+from nutch_spark.urls.urlutil import domain_expr, host_col
 
 
 def _decoded_len_udf():
@@ -55,7 +55,7 @@ def find_duplicates(crawldb: DataFrame, cfg: NutchConfig) -> DataFrame:
     if cfg.dedup_group_mode == "host":
         key = F.concat_ws("|", F.col("signature"), host_col(F.col("url")))
     elif cfg.dedup_group_mode == "domain":
-        key = F.concat_ws("|", F.col("signature"), domain_udf()(F.col("url")))
+        key = F.concat_ws("|", F.col("signature"), domain_expr(F.col("url")))
     else:
         key = F.col("signature")
     eligible = eligible.withColumn("sig_key", key)

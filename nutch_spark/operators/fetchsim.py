@@ -119,9 +119,9 @@ def fetch(
         # (FetchItem.java:101-104)
         fl = fl.filter(F.col("_queue").isNotNull())
     elif cfg.fetcher_queue_mode == "byDomain":
-        from nutch_spark.urls.urlutil import domain_udf
+        from nutch_spark.urls.urlutil import domain_expr
 
-        fl = fl.withColumn("_queue", F.lower(domain_udf()(F.col("url"))))
+        fl = fl.withColumn("_queue", domain_expr(F.col("url")))
     else:
         fl = fl.withColumn("_queue", F.col("host"))
 

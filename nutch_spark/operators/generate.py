@@ -48,7 +48,7 @@ from nutch_spark.config import NutchConfig
 from nutch_spark.operators.schedules import should_fetch
 from nutch_spark.schema import STATUS_DB_UNFETCHED
 from nutch_spark.urls.filters import url_filter_cond
-from nutch_spark.urls.urlutil import host_udf, domain_udf, partition_hash_udf, url_hash32_udf
+from nutch_spark.urls.urlutil import domain_expr, host_expr, partition_hash_udf, url_hash32_udf
 
 
 def select_eligible(
@@ -109,8 +109,8 @@ def select_eligible(
 
 def _host_key(cfg: NutchConfig) -> F.Column:
     if cfg.generate_count_mode == "domain" and cfg.generate_max_count != -1:
-        return F.lower(domain_udf()(F.col("url")))
-    return F.lower(host_udf()(F.col("url")))
+        return domain_expr(F.col("url"))
+    return host_expr(F.col("url"))
 
 
 def apply_quota_windowed(
@@ -271,16 +271,16 @@ def politeness_partition(
     if cfg.partition_url_mode == "byIP":
         if dns is None:
             raise ValueError("partition.url.mode=byIP requires a dns fixture (host, ip)")
-        df = df.withColumn("_ph", F.lower(host_udf()(F.col("url")))).join(
+        df = df.withColumn("_ph", host_expr(F.col("url"))).join(
             F.broadcast(dns.select(F.col("host").alias("_ph"), F.col("ip").alias("_pip"))),
             "_ph",
             "left",
         )
         part_key = F.coalesce(F.col("_pip"), F.lit(""))  # "".hashCode() == 0
     elif cfg.partition_url_mode == "byDomain":
-        part_key = F.lower(domain_udf()(F.col("url")))
+        part_key = domain_expr(F.col("url"))
     else:
-        part_key = F.lower(host_udf()(F.col("url")))
+        part_key = host_expr(F.col("url"))
     df = df.withColumn(
         "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_key)
     )

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from nutch_spark.config import NutchConfig
 from nutch_spark.schema import STATUS_DB_FETCHED, STATUS_DB_NOTMODIFIED
-from nutch_spark.urls.urlutil import domain_udf
+from nutch_spark.urls.urlutil import domain_expr
 
 
 def _clean_field(c: Column) -> Column:
@@ -69,7 +69,7 @@ def index_documents(
     title = F.when(F.length(title) > 0, title)
     return joined.select(
         url_out.alias("url"),
-        domain_udf()(url_out).alias("domain"),
+        domain_expr(url_out).alias("domain"),
         host.alias("host"),
         content.alias("content"),
         title.alias("title"),

@@ -22,7 +22,7 @@ from nutch_spark.schema import (
     STATUS_DB_UNFETCHED,
     STATUS_NAMES,
 )
-from nutch_spark.urls.urlutil import domain_udf, host_col
+from nutch_spark.urls.urlutil import domain_expr, host_col
 
 
 def status_name_col(status: Column) -> Column:
@@ -121,7 +121,7 @@ def hostdb_update(crawldb: DataFrame, cfg: NutchConfig) -> DataFrame:
 def domain_stats(crawldb: DataFrame, mode: str = "domain") -> DataFrame:
     """CrawlCompletionStats / DomainStatistics (A5): fetched/unfetched
     counts per host or domain."""
-    key = host_col(F.col("url")) if mode == "host" else domain_udf()(F.col("url"))
+    key = host_col(F.col("url")) if mode == "host" else domain_expr(F.col("url"))
     return (
         crawldb.withColumn("key", key)
         .groupBy("key")
@@ -209,7 +209,7 @@ def protocol_status_stats(crawldb: DataFrame) -> DataFrame:
 def crawl_summary(crawldb: DataFrame, mode: str = "host") -> DataFrame:
     """CrawlSummaryStats (util/CrawlSummaryStats.java:160-240): counts by
     host/domain x crawl status name x protocol code (-1 when absent)."""
-    key = host_col(F.col("url")) if mode == "host" else domain_udf()(F.col("url"))
+    key = host_col(F.col("url")) if mode == "host" else domain_expr(F.col("url"))
     code = F.coalesce(
         F.element_at(F.col("metadata"), PROTOCOL_CODE_KEY).cast("int"),
         F.lit(-1),

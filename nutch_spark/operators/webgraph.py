@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nutch_spark.urls.urlutil import domain_udf
+from nutch_spark.urls.urlutil import domain_expr
 
 
 def build_webgraph(outlinks: DataFrame) -> DataFrame:
@@ -71,7 +71,7 @@ def linkrank(
     if limit_domains:
         # compute the (pandas-UDF) domain column BEFORE persisting so it
         # is cached once, not re-evaluated by every iteration's join
-        links = links.withColumn("src_domain", domain_udf()(F.col("src")))
+        links = links.withColumn("src_domain", domain_expr(F.col("src")))
     links = links.persist()
     nodes = webgraph_nodes(links).persist()
     n_nodes = nodes.count()

@@ -286,6 +286,66 @@ def host_col(url_col: Column) -> Column:
     return F.lower(F.try_parse_url(url_col, F.lit("HOST")))
 
 
+# Java twin of _HOST_RE — the character classes are dialect-neutral, and
+# regexp_extract's find() is anchored by the leading '^'
+_HOST_RE_JAVA = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+
+
+def host_expr(url_col: Column) -> Column:
+    """Exact JVM twin of ``get_host`` (whole-stage codegen, no Python).
+
+    regexp_extract returns '' both for no-match and for an empty host
+    capture; get_host maps both to None — nullif folds them together.
+    """
+    return F.nullif(F.lower(F.regexp_extract(url_col, _HOST_RE_JAVA, 1)), F.lit(""))
+
+
+# Python's `$` in _IP_RE also matches just before one trailing '\n'
+# (and only '\n' — not '\r\n', which Java's '$' would accept): encode
+# that exactly as an optional final newline before absolute end
+_IP_RE_JAVA = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\n?\z"
+
+
+def domain_expr(url_or_host_col: Column) -> Column:
+    """Exact JVM twin of ``get_domain`` (URLUtil.getDomainName).
+
+    The Python suffix walk checks progressively shorter host tails
+    against _SUFFIXES; since every table entry has at most two labels,
+    only the 2-label and 1-label tails can ever match, so the walk
+    flattens to a two-step ``when`` chain plus the walk's own fallback
+    (the host's last label). The flattening is asserted against the
+    table so an extended suffix list can't silently diverge.
+    """
+    assert all(s.count(".") <= 1 for s in _SUFFIXES), (
+        "domain_expr flattens the suffix walk to depth 2; regenerate the "
+        "when-chain if _SUFFIXES gains 3-label entries"
+    )
+    s1 = [s for s in _SUFFIXES if "." not in s]
+    s2 = [s for s in _SUFFIXES if "." in s]
+
+    host = F.when(
+        url_or_host_col.contains("://"), host_expr(url_or_host_col)
+    ).otherwise(F.lower(url_or_host_col))
+    host = F.nullif(host, F.lit(""))
+    host = F.when(
+        host.endswith("."), F.substr(host, F.lit(1), F.length(host) - 1)
+    ).otherwise(host)
+
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # try_element_at: the when-guards make out-of-range tails unreachable,
+    # but ANSI mode is on and Catalyst may evaluate branches eagerly —
+    # a throwing element_at here would be a latent crash, not a value bug
+    t1 = F.try_element_at(labels, F.lit(-1))
+    t2 = F.concat_ws(".", F.try_element_at(labels, F.lit(-2)), t1)
+    t3 = F.concat_ws(".", F.try_element_at(labels, F.lit(-3)), t2)
+    return F.when(host.rlike(_IP_RE_JAVA), host).otherwise(
+        F.when((n >= 3) & t2.isin(s2), t3)
+        .when((n >= 2) & t1.isin(s1), t2)
+        .otherwise(t1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # TableUtil reversed-url keys (util/TableUtil.java:41-140)
 # ---------------------------------------------------------------------------
