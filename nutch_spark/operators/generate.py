@@ -48,7 +48,12 @@ from nutch_spark.config import NutchConfig
 from nutch_spark.operators.schedules import should_fetch
 from nutch_spark.schema import STATUS_DB_UNFETCHED
 from nutch_spark.urls.filters import url_filter_cond
-from nutch_spark.urls.urlutil import domain_expr, host_expr, partition_hash_udf, url_hash32_udf
+from nutch_spark.urls.urlutil import (
+    domain_expr,
+    host_expr,
+    nutch_url_hash32_expr,
+    partition_expr,
+)
 
 
 def select_eligible(
@@ -282,11 +287,15 @@ def politeness_partition(
     else:
         part_key = host_expr(F.col("url"))
     df = df.withColumn(
-        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_key)
+        "part_id", partition_expr(part_key, cfg.partition_url_seed, num_lists)
     )
     if cfg.partition_url_mode == "byIP":
         df = df.drop("_ph", "_pip")
-    df = df.withColumn("url_hash", url_hash32_udf()(F.col("url")))
+    # coalesce mirrors the pandas twin's 0-for-null (urls are non-null
+    # post-normalize; belt and braces for the sort key)
+    df = df.withColumn(
+        "url_hash", F.coalesce(nutch_url_hash32_expr(F.col("url")), F.lit(0))
+    )
     return df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")
 
 

@@ -286,6 +286,108 @@ def host_col(url_col: Column) -> Column:
     return F.lower(F.try_parse_url(url_col, F.lit("HOST")))
 
 
+# ---------------------------------------------------------------------------
+# Pure-JVM twins of the two Java hashes. split(s, '') yields one element
+# per code point and ascii() returns the full code point (verified for
+# supplementary planes), so each hash is an aggregate() fold with the
+# UTF-8 byte / UTF-16 unit expansion done arithmetically per char — no
+# Python round-trip and no ASCII-only fallback path.
+# ---------------------------------------------------------------------------
+
+
+def _wrap_i32_col(v: Column) -> Column:
+    """Java int32 wraparound for a long column: ((v+2^31) mod 2^32)-2^31."""
+    return F.pmod(v + F.lit(1 << 31), F.lit(1 << 32)) - F.lit(1 << 31)
+
+
+def nutch_url_hash32_expr(url_col: Column) -> Column:
+    """Exact JVM twin of ``nutch_url_hash32`` (Generator.java:627-634).
+
+    The Java loop walks UTF-8 **bytes** last-to-first with h=31h+signed_b.
+    Here the fold walks code points last-to-first (reverse(split(s,''))),
+    and each code point contributes its 1-4 UTF-8 bytes, also in reverse,
+    as nested Horner steps; bit-ops become +/shift/pmod since the bit
+    fields never overlap. Null url -> null (the pandas twin returns 0;
+    callers coalesce where that matters)."""
+
+    def step(acc: Column, c: Column) -> Column:
+        cp = F.ascii(c).cast("long")
+        # signed continuation/lead bytes: raw >= 0x80 -> raw - 256
+        one = _wrap_i32_col(acc * 31 + cp)
+        two = _wrap_i32_col(
+            _wrap_i32_col(acc * 31 + (F.lit(0x80 - 256) + F.pmod(cp, F.lit(64))))
+            * 31
+            + (F.lit(0xC0 - 256) + F.shiftright(cp, 6))
+        )
+        three = _wrap_i32_col(
+            _wrap_i32_col(
+                _wrap_i32_col(acc * 31 + (F.lit(0x80 - 256) + F.pmod(cp, F.lit(64))))
+                * 31
+                + (F.lit(0x80 - 256) + F.pmod(F.shiftright(cp, 6), F.lit(64)))
+            )
+            * 31
+            + (F.lit(0xE0 - 256) + F.shiftright(cp, 12))
+        )
+        four = _wrap_i32_col(
+            _wrap_i32_col(
+                _wrap_i32_col(
+                    _wrap_i32_col(acc * 31 + (F.lit(0x80 - 256) + F.pmod(cp, F.lit(64))))
+                    * 31
+                    + (F.lit(0x80 - 256) + F.pmod(F.shiftright(cp, 6), F.lit(64)))
+                )
+                * 31
+                + (F.lit(0x80 - 256) + F.pmod(F.shiftright(cp, 12), F.lit(64)))
+            )
+            * 31
+            + (F.lit(0xF0 - 256) + F.shiftright(cp, 18))
+        )
+        return (
+            F.when(cp < 0x80, one)
+            .when(cp < 0x800, two)
+            .when(cp < 0x10000, three)
+            .otherwise(four)
+        )
+
+    # split('', '') yields [''] (ascii 0 -> a phantom Horner step);
+    # array_remove drops it — non-empty strings never produce '' elements
+    return F.aggregate(
+        F.reverse(F.array_remove(F.split(url_col, ""), "")),
+        F.lit(1).cast("long"),
+        step,
+    ).cast("int")
+
+
+def java_hashcode_expr(s_col: Column) -> Column:
+    """Exact JVM twin of ``java_string_hashcode`` (String.hashCode over
+    UTF-16 code units; supplementary code points expand to a surrogate
+    pair, two Horner steps)."""
+
+    def step(acc: Column, c: Column) -> Column:
+        cp = F.ascii(c).cast("long")
+        bmp = _wrap_i32_col(acc * 31 + cp)
+        v = cp - F.lit(0x10000)
+        pair = _wrap_i32_col(
+            _wrap_i32_col(acc * 31 + (F.lit(0xD800) + F.shiftright(v, 10))) * 31
+            + (F.lit(0xDC00) + F.pmod(v, F.lit(1024)))
+        )
+        return F.when(cp <= 0xFFFF, bmp).otherwise(pair)
+
+    return F.aggregate(
+        F.array_remove(F.split(s_col, ""), ""), F.lit(0).cast("long"), step
+    ).cast("int")
+
+
+def partition_expr(key_col: Column, seed: int, num_partitions: int) -> Column:
+    """Exact JVM twin of ``partition_index`` / URLPartitioner.getPartition:
+    (hashCode(key) ^ seed) & MAX_INT % N, null key -> hash of '' (the
+    pandas UDF's default)."""
+    h = java_hashcode_expr(F.coalesce(key_col, F.lit("")))
+    return F.pmod(
+        h.bitwiseXOR(F.lit(seed)).bitwiseAND(F.lit(0x7FFFFFFF)),
+        F.lit(num_partitions),
+    ).cast("int")
+
+
 # Java twin of _HOST_RE — the character classes are dialect-neutral, and
 # regexp_extract's find() is anchored by the leading '^'
 _HOST_RE_JAVA = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)"

@@ -55,6 +55,58 @@ HOSTS = [
 ]
 
 
+HASH_STRINGS = [
+    "http://host3.example.com/doc/42",
+    "",
+    "a",
+    "abc",                                     # String.hashCode == 96354
+    "é",                                       # 2-byte UTF-8
+    "日本語テスト",                             # 3-byte UTF-8
+    "\U0001F600",                              # 4-byte UTF-8 / surrogate pair
+    "x\U0001F600y",
+    "\U0001F600\U0010FFFF",                    # max code point
+    "߿ࠀ￿",                      # UTF-8 width boundaries
+    "\x01\x7f",                                # control chars
+    "a" * 300,                                 # long fold
+    "host1.example.com",
+]
+
+
+def test_hash_exprs_match_python_twins(spark):
+    """nutch_url_hash32_expr / java_hashcode_expr / partition_expr are
+    the pure-JVM fetchlist interleave + URLPartitioner hashes; they must
+    reproduce the reference byte/code-unit semantics on every UTF-8
+    width class, or generate's issue order and partition layout silently
+    diverge from the reference."""
+    from nutch_spark.urls.urlutil import (
+        java_hashcode_expr,
+        java_string_hashcode,
+        nutch_url_hash32,
+        nutch_url_hash32_expr,
+        partition_expr,
+        partition_index,
+    )
+
+    df = spark.createDataFrame([(v,) for v in HASH_STRINGS + [None]], "s string")
+    rows = df.select(
+        "s",
+        nutch_url_hash32_expr(F.col("s")).alias("nh"),
+        java_hashcode_expr(F.col("s")).alias("jh"),
+        partition_expr(F.col("s"), 1234567, 97).alias("p"),
+    ).collect()
+    for r in rows:
+        if r["s"] is None:
+            # null propagates through the hash exprs; partition_expr
+            # defaults to the ''-key partition like the pandas UDF
+            assert r["nh"] is None and r["jh"] is None
+            assert r["p"] == partition_index("", 1234567, 97)
+            continue
+        assert r["nh"] == nutch_url_hash32(r["s"]), repr(r["s"])
+        assert r["jh"] == java_string_hashcode(r["s"]), repr(r["s"])
+        assert r["p"] == partition_index(r["s"], 1234567, 97), repr(r["s"])
+    assert java_string_hashcode("abc") == 96354  # pin vs real Java
+
+
 def test_host_expr_matches_get_host(spark):
     df = spark.createDataFrame([(u,) for u in URLS], "url string")
     rows = df.select("url", host_expr(F.col("url")).alias("h")).collect()
