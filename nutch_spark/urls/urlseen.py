@@ -15,13 +15,15 @@ Two implementations, same contract:
   exactly like a bloom false positive (row takes the slow exact path).
 - ``BloomBitmap``: k-hash bloom bitmap built distributively (bit_or
   aggregation over 64-bit word partials; the driver only materializes
-  the non-zero words, never raw positions), broadcast as bytes, probed
-  by an Arrow-vectorized numpy UDF. ~1.2 bytes/url at 1% fpp — for
-  when the small side reaches 10^8+ urls and 8 bytes/url no longer
+  the non-zero words, never raw positions), broadcast as one long-word
+  array row and probed by pure-JVM element_at/shiftleft/'&' columns
+  (numpy UDF kept as fallback). ~1.2 bytes/url at 1% fpp — for when
+  the small side reaches 10^8+ urls and 8 bytes/url no longer
   broadcasts.
 - ``CuckooFilter``: partitioned (2,4) partial-key cuckoo filter —
   ~2.4 bytes/url at fpp ≈ 0.02%, built per hash-partition in Arrow
-  batches, probed by a vectorized numpy UDF (see its docstring).
+  batches, probed by a pure-JVM broadcast equi-join on the key
+  partition (see its split docstring; numpy UDF kept as fallback).
 
 Used by ``operators.updatedb.updatedb_incremental``: the 10^10-row
 CrawlDb is split into touched (might be in the segment) and untouched
@@ -108,6 +110,14 @@ class BloomBitmap:
             for s in range(8):
                 bits[w * 8 + s] = (masks >> np.uint64(8 * s)) & np.uint64(0xFF)
         self._bits = bits
+        # word-indexed view for the JVM probe: bit p is bit (p%64) of
+        # long word (p//64) — exactly the bit_or aggregation layout
+        words_arr = np.zeros(m // 64, dtype=np.int64)
+        if len(pdf):
+            words_arr[pdf["w"].to_numpy().astype(np.int64)] = (
+                pdf["mask"].to_numpy().astype(np.int64)
+            )
+        self._words = words_arr
 
     def might_contain_udf(self):
         bits, m, k = self._bits, self.m, self.k
@@ -123,14 +133,26 @@ class BloomBitmap:
         return _mc
 
     def split(self, big: DataFrame, url_col: str = "url") -> tuple[DataFrame, DataFrame]:
-        probe = F.struct(
-            *[
-                F.pmod(F.xxhash64(url_col, F.lit(i)), F.lit(self.m)).alias(f"h{i}")
-                for i in range(self.k)
-            ]
+        """Pure-JVM probe: the bitmap rides along as ONE broadcast row
+        holding the long-word array, and each of the k bit tests is an
+        element_at + shiftleft + '&' column expression — the 10^10-row
+        big side never enters a Python worker. (might_contain_udf
+        remains as the Arrow fallback for exotic deployments.)"""
+        spark = big.sparkSession
+        wdf = spark.createDataFrame(
+            [(self._words.tolist(),)], "_bf_words array<bigint>"
         )
-        mc = self.might_contain_udf()(probe)
-        return big.filter(mc), big.filter(~mc)
+        terms = []
+        for i in range(self.k):
+            # xxhash64(url, <int literal>) matches the build side's
+            # F.xxhash64(url_col, F.lit(i)) — same IntegerType seed column
+            p = f"pmod(xxhash64(`{url_col}`, {i}), CAST({self.m} AS BIGINT))"
+            word = f"element_at(_bf_words, CAST(({p}) DIV 64 AS INT) + 1)"
+            bit = f"shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))"
+            terms.append(f"(({word} & {bit}) != 0)")
+        mc = F.expr(" AND ".join(terms))
+        j = big.crossJoin(F.broadcast(wdf))
+        return j.filter(mc).drop("_bf_words"), j.filter(~mc).drop("_bf_words")
 
 
 class CuckooFilter:
@@ -286,6 +308,44 @@ class CuckooFilter:
         return _mc
 
     def split(self, big: DataFrame, url_col: str = "url") -> tuple[DataFrame, DataFrame]:
-        """Returns (maybe_member, not_member); they partition ``big``."""
-        mc = self.might_contain_udf()(F.xxhash64(url_col))
-        return big.filter(mc), big.filter(~mc)
+        """Returns (maybe_member, not_member); they partition ``big``.
+
+        Pure-JVM probe: the packed sub-tables ride along as a broadcast
+        equi-join on the key partition (pmod(xxhash64(url), P)), and the
+        fingerprint / bucket / alternate-bucket arithmetic is column
+        expressions — arithmetic '>>' equals the build side's uint64
+        logical shift for every bit below the mask width, and fp*MIX
+        (< 2^47) cannot overflow under ANSI. An unmatched partition
+        (no keys hashed there) left-joins null tables; element_at(null)
+        is null and coalesce(false) lands the row in not_member, the
+        numpy probe's zeros-initialized behavior. might_contain_udf
+        remains as the Arrow fallback."""
+        if not self._tables:
+            return big.filter(F.lit(False)), big
+        spark = big.sparkSession
+        rows = [
+            (int(p), int(m), table.astype(np.int32).tolist())
+            for p, (m, table) in self._tables.items()
+        ]
+        tdf = spark.createDataFrame(
+            rows, "_ck_part int, _ck_m bigint, _ck_tbl array<int>"
+        )
+        part = F.pmod(F.xxhash64(F.col(url_col)), F.lit(self.partitions)).cast("int")
+        j = big.join(F.broadcast(tdf), part == F.col("_ck_part"), "left")
+        h = f"xxhash64(`{url_col}`)"
+        fp0 = f"(shiftright({h}, 8) & CAST(65535 AS BIGINT))"
+        fp = f"(CASE WHEN {fp0} = 0 THEN CAST(1 AS BIGINT) ELSE {fp0} END)"
+        mask = "(_ck_m - 1)"
+        i1 = f"(shiftright({h}, 32) & {mask})"
+        i2 = f"({i1} ^ (({fp} * CAST({int(self._MIX)} AS BIGINT)) & {mask}))"
+        terms = []
+        for s in range(self.slots):
+            terms.append(
+                f"element_at(_ck_tbl, CAST({i1} * {self.slots} + {s} AS INT) + 1) = {fp}"
+            )
+            terms.append(
+                f"element_at(_ck_tbl, CAST({i2} * {self.slots} + {s} AS INT) + 1) = {fp}"
+            )
+        mc = F.coalesce(F.expr(" OR ".join(terms)), F.lit(False))
+        drop = ["_ck_part", "_ck_m", "_ck_tbl"]
+        return j.filter(mc).drop(*drop), j.filter(~mc).drop(*drop)

@@ -131,3 +131,38 @@ def test_updatedb_incremental_cuckoo_equals_exact(spark):
 
     exact = snap(updatedb(old, seg, cfg, 9000))
     assert snap(updatedb_incremental(old, seg, cfg, 9000, membership="cuckoo")) == exact
+
+
+def test_jvm_probes_match_numpy_probes(spark):
+    """The JVM split (element_at/shiftleft/'&' columns, broadcast
+    tables) must classify every row exactly like the Arrow numpy probe
+    it replaced — both derive every quantity from the same xxhash64,
+    so any disagreement is an arithmetic translation bug, not noise."""
+    from nutch_spark.urls.urlseen import CuckooFilter
+
+    big = _urls(spark, 3000)
+    small = big.filter(F.col("url").endswith("9"))
+
+    bloom = BloomBitmap(small, fpp=0.02)
+    jvm_m, jvm_n = bloom.split(big)
+    probe = F.struct(
+        *[
+            F.pmod(F.xxhash64("url", F.lit(i)), F.lit(bloom.m)).alias(f"h{i}")
+            for i in range(bloom.k)
+        ]
+    )
+    mc = bloom.might_contain_udf()(probe)
+    arrow_m = {r["url"] for r in big.filter(mc).collect()}
+    assert {r["url"] for r in jvm_m.collect()} == arrow_m
+    assert {r["url"] for r in jvm_n.collect()} == (
+        {r["url"] for r in big.collect()} - arrow_m
+    )
+
+    ck = CuckooFilter(small, partitions=3)
+    jvm_m, jvm_n = ck.split(big)
+    mc = ck.might_contain_udf()(F.xxhash64("url"))
+    arrow_m = {r["url"] for r in big.filter(mc).collect()}
+    assert {r["url"] for r in jvm_m.collect()} == arrow_m
+    assert {r["url"] for r in jvm_n.collect()} == (
+        {r["url"] for r in big.collect()} - arrow_m
+    )
