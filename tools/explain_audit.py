@@ -60,15 +60,21 @@ def main() -> int:
         if "BatchEvalPython" in text:
             flags.append("WARNING: row-at-a-time Python UDF in plan")
         n_exchange = text.count("Exchange")
+        # count Python nodes from the numbered-operator list (the tree
+        # rendering repeats each node, which would double-count)
+        n_python = sum(
+            1 for ln in text.splitlines()
+            if ln.startswith("(") and "ArrowEvalPython" in ln
+        )
         summary = (
             f"query: {name}\nsf_dir: {sf_dir}\n"
-            f"exchanges: {n_exchange}\n"
+            f"exchanges: {n_exchange}\npython_nodes: {n_python}\n"
             + ("\n".join(flags) + "\n" if flags else "")
             + "=" * 72 + "\n"
         )
         with open(f"BENCH/plans/{name}.txt", "w") as f:
             f.write(summary + text)
-        print(f"{name}: exchanges={n_exchange} {' '.join(flags)}")
+        print(f"{name}: exchanges={n_exchange} python_nodes={n_python} {' '.join(flags)}")
     spark.stop()
     return rc
 
