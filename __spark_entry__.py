@@ -1113,6 +1113,28 @@ def q_span_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_depth_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 in-fetch outlink following (fetcher.follow.outlinks.depth=1,
+    FetcherThread.java:840-886): wave 0 is the politeness fetch; its
+    parsed pages follow same-host outlinks (per-queue alreadyFetched
+    dedup, per-page num.links cap) as STATUS_LINKED items that drain
+    AFTER the wave-0 queue on each host's virtual clock. The oracle
+    replays both waves: the dedup set by string equality (the engine
+    uses Java hashCodes — equivalent unless the fixture contains a
+    hashCode collision, which it does not) and the wave-1 clock from
+    each host's wave-0 end."""
+    from nutch_spark.operators.fetchsim import fetch_follow_outlinks
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject_full
+
+    cfg = replace(CFG, fetch_partitions=8, fetcher_follow_outlinks_depth=1)
+    docs, robots, outcomes, seeds = _web(spark, sf_dir)
+    db = inject_full(spark, None, seeds, cfg, GEN_NOW)
+    fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=8)
+    crawl_fetch, _ = fetch_follow_outlinks(fl, robots, outcomes, docs, cfg, GEN_NOW)
+    return crawl_fetch.select("url", "status", "fetch_time", "outlink_depth")
+
+
 def q_fetch_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/F7: robots gating + protocol-status -> fetch-status switch
     (FetcherThread.java:319-487) — the status outcome of the same fetch
@@ -2246,6 +2268,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fetch_politeness": q_fetch_politeness,
         "fetch_politeness_byip": q_fetch_politeness_byip,
         "fetch_throughput": q_fetch_throughput,
+        "fetch_depth_follow": q_fetch_depth_follow,
         "fetch_statuses": q_fetch_statuses,
         "parse_outlinks": q_parse_outlinks,
         "span_signature": q_span_signature,
@@ -2484,6 +2507,78 @@ c AS (
 _FETCH_POLITENESS_ORACLE = f"""
 WITH {_POLITENESS_CTES}
 SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time FROM c
+"""
+
+# F9 depth-follow replay: wave 0 = the politeness clock above; parsed
+# (status 33) pages emit two candidates each (pos 0: the link span's
+# target doc, same-host only; pos 1: the media url). The alreadyFetched
+# set is replayed as first-occurrence over the interleaved event stream
+# (page-claims at pos -1, candidates at span pos) ordered by the wave-0
+# virtual clock; string equality stands in for Java hashCode equality
+# (no collision in this fixture). Wave 1 drains from each host's wave-0
+# end-of-queue clock in url-hash interleave order; media urls have no
+# outcome row => status 37 (gone/notfound), latency 0.
+_FETCH_DEPTH_FOLLOW_ORACLE = f"""
+WITH {_POLITENESS_CTES},
+w0 AS (
+  SELECT url, host_id, did, status, latency, delay_ms,
+    CAST({GEN_NOW} + COALESCE(SUM(latency + delay_ms) OVER (
+      PARTITION BY host_id ORDER BY url_hash, url
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS fetch_time
+  FROM h
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+parsed AS (SELECT * FROM w0 WHERE status = 33),
+cand AS (
+  SELECT p.host_id, p.fetch_time AS t, 0 AS pos,
+    'http://host' || CAST(((7 * p.did + 1) % nn.n) % 20 AS VARCHAR)
+      || '.example.com/doc/' || CAST((7 * p.did + 1) % nn.n AS VARCHAR) AS url,
+    (7 * p.did + 1) % nn.n AS tgt
+  FROM parsed p, nn
+  WHERE ((7 * p.did + 1) % nn.n) % 20 = p.host_id
+  UNION ALL
+  SELECT p.host_id, p.fetch_time, 1,
+    'http://host' || CAST(p.host_id AS VARCHAR) || '.example.com/media/'
+      || CAST(p.did AS VARCHAR) || '.img',
+    CAST(NULL AS BIGINT)
+  FROM parsed p
+),
+ev AS (
+  SELECT host_id, url, fetch_time AS t, -1 AS pos, CAST(NULL AS BIGINT) AS tgt,
+         FALSE AS is_cand
+  FROM parsed
+  UNION ALL
+  SELECT host_id, url, t, pos, tgt, TRUE FROM cand
+),
+fw AS (
+  SELECT *, row_number() OVER (PARTITION BY host_id, url ORDER BY t, pos) AS rn
+  FROM ev
+),
+followed AS (SELECT host_id, url, tgt FROM fw WHERE is_cand AND rn = 1),
+qend AS (
+  SELECT host_id, MAX(fetch_time + latency + delay_ms) AS qstart
+  FROM w0 GROUP BY host_id
+),
+w1 AS (
+  SELECT url, host_id,
+    {_URLHASH_SQL} AS url_hash,
+    CAST(CASE WHEN tgt IS NULL THEN 37
+         WHEN tgt % 17 = 0 THEN 37 WHEN tgt % 29 = 0 THEN 34
+         WHEN tgt % 23 = 0 THEN 36 ELSE 33 END AS INTEGER) AS status,
+    CASE WHEN tgt IS NULL THEN 0 ELSE 50 + tgt % 100 END AS latency,
+    CASE WHEN host_id % 11 = 0 THEN 8000 ELSE 5000 END AS delay_ms
+  FROM followed
+),
+w1c AS (
+  SELECT w1.url, w1.status,
+    CAST(q.qstart + COALESCE(SUM(w1.latency + w1.delay_ms) OVER (
+      PARTITION BY w1.host_id ORDER BY w1.url_hash, w1.url
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS fetch_time
+  FROM w1 JOIN qend q ON w1.host_id = q.host_id
+)
+SELECT url, status, fetch_time, CAST(0 AS INTEGER) AS outlink_depth FROM w0
+UNION ALL
+SELECT url, status, fetch_time, CAST(1 AS INTEGER) AS outlink_depth FROM w1c
 """
 
 # publisher replay: START at cycle start with an empty eventData, END
@@ -3040,6 +3135,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["multimodal_features"] = _MULTIMODAL_ORACLE
     oracles["fetch_politeness"] = _FETCH_POLITENESS_ORACLE
     oracles["fetch_politeness_byip"] = _FETCH_POLITENESS_BYIP_ORACLE
+    oracles["fetch_depth_follow"] = _FETCH_DEPTH_FOLLOW_ORACLE
     oracles["warc_export"] = _WARC_ORACLE
     oracles["fetch_throughput"] = _FETCH_THROUGHPUT_ORACLE
     oracles["crawl_cycle"] = _CRAWL_CYCLE_ORACLE

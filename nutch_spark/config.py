@@ -79,6 +79,15 @@ class NutchConfig:
     fetcher_throughput_check_after_mins: int = 5  # fetcher.throughput.threshold.check.after
     http_redirect_max: int = 0  # http.redirect.max (0 = record as linked)
 
+    # in-fetch outlink following (F9, FetcherThread.java:840-886):
+    # depth <= 0 disables; num.links caps follows per page; the config
+    # default for ignore.external is true (nutch-default.xml:1241-1246 —
+    # the file wins over FetcherThread.java:231's `false` code default,
+    # per this module's header rule)
+    fetcher_follow_outlinks_depth: int = -1  # fetcher.follow.outlinks.depth
+    fetcher_follow_outlinks_num_links: int = 4  # fetcher.follow.outlinks.num.links
+    fetcher_follow_outlinks_ignore_external: bool = True  # fetcher.follow.outlinks.ignore.external
+
     # --- dedup (DeduplicationJob.java:284) ---
     dedup_compare_order: str = "score,fetchTime,urlLength"
     dedup_group_mode: str = "none"  # none | host | domain

@@ -21,9 +21,6 @@ because only rank computation runs per group (no collect_list).
 
 from __future__ import annotations
 
-from urllib.parse import unquote
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,18 +29,18 @@ from nutch_spark.schema import STATUS_DB_DUPLICATE, STATUS_DB_FETCHED, STATUS_DB
 from nutch_spark.urls.urlutil import domain_expr, host_col
 
 
-def _decoded_len_udf():
-    @F.pandas_udf("int")
-    def _dl(urls: pd.Series) -> pd.Series:
-        def ln(u):
-            try:
-                return len(unquote(u))
-            except Exception:
-                return len(u)
+def decoded_url_len(url: Column) -> Column:
+    """Percent-decoded URL length, pure JVM (DeduplicationJob.java:207-231).
 
-        return urls.map(ln)
-
-    return _dl
+    The reference calls ``URLDecoder.decode(url, UTF_8)`` and on
+    ``IllegalArgumentException`` (malformed % escape) compares the
+    *encoded* URL instead — a whole-string fallback. Spark's
+    ``try_url_decode`` is that exact Java decoder returning NULL on the
+    same exception, so ``coalesce(try_url_decode(url), url)`` reproduces
+    the fallback bit-for-bit. (``+`` decodes to a space — length
+    unchanged, so the comparator is unaffected.)
+    """
+    return F.char_length(F.coalesce(F.try_url_decode(url), url))
 
 
 def find_duplicates(crawldb: DataFrame, cfg: NutchConfig) -> DataFrame:
@@ -70,7 +67,7 @@ def find_duplicates(crawldb: DataFrame, cfg: NutchConfig) -> DataFrame:
         elif comp == "httpsOverHttp":
             order.append(F.asc(F.when(F.col("url").startswith("https://"), 0).otherwise(1)))
         elif comp == "urlLength":
-            order.append(F.asc(_decoded_len_udf()(F.col("url"))))
+            order.append(F.asc(decoded_url_len(F.col("url"))))
     w = Window.partitionBy("sig_key").orderBy(*order)
     ranked = eligible.withColumn("_rank", F.rank().over(w))
     return ranked.filter(F.col("_rank") > 1).select("url")

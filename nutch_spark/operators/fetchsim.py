@@ -81,6 +81,30 @@ def _choose_repr_udf():
     return _cr
 
 
+def attach_queue(df: DataFrame, cfg: NutchConfig, dns: DataFrame | None) -> DataFrame:
+    """Adds ``host`` + the politeness queue id ``_queue`` per
+    ``fetcher.queue.mode`` (FetchItem.create, fetcher/FetchItem.java:87-121).
+    Robots rules stay host-keyed in every mode, so ``host`` is the real
+    host and ``_queue`` the politeness unit."""
+    df = df.withColumn("host", host_col(F.col("url")))
+    if cfg.fetcher_queue_mode == "byIP":
+        if dns is None:
+            raise ValueError("fetcher.queue.mode=byIP requires a dns fixture (host, ip)")
+        df = df.join(
+            F.broadcast(dns.select(F.col("host"), F.col("ip").alias("_queue"))),
+            "host",
+            "left",
+        )
+        # unresolved host => item skipped entirely, no host-name fallback
+        # (FetchItem.java:101-104)
+        return df.filter(F.col("_queue").isNotNull())
+    if cfg.fetcher_queue_mode == "byDomain":
+        from nutch_spark.urls.urlutil import domain_expr
+
+        return df.withColumn("_queue", domain_expr(F.col("url")))
+    return df.withColumn("_queue", F.col("host"))
+
+
 def fetch(
     fetchlist: DataFrame,
     robots: DataFrame,
@@ -89,7 +113,9 @@ def fetch(
     cycle_start_ms: int,
     *,
     dns: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    queue_clock: DataFrame | None = None,
+    return_clock: bool = False,
+):
     """Run the simulated fetch.
 
     Returns ``(crawl_fetch, redirect_links)``:
@@ -101,30 +127,15 @@ def fetch(
 
     ``dns``: (host, ip) fixture table, required for
     ``fetcher.queue.mode=byIP`` (the sandbox has no resolver; SURVEY A4).
+
+    ``queue_clock``: optional (``_queue``, ``_queue_start``) table — a
+    queue's virtual clock starts there instead of ``cycle_start_ms``
+    (items appended to a live queue drain after what is already queued:
+    the outlink-follow waves, FetcherThread.java:882). With
+    ``return_clock=True`` a third DataFrame is returned carrying each
+    queue's end-of-wave clock for the next wave.
     """
-    # politeness queue id = host / domain / IP per fetcher.queue.mode
-    # (FetchItem.create, fetcher/FetchItem.java:87-121). Robots rules
-    # stay host-keyed in every mode, so `host` is the real host and
-    # `_queue` the politeness unit.
-    fl = fetchlist.withColumn("host", host_col(F.col("url")))
-    if cfg.fetcher_queue_mode == "byIP":
-        if dns is None:
-            raise ValueError("fetcher.queue.mode=byIP requires a dns fixture (host, ip)")
-        fl = fl.join(
-            F.broadcast(dns.select(F.col("host"), F.col("ip").alias("_queue"))),
-            "host",
-            "left",
-        )
-        # unresolved host => item skipped entirely, no host-name fallback
-        # (FetchItem.java:101-104)
-        fl = fl.filter(F.col("_queue").isNotNull())
-    elif cfg.fetcher_queue_mode == "byDomain":
-        from nutch_spark.urls.urlutil import domain_expr
-
-        fl = fl.withColumn("_queue", domain_expr(F.col("url")))
-    else:
-        fl = fl.withColumn("_queue", F.col("host"))
-
+    fl = attach_queue(fetchlist, cfg, dns)
     fl = fl.join(F.broadcast(robots), "host", "left")
     fl = fl.join(outcomes, "url", "left")
 
@@ -184,6 +195,12 @@ def fetch(
         F.coalesce(F.col("latency_ms"), F.lit(0).cast("long")) + delay_ms
     )
 
+    if queue_clock is not None:
+        fl = fl.join(F.broadcast(queue_clock), "_queue", "left")
+        q_start = F.coalesce(F.col("_queue_start"), F.lit(cycle_start_ms).cast("long"))
+    else:
+        q_start = F.lit(cycle_start_ms).cast("long")
+
     w = Window.partitionBy("_queue").orderBy("url_hash", "url")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
     exc_before = F.coalesce(
@@ -196,16 +213,17 @@ def fetch(
         * (F.pow(F.lit(2.0), exc_before.cast("double")) - 1.0)
     ).cast("long")
     start_time = (
-        F.lit(cycle_start_ms)
+        q_start
         + F.coalesce(F.sum(cost).over(wprev), F.lit(0).cast("long"))
         + backoff_ms
     )
 
     fl = (
-        fl.withColumn("fetch_start", F.when(gated, F.lit(cycle_start_ms)).otherwise(start_time))
+        fl.withColumn("fetch_start", F.when(gated, q_start).otherwise(start_time))
         .withColumn("exc_before", exc_before)
         .withColumn("fstatus", status)
         .withColumn("gated", gated)
+        .withColumn("_cost", cost)
     )
 
     # queue kill after too many exceptions (fetcher.max.exceptions.per.queue)
@@ -269,7 +287,14 @@ def fetch(
         F.lit(None).cast("long").alias("gen_time"),
         _choose_repr_udf()(F.col("url"), F.col("redirect_to"), is_temp).alias("repr_url"),
     )
-    return crawl_fetch, redirect_links
+    if not return_clock:
+        return crawl_fetch, redirect_links
+    # end-of-wave clock: the queue's nextFetchTime after its last
+    # surviving item (gated items cost 0 and cannot push it forward)
+    clock = fl.groupBy("_queue").agg(
+        F.max(F.col("fetch_start") + F.col("_cost")).cast("long").alias("_queue_start")
+    )
+    return crawl_fetch, redirect_links, clock
 
 
 def _apply_throughput_killer(
@@ -352,3 +377,184 @@ def fetched_content(crawl_fetch: DataFrame, docs: DataFrame) -> DataFrame:
     return ok.select("url", "score", "fetch_time", "gen_time").join(
         docs.select(F.col("doc_id").alias("url"), "spans", "is_canonical"), "url", "inner"
     )
+
+
+def _follow_fold_udf(cap: int):
+    """Per-queue sequential replay of the outlink follower
+    (FetcherThread.java:840-886): one FetcherThread drains a queue in
+    FIFO order, so within a queue the mutable ``alreadyFetched`` set and
+    the per-page ``outlinkCounter`` cap evolve strictly sequentially —
+    a fold, not a window (a capped-out candidate does NOT claim its
+    hash, so later pages may still follow it; first-occurrence window
+    semantics would get that corner wrong). Queue groups are bounded by
+    the per-host generate cap x num.links^depth, so the Arrow group is
+    small by construction."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "src_url", "pos"])
+        seen: set[int] = set()
+        page_count: dict[str, int] = {}
+        out_src, out_to, out_pos = [], [], []
+        for r in pdf.itertuples(index=False):
+            if r.kind == "s":
+                # page enters processing: claim its own hash (:844)
+                seen.add(r.h)
+                continue
+            if r.pre_seen or r.h in seen:
+                continue
+            c = page_count.get(r.src_url, 0)
+            if c >= cap:
+                continue
+            page_count[r.src_url] = c + 1
+            seen.add(r.h)
+            out_src.append(r.src_url)
+            out_to.append(r.to_url)
+            out_pos.append(r.pos)
+        return pd.DataFrame(
+            {
+                "src_url": pd.Series(out_src, dtype="object"),
+                "to_url": pd.Series(out_to, dtype="object"),
+                "pos": pd.Series(out_pos, dtype="int32"),
+            }
+        )
+
+    return fold
+
+
+def fetch_follow_outlinks(
+    fetchlist: DataFrame,
+    robots: DataFrame,
+    outcomes: DataFrame,
+    docs: DataFrame,
+    cfg: NutchConfig,
+    cycle_start_ms: int,
+    *,
+    dns: DataFrame | None = None,
+    url_filter_rules: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """F9 in-fetch outlink following (fetcher.follow.outlinks.depth > 0,
+    FetcherThread.java:840-886): fetch wave 0, parse it, follow up to
+    ``num.links`` outlinks per page (optionally same-host only) that no
+    earlier page of the same politeness queue has claimed, enqueue them
+    as STATUS_LINKED items at depth+1, repeat to the configured depth.
+
+    Re-expression notes (vs the reference's thread pool):
+    - Followed items are appended to live queues and drain after what is
+      already enqueued (FIFO) — modeled exactly by running each depth
+      wave through ``fetch`` with the previous wave's per-queue
+      end-of-clock as ``queue_clock``.
+    - The ``alreadyFetched`` dedup set is per-SOURCE-queue
+      (FetchItemQueue of the page being parsed, :842-873) and persists
+      across waves; the per-queue fold replays it sequentially.
+    - Documented deviation: the reference walks candidates in
+      ``HashSet<String>`` iteration order (:855), which is unspecified;
+      we use span/document order (``pos``) — the only deterministic,
+      engine-independent choice.
+    - The fetch time limit already drops not-yet-started items inside
+      ``fetch`` (Fetcher.java:221-223), which subsumes the reference's
+      ``timelimitExceeded`` guard at :841.
+
+    Returns ``(crawl_fetch, redirect_links)`` unions over all waves;
+    crawl_fetch carries ``outlink_depth``.
+    """
+    from nutch_spark.operators.parse import parse
+    from nutch_spark.urls.urlutil import java_hashcode_expr, nutch_url_hash32_expr
+
+    depth = cfg.fetcher_follow_outlinks_depth
+    if depth <= 0:
+        raise ValueError("fetch_follow_outlinks needs fetcher.follow.outlinks.depth > 0")
+    cap = cfg.fetcher_follow_outlinks_num_links
+
+    spark = fetchlist.sparkSession
+    seen = spark.createDataFrame([], "_queue string, _h long")
+    queue_clock = None
+    wave = fetchlist
+    fetched_waves: list[DataFrame] = []
+    redir_waves: list[DataFrame] = []
+    for d in range(depth + 1):
+        crawl_fetch, redirs, queue_clock = fetch(
+            wave, robots, outcomes, cfg, cycle_start_ms,
+            dns=dns, queue_clock=queue_clock, return_clock=True,
+        )
+        crawl_fetch = crawl_fetch.withColumn(
+            "outlink_depth", F.lit(d).cast("int")
+        ).localCheckpoint(eager=True)  # each wave feeds the next wave AND the output union
+        fetched_waves.append(crawl_fetch)
+        redir_waves.append(redirs)
+        if d == depth:
+            break
+
+        content = fetched_content(crawl_fetch, docs)
+        parsed = parse(content, cfg, url_filter_rules=url_filter_rules)
+        src_q = attach_queue(
+            content.select("url", "fetch_time"), cfg, dns
+        ).select("url", "_queue", "fetch_time")
+        cands = parsed["outlinks"].select("url", "to_url", "pos").join(src_q, "url")
+        if cfg.fetcher_follow_outlinks_ignore_external:
+            # host check against the source url (:859-865), independent
+            # of the queue mode
+            cands = cands.filter(host_col(F.col("url")) == host_col(F.col("to_url")))
+
+        events = cands.select(
+            "_queue",
+            F.lit("c").alias("kind"),
+            F.col("fetch_time").alias("t"),
+            F.col("pos").cast("int").alias("pos"),
+            java_hashcode_expr(F.col("to_url")).alias("h"),
+            F.col("url").alias("src_url"),
+            "to_url",
+        ).unionByName(
+            src_q.select(
+                "_queue",
+                F.lit("s").alias("kind"),
+                F.col("fetch_time").alias("t"),
+                F.lit(-1).cast("int").alias("pos"),
+                java_hashcode_expr(F.col("url")).alias("h"),
+                F.col("url").alias("src_url"),
+                F.lit(None).cast("string").alias("to_url"),
+            )
+        )
+        events = events.join(
+            seen.select("_queue", F.col("_h").alias("h")).withColumn("pre_seen", F.lit(True)),
+            ["_queue", "h"],
+            "left",
+        ).fillna({"pre_seen": False})
+
+        followed = events.groupBy("_queue").applyInPandas(
+            _follow_fold_udf(cap), "src_url string, to_url string, pos int"
+        ).localCheckpoint(eager=True)  # feeds next wave + seen
+
+        # alreadyFetched grows by every processed page's own hash and
+        # every followed hash, claimed in the SOURCE page's queue
+        seen = (
+            seen.unionByName(
+                src_q.select("_queue", java_hashcode_expr(F.col("url")).alias("_h"))
+            )
+            .unionByName(
+                followed.join(src_q.select(F.col("url").alias("src_url"), "_queue"), "src_url")
+                .select("_queue", java_hashcode_expr(F.col("to_url")).alias("_h"))
+            )
+            .distinct()
+        )
+
+        # new FetchItem: CrawlDatum(STATUS_LINKED, interval) — score 0.0
+        # (CrawlDatum.java:142,162-166), depth+1 (:876-878)
+        wave = followed.select(
+            F.col("to_url").alias("url"),
+            F.lit(0).alias("retries"),
+            F.lit(cfg.db_fetch_interval_default).alias("fetch_interval"),
+            F.lit(0.0).cast("float").alias("score"),
+            F.lit(None).cast("string").alias("signature"),
+            F.lit(0).cast("long").alias("modified_time"),
+            F.expr(_EMPTY_MAP).alias("metadata"),
+            F.lit(None).cast("long").alias("gen_time"),
+            F.lit(None).cast("string").alias("repr_url"),
+        ).withColumn("url_hash", F.coalesce(nutch_url_hash32_expr(F.col("url")), F.lit(0)))
+
+    out_fetch = fetched_waves[0]
+    for wdf in fetched_waves[1:]:
+        out_fetch = out_fetch.unionByName(wdf)
+    out_redirs = redir_waves[0]
+    for rdf in redir_waves[1:]:
+        out_redirs = out_redirs.unionByName(rdf)
+    return out_fetch, out_redirs

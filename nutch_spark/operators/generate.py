@@ -51,8 +51,8 @@ from nutch_spark.urls.filters import url_filter_cond
 from nutch_spark.urls.urlutil import (
     domain_expr,
     host_expr,
-    nutch_url_hash32_expr,
-    partition_expr,
+    partition_hash_udf,
+    url_hash32_udf,
 )
 
 
@@ -286,16 +286,20 @@ def politeness_partition(
         part_key = domain_expr(F.col("url"))
     else:
         part_key = host_expr(F.col("url"))
+    # HOT-PATH NOTE (measured at 20M urls, BENCH/MEASUREMENT_LOG.md
+    # 2026-08-18): the JVM aggregate-fold twins of these two hashes
+    # (nutch_url_hash32_expr / partition_expr) evaluate the per-char
+    # lambda INTERPRETED — 4.2x slower than the Arrow+numpy Horner for
+    # url_hash (63s vs 15s at local[4]) and a wash for the host-keyed
+    # partition hash (which caches per unique host on the pandas side).
+    # The exprs remain the oracle/parity twins and serve small columns
+    # (outlink-follow waves); the 20M-row generate path stays numpy.
     df = df.withColumn(
-        "part_id", partition_expr(part_key, cfg.partition_url_seed, num_lists)
+        "part_id", partition_hash_udf(cfg.partition_url_seed, num_lists)(part_key)
     )
     if cfg.partition_url_mode == "byIP":
         df = df.drop("_ph", "_pip")
-    # coalesce mirrors the pandas twin's 0-for-null (urls are non-null
-    # post-normalize; belt and braces for the sort key)
-    df = df.withColumn(
-        "url_hash", F.coalesce(nutch_url_hash32_expr(F.col("url")), F.lit(0))
-    )
+    df = df.withColumn("url_hash", url_hash32_udf()(F.col("url")))
     return df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")
 
 

@@ -107,7 +107,18 @@ class Crawler:
             return CycleResult(cycle_id, 0, 0, crawldb.count(), {}, 0, time.time() - t0,
                                parent or 0)
 
-        crawl_fetch, redirect_links = fetch(fl, self.robots, self.outcomes, self.cfg, now_ms)
+        if self.cfg.fetcher_follow_outlinks_depth > 0:
+            # F9: the reference fetcher follows outlinks in-fetch when
+            # fetcher.follow.outlinks.depth > 0 (FetcherThread.java:840)
+            from nutch_spark.operators.fetchsim import fetch_follow_outlinks
+
+            crawl_fetch, redirect_links = fetch_follow_outlinks(
+                fl, self.robots, self.outcomes, self.docs, self.cfg, now_ms,
+                url_filter_rules=self.url_filter_rules,
+            )
+            crawl_fetch = crawl_fetch.drop("outlink_depth")
+        else:
+            crawl_fetch, redirect_links = fetch(fl, self.robots, self.outcomes, self.cfg, now_ms)
         crawl_fetch = crawl_fetch.persist()
         content = fetched_content(crawl_fetch, self.docs)
         parsed = parse(content, self.cfg, url_filter_rules=self.url_filter_rules)

@@ -368,13 +368,24 @@ def normalize_series(urls: pd.Series, scope: str = "default") -> pd.Series:
 
 
 def normalize_udf(scope: str = "default"):
-    """Arrow-batched pandas UDF: url -> normalized url (null if malformed)."""
+    """Arrow-batched pandas UDF: url -> normalized url (null if malformed).
+
+    The chain is a pure function, but the UDF is flagged nondeterministic
+    to pin single evaluation: a deterministic UDF behind the usual
+    ``withColumn("u", norm).filter(u.isNotNull())`` pattern gets
+    substituted into the pushed-down filter, and Catalyst then extracts
+    TWO ArrowEvalPython nodes for the same call (observed in the
+    parse_outlinks / feed_parse plans) — doubling the Arrow round-trips.
+    Nondeterministic blocks the substitution, so the filter stays above
+    one Project evaluating the UDF once. No semantic change: every call
+    site materializes the result as a column before reusing it.
+    """
 
     @F.pandas_udf("string")
     def _norm(urls: pd.Series) -> pd.Series:
         return normalize_series(urls, scope)
 
-    return _norm
+    return _norm.asNondeterministic()
 
 
 # Java-regex twin of _FAST_CANONICAL for evaluation inside whole-stage

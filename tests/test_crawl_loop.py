@@ -152,3 +152,21 @@ def test_committed_segment_carries_patched_crawl_parse(spark, web, tmp_path):
         F.coalesce(F.element_at("metadata", "campaign"), F.lit("")) != "alpha"
     ).count()
     assert untagged == 0
+
+
+def test_crawl_loop_with_outlink_follow(spark, web, tmp_path):
+    """F9 wired into the macro-loop by config: with depth=1 the fetch
+    stage itself fetches first-degree same-host outlinks, so cycle 1
+    lands more fetched rows in the crawldb than the plain fetch."""
+    plain, _ = make_crawler(spark, web, tmp_path / "plain")
+    follow, cat = make_crawler(
+        spark, web, tmp_path / "follow", fetcher_follow_outlinks_depth=1
+    )
+    plain.inject(web["seeds"], START)
+    follow.inject(web["seeds"], START)
+    r_plain = plain.run_cycle(1, START + 1_000_000, top_n=50)
+    r_follow = follow.run_cycle(1, START + 1_000_000, top_n=50)
+    assert r_follow.fetched > r_plain.fetched
+    # URL-seen invariant survives duplicate in-fetch datums
+    db = cat.read(spark, "crawldb")
+    assert db.count() == db.select("url").distinct().count()

@@ -100,3 +100,54 @@ def test_group_mode_host(spark):
         dedup_group_mode="host",
     )
     assert set(got.values()) == {S.STATUS_DB_FETCHED}
+
+
+def _java_decoded_len(u: str) -> int:
+    """Literal replay of DeduplicationJob.java:207-231's comparator key:
+    java.net.URLDecoder.decode(u, UTF_8), whole-string fallback to the
+    encoded URL on IllegalArgumentException (malformed % escape)."""
+    import re
+    from urllib.parse import unquote_plus
+
+    # URLDecoder throws IAE if any '%' is not followed by two hex digits
+    if re.search(r"%(?![0-9a-fA-F]{2})", u):
+        return len(u)
+    # '+' -> ' ' and strict %XX decode; malformed UTF-8 byte sequences
+    # become U+FFFD in both decoders (errors='replace' / CodingErrorAction.REPLACE)
+    return len(unquote_plus(u, errors="replace"))
+
+
+def test_decoded_url_len_matches_java_semantics(spark):
+    """decoded_url_len is a pure-JVM column (no ArrowEvalPython node) and
+    must equal the Java URLDecoder replay on escapes, multi-byte UTF-8,
+    '+', and the invalid-escape whole-string fallback."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.dedup import decoded_url_len
+
+    urls = [
+        "http://x.example.com/plain",
+        "http://x.example.com/a%20b%20c",          # simple escapes
+        "http://x.example.com/caf%C3%A9",          # 2-byte UTF-8 -> 1 char
+        "http://x.example.com/%E2%82%AC/price",    # 3-byte UTF-8 -> 1 char
+        "http://x.example.com/a+b+c",              # '+' -> space, same length
+        "http://x.example.com/bad%zzescape",       # IAE -> encoded fallback
+        "http://x.example.com/mixed%20and%zz",     # valid + invalid -> fallback
+        "http://x.example.com/trailing%2",         # truncated escape -> fallback
+        "http://x.example.com/%FF",                # lone invalid UTF-8 byte -> U+FFFD
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["n"]
+        for r in df.select("url", decoded_url_len(F.col("url")).alias("n")).collect()
+    }
+    for u in urls:
+        assert got[u] == _java_decoded_len(u), u
+    # and the plan is Python-free
+    plan = (
+        df.select(decoded_url_len(F.col("url")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
