@@ -50,7 +50,9 @@ from nutch_spark.schema import STATUS_DB_UNFETCHED
 from nutch_spark.urls.filters import url_filter_cond
 from nutch_spark.urls.urlutil import (
     domain_expr,
+    domain_udf,
     host_expr,
+    host_udf,
     partition_hash_udf,
     url_hash32_udf,
 )
@@ -113,9 +115,19 @@ def select_eligible(
 
 
 def _host_key(cfg: NutchConfig) -> F.Column:
+    # HOT-PATH NOTE (A/B at 20M urls, local[4], BENCH/MEASUREMENT_LOG.md
+    # 2026-08-18): the pandas twin beats host_expr here — 37s vs 52s for
+    # the whole generate stage. host_key feeds .filter(isNotNull) plus
+    # two window keys; Catalyst clones the inlined regexp_extract through
+    # the pushed-down filter (and nullif() doubles it again per CASE
+    # expansion), so the "codegen" regex runs up to 4x per row, while an
+    # ArrowEvalPython node is a cloning barrier: one C-level pandas regex
+    # pass per batch, materialized once. host_expr/domain_expr remain the
+    # right choice where the value is consumed once (fetch queue key,
+    # dedup/webgraph/stats domains) or feeds a pandas UDF input.
     if cfg.generate_count_mode == "domain" and cfg.generate_max_count != -1:
-        return domain_expr(F.col("url"))
-    return host_expr(F.col("url"))
+        return F.lower(domain_udf()(F.col("url")))
+    return F.lower(host_udf()(F.col("url")))
 
 
 def apply_quota_windowed(
@@ -263,7 +275,7 @@ def apply_quota_parity(
 
 
 def politeness_partition(
-    df, cfg: NutchConfig, num_lists: int, dns=None
+    df, cfg: NutchConfig, num_lists: int, dns=None, part_key=None
 ):
     """G3: explicit URLPartitioner partition id + url-hash interleave
     sort (URLPartitioner.java:76-108). A politeness unit (host / domain /
@@ -282,6 +294,8 @@ def politeness_partition(
             "left",
         )
         part_key = F.coalesce(F.col("_pip"), F.lit(""))  # "".hashCode() == 0
+    elif part_key is not None:
+        pass  # caller-provided precomputed key (generate reuses host_key)
     elif cfg.partition_url_mode == "byDomain":
         part_key = domain_expr(F.col("url"))
     else:
@@ -380,8 +394,15 @@ def generate(
     # G3: politeness partitioning — explicit partition id from the
     # URLPartitioner hash (byHost) with injected seed; repartition on it so
     # a host never spans two fetch lists. AQE never coalesces an explicit
-    # repartition-by-column with a fixed N.
-    return politeness_partition(df, cfg, num_lists, dns)
+    # repartition-by-column with a fixed N. When the quota key and the
+    # partition key are the same unit (both host, or both domain), reuse
+    # the already-materialized host_key instead of re-extracting it.
+    key_is_domain = cfg.generate_count_mode == "domain" and cfg.generate_max_count != -1
+    reuse = (cfg.partition_url_mode == "byHost" and not key_is_domain) or (
+        cfg.partition_url_mode == "byDomain" and key_is_domain
+    )
+    part_key = F.col("host_key") if reuse else None
+    return politeness_partition(df, cfg, num_lists, dns, part_key=part_key)
 
 
 def mark_generated(crawldb: DataFrame, fetchlist: DataFrame) -> DataFrame:
