@@ -2516,7 +2516,8 @@ SELECT url, status, CAST({GEN_NOW} + pfx AS BIGINT) AS fetch_time FROM c
 # (page-claims at pos -1, candidates at span pos) ordered by the wave-0
 # virtual clock; string equality stands in for Java hashCode equality
 # (no collision in this fixture). Wave 1 drains from each host's wave-0
-# end-of-queue clock in url-hash interleave order; media urls have no
+# end-of-queue clock in FIFO APPEND order (the fold's emission order:
+# source completion instant, then span pos); media urls have no
 # outcome row => status 37 (gone/notfound), latency 0.
 _FETCH_DEPTH_FOLLOW_ORACLE = f"""
 WITH {_POLITENESS_CTES},
@@ -2554,14 +2555,13 @@ fw AS (
   SELECT *, row_number() OVER (PARTITION BY host_id, url ORDER BY t, pos) AS rn
   FROM ev
 ),
-followed AS (SELECT host_id, url, tgt FROM fw WHERE is_cand AND rn = 1),
+followed AS (SELECT host_id, url, tgt, t, pos FROM fw WHERE is_cand AND rn = 1),
 qend AS (
   SELECT host_id, MAX(fetch_time + latency + delay_ms) AS qstart
   FROM w0 GROUP BY host_id
 ),
 w1 AS (
-  SELECT url, host_id,
-    {_URLHASH_SQL} AS url_hash,
+  SELECT url, host_id, t, pos,
     CAST(CASE WHEN tgt IS NULL THEN 37
          WHEN tgt % 17 = 0 THEN 37 WHEN tgt % 29 = 0 THEN 34
          WHEN tgt % 23 = 0 THEN 36 ELSE 33 END AS INTEGER) AS status,
@@ -2569,10 +2569,13 @@ w1 AS (
     CASE WHEN host_id % 11 = 0 THEN 8000 ELSE 5000 END AS delay_ms
   FROM followed
 ),
+-- wave-1 drain order is the queue's FIFO APPEND order — the fold's
+-- emission order (source completion instant, then span pos; the engine's
+-- _fifo_seq) — not the wave-0 url-hash interleave
 w1c AS (
   SELECT w1.url, w1.status,
     CAST(q.qstart + COALESCE(SUM(w1.latency + w1.delay_ms) OVER (
-      PARTITION BY w1.host_id ORDER BY w1.url_hash, w1.url
+      PARTITION BY w1.host_id ORDER BY w1.t, w1.pos, w1.url
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS fetch_time
   FROM w1 JOIN qend q ON w1.host_id = q.host_id
 )

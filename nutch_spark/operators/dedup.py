@@ -39,8 +39,15 @@ def decoded_url_len(url: Column) -> Column:
     same exception, so ``coalesce(try_url_decode(url), url)`` reproduces
     the fallback bit-for-bit. (``+`` decodes to a space — length
     unchanged, so the comparator is unaffected.)
+
+    The compared quantity is Java ``String.length()`` — UTF-16 code
+    units, where a supplementary-plane code point counts 2 — not code
+    points (``char_length``): a decoded emoji must tip the comparator
+    exactly as it does in Java. ``octet_length(encode(s, 'UTF-16BE'))``
+    is 2 bytes per code unit, so halving it is the exact UTF-16 length.
     """
-    return F.char_length(F.coalesce(F.try_url_decode(url), url))
+    decoded = F.coalesce(F.try_url_decode(url), url)
+    return (F.octet_length(F.encode(decoded, "UTF-16BE")) / 2).cast("int")
 
 
 def find_duplicates(crawldb: DataFrame, cfg: NutchConfig) -> DataFrame:

@@ -115,6 +115,7 @@ def fetch(
     dns: DataFrame | None = None,
     queue_clock: DataFrame | None = None,
     return_clock: bool = False,
+    tk_prior: DataFrame | None = None,
 ):
     """Run the simulated fetch.
 
@@ -128,12 +129,29 @@ def fetch(
     ``dns``: (host, ip) fixture table, required for
     ``fetcher.queue.mode=byIP`` (the sandbox has no resolver; SURVEY A4).
 
-    ``queue_clock``: optional (``_queue``, ``_queue_start``) table — a
-    queue's virtual clock starts there instead of ``cycle_start_ms``
-    (items appended to a live queue drain after what is already queued:
-    the outlink-follow waves, FetcherThread.java:882). With
-    ``return_clock=True`` a third DataFrame is returned carrying each
-    queue's end-of-wave clock for the next wave.
+    ``queue_clock``: optional (``_queue``, ``_queue_start``[,
+    ``_queue_exc``]) table — a queue's virtual clock starts there
+    instead of ``cycle_start_ms`` (items appended to a live queue drain
+    after what is already queued: the outlink-follow waves,
+    FetcherThread.java:882), and ``_queue_exc`` seeds the queue's
+    cumulative exception counter (FetchItemQueue's counter persists for
+    the whole task, so backoff and the max-exceptions kill must carry
+    across waves, not reset per wave). With ``return_clock=True`` the
+    call returns ``(crawl_fetch, redirect_links, clock, tk_counts)``;
+    ``clock`` carries every queue ever seen (queues absent from this
+    wave keep their prior clock — a wholesale replacement would restart
+    them at cycle start) and ``tk_counts`` the per-(partition, second)
+    completion counts for the throughput killer (None when the killer
+    is disabled).
+
+    ``tk_prior``: completions of earlier waves on the same task clock
+    (``_tk_part``, ``_sec``, ``_n``) — the reference's 1 Hz throughput
+    check sees one shared timeline, so a follow wave judged only by its
+    own completions would see empty early seconds and spuriously kill.
+
+    Within a queue, items drain by the G3 url-hash interleave — unless
+    the fetchlist carries ``_fifo_seq`` (outlink-follow waves), which
+    pins the reference's FIFO append order instead.
     """
     fl = attach_queue(fetchlist, cfg, dns)
     fl = fl.join(F.broadcast(robots), "host", "left")
@@ -198,25 +216,55 @@ def fetch(
     if queue_clock is not None:
         fl = fl.join(F.broadcast(queue_clock), "_queue", "left")
         q_start = F.coalesce(F.col("_queue_start"), F.lit(cycle_start_ms).cast("long"))
+        if "_queue_exc" in queue_clock.columns:
+            exc_prior = F.coalesce(F.col("_queue_exc"), F.lit(0)).cast("int")
+        else:
+            exc_prior = F.lit(0)
     else:
         q_start = F.lit(cycle_start_ms).cast("long")
+        exc_prior = F.lit(0)
+    fl = fl.withColumn("_exc_prior", exc_prior)
 
-    w = Window.partitionBy("_queue").orderBy("url_hash", "url")
+    if "_fifo_seq" in fl.columns:
+        # outlink-follow wave: FIFO append order (FetchItemQueue FIFO) —
+        # append instant first (cross-queue interleave), then the
+        # per-source-queue emission index, then url as the total order
+        w = Window.partitionBy("_queue").orderBy("_fifo_t", "_fifo_seq", "url")
+    else:
+        w = Window.partitionBy("_queue").orderBy("url_hash", "url")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    exc_before = F.coalesce(
+    # cumulative exception count INCLUDING earlier waves on this queue
+    exc_before = F.col("_exc_prior") + F.coalesce(
         F.sum(F.when(is_exception & ~gated, 1).otherwise(0)).over(wprev), F.lit(0)
     )
     # exponential backoff: the k-th exception adds base*2^(k-1) ms of delay;
-    # cumulative extra before item i = base*(2^k - 1)  (FetchItemQueues.java:279-325)
+    # cumulative extra before item i with p prior-wave exceptions (whose
+    # delays are already baked into this queue's _queue_start) and j
+    # in-wave exceptions = base*(2^(p+j) - 2^p)  (FetchItemQueues.java:279-325)
     backoff_ms = (
         F.lit(int(cfg.fetcher_exceptions_per_queue_delay * 1000))
-        * (F.pow(F.lit(2.0), exc_before.cast("double")) - 1.0)
+        * (
+            F.pow(F.lit(2.0), exc_before.cast("double"))
+            - F.pow(F.lit(2.0), F.col("_exc_prior").cast("double"))
+        )
     ).cast("long")
-    start_time = (
-        q_start
-        + F.coalesce(F.sum(cost).over(wprev), F.lit(0).cast("long"))
-        + backoff_ms
-    )
+    ccost = F.coalesce(F.sum(cost).over(wprev), F.lit(0).cast("long"))
+    if "_fifo_t" in fl.columns:
+        # an appended item cannot start before it was discovered (its
+        # source page fetched): start_i = max(prev_end_i, emit_i)
+        # unrolls to adj_i + max(q_start, cummax_{j<=i}(emit_j - adj_j))
+        # — a running-max window, still one shuffle. (Deviation, small:
+        # emit is the source's fetch START; the reference appends on
+        # parse completion — exact for same-queue follows, a few hundred
+        # ms early for cross-queue ones.)
+        # materialized first: Spark rejects a window expression nested
+        # inside another window's argument
+        fl = fl.withColumn("_adj", ccost + backoff_ms)
+        wcur = w.rowsBetween(Window.unboundedPreceding, 0)
+        emit_floor = F.max(F.col("_fifo_t") - F.col("_adj")).over(wcur)
+        start_time = F.col("_adj") + F.greatest(q_start, emit_floor)
+    else:
+        start_time = q_start + ccost + backoff_ms
 
     fl = (
         fl.withColumn("fetch_start", F.when(gated, q_start).otherwise(start_time))
@@ -241,7 +289,7 @@ def fetch(
     # second, locate the earliest bad run with a running-max window,
     # drop everything that starts after it.
     if cfg.fetcher_throughput_threshold_pages > 0:
-        fl = _apply_throughput_killer(fl, cfg, cycle_start_ms)
+        fl = _apply_throughput_killer(fl, cfg, cycle_start_ms, tk_prior)
         fl = fl.filter(~F.col("hit_throughput"))
 
     # fetch time limit: later items drain unprocessed (stay unfetched)
@@ -289,16 +337,80 @@ def fetch(
     )
     if not return_clock:
         return crawl_fetch, redirect_links
-    # end-of-wave clock: the queue's nextFetchTime after its last
-    # surviving item (gated items cost 0 and cannot push it forward)
-    clock = fl.groupBy("_queue").agg(
-        F.max(F.col("fetch_start") + F.col("_cost")).cast("long").alias("_queue_start")
+    # end-of-wave clock: the virtual instant the queue's NEXT appended
+    # item may start = end of the last surviving item plus any PENDING
+    # backoff a trailing exception owes the next item (exc_before is
+    # non-decreasing along the drain, so max(exc_before) over non-gated
+    # rows is the count baked into the last item's start; the next item
+    # owes base*(2^E_total - 2^that) more — max(fetch_start + cost)
+    # alone would silently drop it at the wave boundary). Gated items
+    # cost 0 and cannot push the clock forward.
+    exc_total_agg = F.max("_exc_prior") + F.sum(
+        F.when(is_exception & ~F.col("gated"), 1).otherwise(0)
     )
-    return crawl_fetch, redirect_links, clock
+    baked_exc = F.coalesce(
+        F.max(F.when(~F.col("gated"), F.col("exc_before"))), exc_total_agg
+    )
+    base_ms = int(cfg.fetcher_exceptions_per_queue_delay * 1000)
+    pending_backoff = (
+        F.lit(base_ms)
+        * (
+            F.pow(F.lit(2.0), exc_total_agg.cast("double"))
+            - F.pow(F.lit(2.0), baked_exc.cast("double"))
+        )
+    ).cast("long")
+    clock = fl.groupBy("_queue").agg(
+        (F.max(F.col("fetch_start") + F.col("_cost")) + pending_backoff)
+        .cast("long")
+        .alias("_queue_start"),
+        exc_total_agg.cast("int").alias("_queue_exc"),
+    )
+    if queue_clock is not None:
+        # a queue with no items this wave keeps its prior clock/counter —
+        # max() is the identity for both (cumulative, non-decreasing)
+        prior = queue_clock
+        if "_queue_exc" not in prior.columns:
+            prior = prior.withColumn("_queue_exc", F.lit(0))
+        clock = (
+            clock.unionByName(prior.select("_queue", "_queue_start", "_queue_exc"))
+            .groupBy("_queue")
+            .agg(
+                F.max("_queue_start").alias("_queue_start"),
+                F.max("_queue_exc").alias("_queue_exc"),
+            )
+        )
+    tk_counts = None
+    if cfg.fetcher_throughput_threshold_pages > 0:
+        # actual (post-kill, post-timelimit) completions of this wave on
+        # the shared task clock, merged with earlier waves' — what the
+        # next wave's killer grid must see
+        part = F.col("part_id") if "part_id" in fl.columns else F.lit(0)
+        sec = F.floor(
+            (
+                F.col("fetch_start")
+                + F.coalesce(F.col("latency_ms"), F.lit(0).cast("long"))
+                - F.lit(cycle_start_ms)
+            )
+            / 1000
+        ).cast("long")
+        tk_counts = (
+            fl.filter(~F.col("gated"))
+            .select(part.alias("_tk_part"), sec.alias("_sec"))
+            .groupBy("_tk_part", "_sec")
+            .agg(F.count("*").alias("_n"))
+        )
+        if tk_prior is not None:
+            tk_counts = (
+                tk_counts.unionByName(tk_prior)
+                .groupBy("_tk_part", "_sec")
+                .agg(F.sum("_n").alias("_n"))
+            )
+    return crawl_fetch, redirect_links, clock, tk_counts
 
 
 def _apply_throughput_killer(
-    fl: DataFrame, cfg: NutchConfig, cycle_start_ms: int
+    fl: DataFrame, cfg: NutchConfig, cycle_start_ms: int,
+    tk_prior: DataFrame | None = None,
 ) -> DataFrame:
     """Adds ``hit_throughput``: True for items the throughput killer
     drains (Fetcher.java:311-338 semantics on the virtual clock).
@@ -307,6 +419,12 @@ def _apply_throughput_killer(
     *bad* when s >= check_after and the task completed < threshold pages
     in it; `retries` consecutive bad seconds kill the task's queues at
     the check instant (s+1)*1000, dropping every not-yet-started item.
+
+    ``tk_prior``: completions of earlier outlink-follow waves on the
+    same task clock — the reference's check loop sees ONE shared
+    timeline, so a later wave's grid must include them (judged alone, a
+    wave starting at t=500s would see seconds 0..499 empty and kill
+    itself immediately).
 
     Scale shape: one groupBy per (partition, second) — cardinality
     bounded by partitions x timelimit seconds, tiny next to the
@@ -331,6 +449,12 @@ def _apply_throughput_killer(
         .groupBy("_tk_part", "_sec")
         .agg(F.count("*").alias("_n"))
     )
+    if tk_prior is not None:
+        counts = (
+            counts.unionByName(tk_prior)
+            .groupBy("_tk_part", "_sec")
+            .agg(F.sum("_n").alias("_n"))
+        )
     # dense second grid: an empty second is a bad second, exactly like
     # the reference's 1 Hz check loop
     grid = (
@@ -391,10 +515,15 @@ def _follow_fold_udf(cap: int):
     small by construction."""
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "src_url", "pos"])
+        # replay order = the queue's actual drain order: completion time,
+        # then the source's own drain ordinal (`drain`: url-hash for wave
+        # 0, FIFO seq for later waves — ties happen when per-item cost is
+        # 0), then span order. Lexicographic src_url alone would permute
+        # zero-cost ties vs the modeled FIFO.
+        pdf = pdf.sort_values(["t", "drain", "src_url", "pos"])
         seen: set[int] = set()
         page_count: dict[str, int] = {}
-        out_src, out_to, out_pos = [], [], []
+        out_src, out_to, out_pos, out_seq, out_t = [], [], [], [], []
         for r in pdf.itertuples(index=False):
             if r.kind == "s":
                 # page enters processing: claim its own hash (:844)
@@ -407,14 +536,22 @@ def _follow_fold_udf(cap: int):
                 continue
             page_count[r.src_url] = c + 1
             seen.add(r.h)
+            out_seq.append(len(out_src))
             out_src.append(r.src_url)
             out_to.append(r.to_url)
             out_pos.append(r.pos)
+            out_t.append(r.t)
         return pd.DataFrame(
             {
                 "src_url": pd.Series(out_src, dtype="object"),
                 "to_url": pd.Series(out_to, dtype="object"),
                 "pos": pd.Series(out_pos, dtype="int32"),
+                # emission instant + per-source-queue emission index:
+                # together the order items were appended to their TARGET
+                # queue — the next wave's FIFO drain order (emit_t alone
+                # breaks cross-queue appends; seq orders within a queue)
+                "seq": pd.Series(out_seq, dtype="int64"),
+                "emit_t": pd.Series(out_t, dtype="int64"),
             }
         )
 
@@ -431,7 +568,9 @@ def fetch_follow_outlinks(
     *,
     dns: DataFrame | None = None,
     url_filter_rules: list[str] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    cleanup: list | None = None,
+    return_parsed: bool = False,
+):
     """F9 in-fetch outlink following (fetcher.follow.outlinks.depth > 0,
     FetcherThread.java:840-886): fetch wave 0, parse it, follow up to
     ``num.links`` outlinks per page (optionally same-host only) that no
@@ -440,9 +579,14 @@ def fetch_follow_outlinks(
 
     Re-expression notes (vs the reference's thread pool):
     - Followed items are appended to live queues and drain after what is
-      already enqueued (FIFO) — modeled exactly by running each depth
-      wave through ``fetch`` with the previous wave's per-queue
-      end-of-clock as ``queue_clock``.
+      already enqueued (FIFO): each depth wave runs through ``fetch``
+      with the previous wave's per-queue end-of-clock (and cumulative
+      exception counter) as ``queue_clock``, and drains in the fold's
+      emission order (``_fifo_seq``) — the order items were appended —
+      not the wave-0 url-hash interleave. Queues idle for a wave keep
+      their clock (the merge in ``fetch``), and the throughput killer
+      sees one shared completion timeline across waves (``tk_prior``) —
+      exactly the reference's single task clock.
     - The ``alreadyFetched`` dedup set is per-SOURCE-queue
       (FetchItemQueue of the page being parsed, :842-873) and persists
       across waves; the per-queue fold replays it sequentially.
@@ -455,7 +599,20 @@ def fetch_follow_outlinks(
       ``timelimitExceeded`` guard at :841.
 
     Returns ``(crawl_fetch, redirect_links)`` unions over all waves;
-    crawl_fetch carries ``outlink_depth``.
+    crawl_fetch carries ``outlink_depth``. With ``return_parsed=True`` a
+    third value: the per-wave ``parse()`` dicts unioned per key — waves
+    0..depth-1 were parsed anyway to extract follow candidates (their
+    outlink extraction is persisted, see ``parse(persist_handles=...)``),
+    so the caller reuses them instead of re-parsing the whole union.
+
+    ``cleanup``: per-wave intermediates are ``persist()``-ed (each wave
+    feeds the next wave AND the output union; persisted blocks are
+    evictable and unpersist-able, unlike ``localCheckpoint`` blocks
+    which live until driver GC — the leak class fetch()'s own no-persist
+    note documents). Pass a list to receive the handles and unpersist
+    them once the returned unions are materialized (the crawl loop does
+    this at cycle end); with ``cleanup=None`` the handles stay cached
+    for the session — fine for one-shot/test use, not for a long loop.
     """
     from nutch_spark.operators.parse import parse
     from nutch_spark.urls.urlutil import java_hashcode_expr, nutch_url_hash32_expr
@@ -468,27 +625,59 @@ def fetch_follow_outlinks(
     spark = fetchlist.sparkSession
     seen = spark.createDataFrame([], "_queue string, _h long")
     queue_clock = None
+    tk_counts = None
     wave = fetchlist
     fetched_waves: list[DataFrame] = []
     redir_waves: list[DataFrame] = []
+    parsed_waves: list[dict] = []
+    handles: list[DataFrame] = cleanup if cleanup is not None else []
     for d in range(depth + 1):
-        crawl_fetch, redirs, queue_clock = fetch(
+        crawl_fetch, redirs, queue_clock, tk_counts = fetch(
             wave, robots, outcomes, cfg, cycle_start_ms,
             dns=dns, queue_clock=queue_clock, return_clock=True,
+            tk_prior=tk_counts,
         )
         crawl_fetch = crawl_fetch.withColumn(
             "outlink_depth", F.lit(d).cast("int")
-        ).localCheckpoint(eager=True)  # each wave feeds the next wave AND the output union
+        ).persist()  # each wave feeds the next wave AND the output union
+        handles.append(crawl_fetch)
         fetched_waves.append(crawl_fetch)
         redir_waves.append(redirs)
         if d == depth:
+            if return_parsed:
+                # the final wave is parsed once (segment commit only) —
+                # no second consumer, nothing to persist
+                parsed_waves.append(
+                    parse(fetched_content(crawl_fetch, docs), cfg,
+                          url_filter_rules=url_filter_rules)
+                )
             break
 
         content = fetched_content(crawl_fetch, docs)
-        parsed = parse(content, cfg, url_filter_rules=url_filter_rules)
-        src_q = attach_queue(
-            content.select("url", "fetch_time"), cfg, dns
-        ).select("url", "_queue", "fetch_time")
+        parsed = parse(
+            content, cfg, url_filter_rules=url_filter_rules,
+            persist_handles=handles,
+        )
+        parsed_waves.append(parsed)
+        # the source's drain ordinal within its queue — the fold's
+        # tie-break when two pages complete at the same virtual instant
+        # (per-item cost 0): url-hash interleave for wave 0, FIFO seq for
+        # later waves. min() collapses the rare duplicate-url wave rows
+        # (the same target followed from two different source queues).
+        drain_expr = (
+            F.col("_fifo_seq") if "_fifo_seq" in wave.columns
+            else F.col("url_hash").cast("long")
+        )
+        src_drain = (
+            wave.select("url", drain_expr.alias("drain"))
+            .groupBy("url")
+            .agg(F.min("drain").alias("drain"))
+        )
+        src_q = (
+            attach_queue(content.select("url", "fetch_time"), cfg, dns)
+            .select("url", "_queue", "fetch_time")
+            .join(src_drain, "url", "left")
+        )
         cands = parsed["outlinks"].select("url", "to_url", "pos").join(src_q, "url")
         if cfg.fetcher_follow_outlinks_ignore_external:
             # host check against the source url (:859-865), independent
@@ -499,6 +688,7 @@ def fetch_follow_outlinks(
             "_queue",
             F.lit("c").alias("kind"),
             F.col("fetch_time").alias("t"),
+            "drain",
             F.col("pos").cast("int").alias("pos"),
             java_hashcode_expr(F.col("to_url")).alias("h"),
             F.col("url").alias("src_url"),
@@ -508,6 +698,7 @@ def fetch_follow_outlinks(
                 "_queue",
                 F.lit("s").alias("kind"),
                 F.col("fetch_time").alias("t"),
+                "drain",
                 F.lit(-1).cast("int").alias("pos"),
                 java_hashcode_expr(F.col("url")).alias("h"),
                 F.col("url").alias("src_url"),
@@ -521,8 +712,10 @@ def fetch_follow_outlinks(
         ).fillna({"pre_seen": False})
 
         followed = events.groupBy("_queue").applyInPandas(
-            _follow_fold_udf(cap), "src_url string, to_url string, pos int"
-        ).localCheckpoint(eager=True)  # feeds next wave + seen
+            _follow_fold_udf(cap),
+            "src_url string, to_url string, pos int, seq long, emit_t long",
+        ).persist()  # feeds next wave + seen
+        handles.append(followed)
 
         # alreadyFetched grows by every processed page's own hash and
         # every followed hash, claimed in the SOURCE page's queue
@@ -538,7 +731,8 @@ def fetch_follow_outlinks(
         )
 
         # new FetchItem: CrawlDatum(STATUS_LINKED, interval) — score 0.0
-        # (CrawlDatum.java:142,162-166), depth+1 (:876-878)
+        # (CrawlDatum.java:142,162-166), depth+1 (:876-878); `_fifo_seq`
+        # pins the queue's FIFO append order for the next wave's drain
         wave = followed.select(
             F.col("to_url").alias("url"),
             F.lit(0).alias("retries"),
@@ -549,6 +743,8 @@ def fetch_follow_outlinks(
             F.expr(_EMPTY_MAP).alias("metadata"),
             F.lit(None).cast("long").alias("gen_time"),
             F.lit(None).cast("string").alias("repr_url"),
+            F.col("seq").alias("_fifo_seq"),
+            F.col("emit_t").alias("_fifo_t"),
         ).withColumn("url_hash", F.coalesce(nutch_url_hash32_expr(F.col("url")), F.lit(0)))
 
     out_fetch = fetched_waves[0]
@@ -557,4 +753,16 @@ def fetch_follow_outlinks(
     out_redirs = redir_waves[0]
     for rdf in redir_waves[1:]:
         out_redirs = out_redirs.unionByName(rdf)
-    return out_fetch, out_redirs
+    if not return_parsed:
+        return out_fetch, out_redirs
+    out_parsed = {
+        k: _union_all([p[k] for p in parsed_waves]) for k in parsed_waves[0]
+    }
+    return out_fetch, out_redirs, out_parsed
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

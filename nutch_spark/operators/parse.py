@@ -83,11 +83,20 @@ def parse(
     url_filter_rules: list[str] | None = None,
     normalize_outlinks: bool = True,
     exemption_rules: list[str] | None = None,
+    persist_handles: list | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {'parse_text', 'parse_data', 'outlinks', 'crawl_parse'}.
 
     ``content`` columns: url, score, fetch_time, gen_time, spans,
     is_canonical (from fetchsim.fetched_content).
+
+    ``persist_handles``: pass a list to ``persist()`` the extracted
+    outlink table (the expensive part: the normalize Arrow pass + the
+    within-page dedup shuffle) and receive the handle for later
+    unpersist — every downstream product (crawl_parse, parse_data, the
+    outlinks slice) is built FROM that one frame, so a caller consuming
+    the dict more than once (the outlink-follow fetch: once for the
+    follow fold, once in the segment commit) pays extraction once.
     """
     c = content.withColumn("signature", span_signature(F.col("spans")))
 
@@ -156,6 +165,9 @@ def parse(
         dst_host == src_host, F.lit(cfg.db_score_link_internal).cast("float")
     ).otherwise(F.lit(cfg.db_score_link_external).cast("float"))
     outlinks = outlinks.withColumn("link_score", (per_link * factor).cast("float"))
+    if persist_handles is not None:
+        outlinks = outlinks.persist()
+        persist_handles.append(outlinks)
 
     parse_data = outlinks.groupBy("url").agg(
         F.sort_array(F.collect_list(F.struct("pos", "to_url", "anchor"))).alias("outlinks_s")

@@ -107,21 +107,27 @@ class Crawler:
             return CycleResult(cycle_id, 0, 0, crawldb.count(), {}, 0, time.time() - t0,
                                parent or 0)
 
+        wave_handles: list = []
         if self.cfg.fetcher_follow_outlinks_depth > 0:
             # F9: the reference fetcher follows outlinks in-fetch when
-            # fetcher.follow.outlinks.depth > 0 (FetcherThread.java:840)
+            # fetcher.follow.outlinks.depth > 0 (FetcherThread.java:840).
+            # The follow already parsed waves 0..depth-1 to extract
+            # candidates — reuse those (persisted) parse products instead
+            # of re-running extraction over the whole union
             from nutch_spark.operators.fetchsim import fetch_follow_outlinks
 
-            crawl_fetch, redirect_links = fetch_follow_outlinks(
+            crawl_fetch, redirect_links, parsed = fetch_follow_outlinks(
                 fl, self.robots, self.outcomes, self.docs, self.cfg, now_ms,
-                url_filter_rules=self.url_filter_rules,
+                url_filter_rules=self.url_filter_rules, cleanup=wave_handles,
+                return_parsed=True,
             )
             crawl_fetch = crawl_fetch.drop("outlink_depth")
+            crawl_fetch = crawl_fetch.persist()
         else:
             crawl_fetch, redirect_links = fetch(fl, self.robots, self.outcomes, self.cfg, now_ms)
-        crawl_fetch = crawl_fetch.persist()
-        content = fetched_content(crawl_fetch, self.docs)
-        parsed = parse(content, self.cfg, url_filter_rules=self.url_filter_rules)
+            crawl_fetch = crawl_fetch.persist()
+            content = fetched_content(crawl_fetch, self.docs)
+            parsed = parse(content, self.cfg, url_filter_rules=self.url_filter_rules)
 
         datum_cols = [
             "url", "status", "fetch_time", "retries", "fetch_interval", "score",
@@ -220,6 +226,11 @@ class Crawler:
 
         fl.unpersist()
         crawl_fetch.unpersist()
+        for h in wave_handles:
+            # per-wave follow intermediates (persisted inside
+            # fetch_follow_outlinks) — released here, after the commit
+            # materialized everything derived from them
+            h.unpersist()
         return CycleResult(
             cycle_id=cycle_id,
             generated=generated,

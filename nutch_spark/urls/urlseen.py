@@ -100,37 +100,56 @@ class BloomBitmap:
             .agg(F.bit_or("b").alias("mask"))
         )
         pdf = words.toPandas()
-        # explicit byte extraction (no int64 .view — that would bake the
-        # driver's endianness into the byte layout the probe UDF reads):
-        # bit p lives in byte p//8 at bit p%8, always
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        if len(pdf):
-            w = pdf["w"].to_numpy().astype(np.int64)
-            masks = pdf["mask"].to_numpy().astype(np.uint64)
-            for s in range(8):
-                bits[w * 8 + s] = (masks >> np.uint64(8 * s)) & np.uint64(0xFF)
-        self._bits = bits
-        # word-indexed view for the JVM probe: bit p is bit (p%64) of
-        # long word (p//64) — exactly the bit_or aggregation layout
+        # single retained view: the word-indexed int64 array — exactly
+        # the bit_or aggregation layout (bit p = bit p%64 of word p//64).
+        # The old byte view duplicated ~m/8 bytes per bitmap for the
+        # Arrow fallback probe, which derives the test from words just
+        # as cheaply.
         words_arr = np.zeros(m // 64, dtype=np.int64)
         if len(pdf):
             words_arr[pdf["w"].to_numpy().astype(np.int64)] = (
                 pdf["mask"].to_numpy().astype(np.int64)
             )
         self._words = words_arr
+        self._wdf = None  # lazily-built one-row (array<bigint>) probe table
 
     def might_contain_udf(self):
-        bits, m, k = self._bits, self.m, self.k
+        words, m, k = self._words, self.m, self.k
 
         @F.pandas_udf("boolean")
         def _mc(hcols: pd.DataFrame) -> pd.Series:
             out = np.ones(len(hcols), dtype=bool)
             for c in hcols.columns:
                 p = hcols[c].to_numpy()
-                out &= (bits[p // 8] & (1 << (p % 8)).astype(np.uint8)) != 0
+                # arithmetic >> then &1 still extracts the original bit
+                out &= ((words[p // 64] >> (p % 64)) & 1) != 0
             return pd.Series(out)
 
         return _mc
+
+    def _words_df(self, spark) -> DataFrame:
+        """One-row (array<bigint>) DataFrame of the dense word array.
+
+        Built ONCE per bitmap and cached: the (index, word) rows travel
+        executor-ward Arrow-batched (createDataFrame on a pandas frame),
+        and the positional array is assembled JVM-side — never a
+        multi-hundred-MB transient Python list through py4j per split()
+        call (at fpp=0.01 over 10^8 urls the array is ~19M longs)."""
+        if self._wdf is None:
+            rows = pd.DataFrame(
+                {"i": np.arange(len(self._words), dtype=np.int64), "v": self._words}
+            )
+            self._wdf = (
+                spark.createDataFrame(rows)
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "v"))),
+                        lambda s: s["v"],
+                    ).alias("_bf_words")
+                )
+                .persist()
+            )
+        return self._wdf
 
     def split(self, big: DataFrame, url_col: str = "url") -> tuple[DataFrame, DataFrame]:
         """Pure-JVM probe: the bitmap rides along as ONE broadcast row
@@ -139,9 +158,7 @@ class BloomBitmap:
         big side never enters a Python worker. (might_contain_udf
         remains as the Arrow fallback for exotic deployments.)"""
         spark = big.sparkSession
-        wdf = spark.createDataFrame(
-            [(self._words.tolist(),)], "_bf_words array<bigint>"
-        )
+        wdf = self._words_df(spark)
         terms = []
         for i in range(self.k):
             # xxhash64(url, <int literal>) matches the build side's

@@ -111,10 +111,12 @@ def _java_decoded_len(u: str) -> int:
 
     # URLDecoder throws IAE if any '%' is not followed by two hex digits
     if re.search(r"%(?![0-9a-fA-F]{2})", u):
-        return len(u)
+        return len(u.encode("utf-16-be")) // 2
     # '+' -> ' ' and strict %XX decode; malformed UTF-8 byte sequences
-    # become U+FFFD in both decoders (errors='replace' / CodingErrorAction.REPLACE)
-    return len(unquote_plus(u, errors="replace"))
+    # become U+FFFD in both decoders (errors='replace' / CodingErrorAction.REPLACE).
+    # Java compares String.length() = UTF-16 code units (a supplementary
+    # code point counts 2), not code points — hence the utf-16-be round-trip.
+    return len(unquote_plus(u, errors="replace").encode("utf-16-be")) // 2
 
 
 def test_decoded_url_len_matches_java_semantics(spark):
@@ -135,6 +137,8 @@ def test_decoded_url_len_matches_java_semantics(spark):
         "http://x.example.com/mixed%20and%zz",     # valid + invalid -> fallback
         "http://x.example.com/trailing%2",         # truncated escape -> fallback
         "http://x.example.com/%FF",                # lone invalid UTF-8 byte -> U+FFFD
+        "http://x.example.com/%F0%9F%98%80",       # 4-byte UTF-8 -> surrogate PAIR (2 units)
+        "http://x.example.com/\U0001F600/raw",     # literal supplementary code point
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {

@@ -182,6 +182,120 @@ def test_depth2_chains_and_dedups_across_waves(spark):
     assert by_depth[2] == {t2}
 
 
+def test_idle_wave_keeps_queue_clock(spark):
+    """A queue with no items in wave N must keep its clock: wave N+1
+    items on it drain after its earlier schedule, not from cycle start
+    (the reference FetchItemQueue keeps nextFetchTime for the run)."""
+    B, C = "http://b.example.com", "http://c.example.com"
+    # wave 0: b0 and c0; wave 1: b0 -> b1 (queue C idle); wave 2: b1 -> c1
+    pages = {f"{B}/b0": [f"{B}/b1"], f"{B}/b1": [f"{C}/c1"]}
+    cf = run(
+        spark, [f"{B}/b0", f"{C}/c0"], pages,
+        extra_fetchable=[f"{C}/c0", f"{C}/c1"], depth=2,
+        fetcher_follow_outlinks_ignore_external=False,
+    )
+    rows = {r["url"]: r for r in cf.collect()}
+    assert rows[f"{C}/c1"]["outlink_depth"] == 2
+    c0_end = rows[f"{C}/c0"]["fetch_time"] + 100 + int(
+        NutchConfig().fetcher_server_delay * 1000
+    )
+    # c1 starts at queue C's wave-0 end clock — NOT at cycle start
+    assert rows[f"{C}/c1"]["fetch_time"] == c0_end
+
+
+def test_exception_counter_carries_across_waves(spark):
+    """FetchItemQueue's exception counter persists for the run: a queue
+    killed by max-exceptions in wave 0 must not fetch followed items in
+    wave 1 with a reset counter."""
+    urls = [f"{H}/p{i}" for i in range(4)]
+    order = sorted(urls, key=lambda u: (nutch_url_hash32(u), u))
+    linker, excs = order[0], order[1:]  # linker drains first, then 3 exceptions
+    t = f"{H}/followed-target"
+    cfg = NutchConfig(
+        fetcher_follow_outlinks_depth=1, fetcher_max_exceptions_per_queue=2,
+    )
+    fl = fetchlist(spark, urls)
+    outcomes = spark.createDataFrame(
+        [(linker, "success", None, 100)] + [(u, "exception", None, 100) for u in excs]
+        + [(t, "success", None, 100)],
+        "url string, outcome string, redirect_to string, latency_ms long",
+    )
+    cf, _ = fetch_follow_outlinks(
+        fl, robots_df(spark), outcomes, docs_df(spark, {linker: [t]}), cfg, NOW,
+    )
+    rows = cf.collect()
+    # wave 0: linker + the first 3 exceptions (counter hits 3 > 2 only
+    # AFTER the third, which is item exc_before=2 <= 2 — all three kept)
+    assert {r["url"] for r in rows if r["outlink_depth"] == 0} == set(urls)
+    # wave 1: the queue's cumulative counter is 3 > max 2 -> item dropped
+    assert [r for r in rows if r["outlink_depth"] == 1] == []
+
+
+def test_trailing_exception_backoff_charged_to_next_wave(spark):
+    """A trailing wave-0 exception's exponential backoff delays the
+    first wave-1 item (the clock carries pending backoff, it is not
+    silently dropped at the wave boundary)."""
+    urls = [f"{H}/p{i}" for i in range(2)]
+    order = sorted(urls, key=lambda u: (nutch_url_hash32(u), u))
+    linker, exc = order[0], order[1]  # exception drains LAST in wave 0
+    t = f"{H}/followed-target"
+    cfg = NutchConfig(fetcher_follow_outlinks_depth=1)
+    fl = fetchlist(spark, urls)
+    outcomes = spark.createDataFrame(
+        [(linker, "success", None, 100), (exc, "exception", None, 100),
+         (t, "success", None, 100)],
+        "url string, outcome string, redirect_to string, latency_ms long",
+    )
+    cf, _ = fetch_follow_outlinks(
+        fl, robots_df(spark), outcomes, docs_df(spark, {linker: [t]}), cfg, NOW,
+    )
+    rows = {r["url"]: r for r in cf.collect()}
+    delay = int(cfg.fetcher_server_delay * 1000)
+    backoff = int(cfg.fetcher_exceptions_per_queue_delay * 1000)  # base*(2^1-2^0)
+    w0_end = NOW + 2 * (100 + delay)
+    assert rows[t]["fetch_time"] == w0_end + backoff
+
+
+def test_wave1_drains_in_append_order_not_hash_order(spark):
+    """Followed items drain in FIFO append order (source completion
+    instant, then span pos) — not the wave-0 url-hash interleave."""
+    a, b = f"{H}/a", f"{H}/b"
+    first, second = sorted([a, b], key=lambda u: (nutch_url_hash32(u), u))
+    # the EARLIER page follows t_late+t_early (span order), the later
+    # page nothing: append order is (t_x, t_y) by span pos regardless of
+    # the targets' own url hashes
+    tx, ty = f"{H}/t-x", f"{H}/t-y"
+    # pick names so that hash order of (tx, ty) is the REVERSE of span
+    # order — the test then distinguishes the two drain policies
+    if (nutch_url_hash32(tx), tx) < (nutch_url_hash32(ty), ty):
+        span_targets = [ty, tx]  # append ty first, but hash order favors tx
+    else:
+        span_targets = [tx, ty]
+    pages = {first: span_targets, second: []}
+    cf = run(spark, [a, b], pages, extra_fetchable=[tx, ty])
+    rows = {r["url"]: r for r in cf.collect() if r["outlink_depth"] == 1}
+    assert rows[span_targets[0]]["fetch_time"] < rows[span_targets[1]]["fetch_time"]
+
+
+def test_throughput_killer_sees_shared_timeline_across_waves(spark):
+    """The reference's 1 Hz throughput check runs on ONE task clock: a
+    follow wave judged only by its own completions would see the whole
+    wave-0 period as empty seconds and spuriously kill itself."""
+    a, b, t = f"{H}/a", f"{H}/b", f"{H}/t1"
+    first = sorted([a, b], key=lambda u: (nutch_url_hash32(u), u))[0]
+    # completions land at ~0.1s, ~5.2s (wave 0) and ~10.3s (wave 1):
+    # max empty run is 4 consecutive seconds < retries=10 on the SHARED
+    # timeline; wave 1 alone would show 10 empty seconds and die
+    cf = run(
+        spark, [a, b], {first: [t]}, extra_fetchable=[t],
+        fetcher_throughput_threshold_pages=1,
+        fetcher_throughput_threshold_retries=10,
+        fetcher_throughput_check_after_mins=0,
+    )
+    w1 = {r["url"] for r in cf.collect() if r["outlink_depth"] == 1}
+    assert w1 == {t}
+
+
 def test_depth_zero_config_rejected(spark):
     with pytest.raises(ValueError):
         fetch_follow_outlinks(
