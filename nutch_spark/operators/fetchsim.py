@@ -105,6 +105,19 @@ def attach_queue(df: DataFrame, cfg: NutchConfig, dns: DataFrame | None) -> Data
     return df.withColumn("_queue", F.col("host"))
 
 
+def _backoff_cum_units(exc: Column) -> Column:
+    """Cumulative exponential-backoff delay after ``exc`` queue
+    exceptions, in units of the base delay. The k-th exception adds
+    2^(k-1), capped at 2^32 from the 34th on (FetchItemQueues.java:
+    295-301: ``exceptionDelay *= 2L << Math.min(excCount - 2, 31)``).
+    Closed form of the partial sums: 2^j - 1 up to j = 33, then linear
+    — everything stays < 2^53 per step, exact in a double."""
+    jd = exc.cast("double")
+    return F.when(exc <= 33, F.pow(F.lit(2.0), jd) - 1.0).otherwise(
+        F.lit(float(2**33 - 1)) + (jd - 33.0) * F.lit(float(2**32))
+    )
+
+
 def fetch(
     fetchlist: DataFrame,
     robots: DataFrame,
@@ -115,7 +128,6 @@ def fetch(
     dns: DataFrame | None = None,
     queue_clock: DataFrame | None = None,
     return_clock: bool = False,
-    tk_prior: DataFrame | None = None,
 ):
     """Run the simulated fetch.
 
@@ -137,17 +149,13 @@ def fetch(
     cumulative exception counter (FetchItemQueue's counter persists for
     the whole task, so backoff and the max-exceptions kill must carry
     across waves, not reset per wave). With ``return_clock=True`` the
-    call returns ``(crawl_fetch, redirect_links, clock, tk_counts)``;
-    ``clock`` carries every queue ever seen (queues absent from this
-    wave keep their prior clock — a wholesale replacement would restart
-    them at cycle start) and ``tk_counts`` the per-(partition, second)
-    completion counts for the throughput killer (None when the killer
-    is disabled).
-
-    ``tk_prior``: completions of earlier waves on the same task clock
-    (``_tk_part``, ``_sec``, ``_n``) — the reference's 1 Hz throughput
-    check sees one shared timeline, so a follow wave judged only by its
-    own completions would see empty early seconds and spuriously kill.
+    call returns ``(crawl_fetch, redirect_links, clock)``; ``clock``
+    carries every queue ever seen (queues absent from this wave keep
+    their prior clock — a wholesale replacement would restart them at
+    cycle start), and crawl_fetch/redirect_links carry extra private
+    columns (``gated``, ``latency_ms``, ``part_id``) so the caller can
+    run the throughput killer once over the union of all waves
+    (fetch_follow_outlinks strips them before returning).
 
     Within a queue, items drain by the G3 url-hash interleave — unless
     the fetchlist carries ``_fifo_seq`` (outlink-follow waves), which
@@ -237,16 +245,14 @@ def fetch(
     exc_before = F.col("_exc_prior") + F.coalesce(
         F.sum(F.when(is_exception & ~gated, 1).otherwise(0)).over(wprev), F.lit(0)
     )
-    # exponential backoff: the k-th exception adds base*2^(k-1) ms of delay;
-    # cumulative extra before item i with p prior-wave exceptions (whose
-    # delays are already baked into this queue's _queue_start) and j
-    # in-wave exceptions = base*(2^(p+j) - 2^p)  (FetchItemQueues.java:279-325)
+    # exponential backoff: the k-th exception adds base*2^(k-1) ms of
+    # delay (capped, see _backoff_cum_units); cumulative extra before
+    # item i with p prior-wave exceptions (whose delays are already
+    # baked into this queue's _queue_start) and j in-wave exceptions =
+    # base*(cum(p+j) - cum(p))  (FetchItemQueues.java:279-325)
     backoff_ms = (
         F.lit(int(cfg.fetcher_exceptions_per_queue_delay * 1000))
-        * (
-            F.pow(F.lit(2.0), exc_before.cast("double"))
-            - F.pow(F.lit(2.0), F.col("_exc_prior").cast("double"))
-        )
+        * (_backoff_cum_units(exc_before) - _backoff_cum_units(F.col("_exc_prior")))
     ).cast("long")
     ccost = F.coalesce(F.sum(cost).over(wprev), F.lit(0).cast("long"))
     if "_fifo_t" in fl.columns:
@@ -274,11 +280,16 @@ def fetch(
         .withColumn("_cost", cost)
     )
 
-    # queue kill after too many exceptions (fetcher.max.exceptions.per.queue)
+    # queue kill after too many exceptions (fetcher.max.exceptions.per.queue):
+    # the purge fires ON the exception that makes excCount >= max
+    # (FetchItemQueues.java:306-311, `excCount >= maxExceptions`); the
+    # triggering item was already processed and keeps its exception
+    # status, so item i is purged iff the exceptions BEFORE it already
+    # reached the trigger count max(max, 1) (max=0 still needs one
+    # exception to fire the check — it only runs on exceptions)
     if cfg.fetcher_max_exceptions_per_queue >= 0:
-        fl = fl.filter(
-            F.col("gated") | (F.col("exc_before") <= cfg.fetcher_max_exceptions_per_queue)
-        )
+        kill_at = max(cfg.fetcher_max_exceptions_per_queue, 1)
+        fl = fl.filter(F.col("gated") | (F.col("exc_before") < kill_at))
     # F10 throughput killer (Fetcher.java:311-338): once check_after
     # minutes have elapsed, a run of `retries` consecutive wall seconds
     # in which the fetcher task completes fewer than `threshold` pages
@@ -289,7 +300,7 @@ def fetch(
     # second, locate the earliest bad run with a running-max window,
     # drop everything that starts after it.
     if cfg.fetcher_throughput_threshold_pages > 0:
-        fl = _apply_throughput_killer(fl, cfg, cycle_start_ms, tk_prior)
+        fl = _apply_throughput_killer(fl, cfg, cycle_start_ms)
         fl = fl.filter(~F.col("hit_throughput"))
 
     # fetch time limit: later items drain unprocessed (stay unfetched)
@@ -301,6 +312,21 @@ def fetch(
     # themselves, and an unreachable cached handle would leak one block-
     # manager entry per crawl cycle
 
+    part = (
+        F.col("part_id").cast("int") if "part_id" in fl.columns
+        else F.lit(0).cast("int")
+    )
+    tk_cols = (
+        # private columns for the caller's cross-wave throughput killer
+        # (fetch_follow_outlinks strips them before returning)
+        [
+            F.col("gated"),
+            F.coalesce(F.col("latency_ms"), F.lit(0).cast("long")).alias("latency_ms"),
+            part.alias("part_id"),
+        ]
+        if return_clock
+        else []
+    )
     crawl_fetch = fl.select(
         "url",
         F.col("fstatus").cast("int").alias("status"),
@@ -315,6 +341,7 @@ def fetch(
         F.col("repr_url"),
         F.col("outcome"),
         F.col("host"),
+        *tk_cols,
     )
 
     redirs = fl.filter(
@@ -334,6 +361,10 @@ def fetch(
         F.expr(_EMPTY_MAP).alias("metadata"),
         F.lit(None).cast("long").alias("gen_time"),
         _choose_repr_udf()(F.col("url"), F.col("redirect_to"), is_temp).alias("repr_url"),
+        # redirect rows are never gated; part_id lets the cross-wave
+        # killer drop redirects of killed sources (fetch_time IS the
+        # source's fetch_start)
+        *([part.alias("part_id")] if return_clock else []),
     )
     if not return_clock:
         return crawl_fetch, redirect_links
@@ -342,9 +373,9 @@ def fetch(
     # backoff a trailing exception owes the next item (exc_before is
     # non-decreasing along the drain, so max(exc_before) over non-gated
     # rows is the count baked into the last item's start; the next item
-    # owes base*(2^E_total - 2^that) more — max(fetch_start + cost)
-    # alone would silently drop it at the wave boundary). Gated items
-    # cost 0 and cannot push the clock forward.
+    # owes base*(cum(E_total) - cum(that)) more — max(fetch_start +
+    # cost) alone would silently drop it at the wave boundary). Gated
+    # items cost 0 and cannot push the clock forward.
     exc_total_agg = F.max("_exc_prior") + F.sum(
         F.when(is_exception & ~F.col("gated"), 1).otherwise(0)
     )
@@ -354,10 +385,7 @@ def fetch(
     base_ms = int(cfg.fetcher_exceptions_per_queue_delay * 1000)
     pending_backoff = (
         F.lit(base_ms)
-        * (
-            F.pow(F.lit(2.0), exc_total_agg.cast("double"))
-            - F.pow(F.lit(2.0), baked_exc.cast("double"))
-        )
+        * (_backoff_cum_units(exc_total_agg) - _backoff_cum_units(baked_exc))
     ).cast("long")
     clock = fl.groupBy("_queue").agg(
         (F.max(F.col("fetch_start") + F.col("_cost")) + pending_backoff)
@@ -379,62 +407,28 @@ def fetch(
                 F.max("_queue_exc").alias("_queue_exc"),
             )
         )
-    tk_counts = None
-    if cfg.fetcher_throughput_threshold_pages > 0:
-        # actual (post-kill, post-timelimit) completions of this wave on
-        # the shared task clock, merged with earlier waves' — what the
-        # next wave's killer grid must see
-        part = F.col("part_id") if "part_id" in fl.columns else F.lit(0)
-        sec = F.floor(
-            (
-                F.col("fetch_start")
-                + F.coalesce(F.col("latency_ms"), F.lit(0).cast("long"))
-                - F.lit(cycle_start_ms)
-            )
-            / 1000
-        ).cast("long")
-        tk_counts = (
-            fl.filter(~F.col("gated"))
-            .select(part.alias("_tk_part"), sec.alias("_sec"))
-            .groupBy("_tk_part", "_sec")
-            .agg(F.count("*").alias("_n"))
-        )
-        if tk_prior is not None:
-            tk_counts = (
-                tk_counts.unionByName(tk_prior)
-                .groupBy("_tk_part", "_sec")
-                .agg(F.sum("_n").alias("_n"))
-            )
-    return crawl_fetch, redirect_links, clock, tk_counts
+    return crawl_fetch, redirect_links, clock
 
 
-def _apply_throughput_killer(
-    fl: DataFrame, cfg: NutchConfig, cycle_start_ms: int,
-    tk_prior: DataFrame | None = None,
+def _throughput_kill_secs(
+    fl: DataFrame, cfg: NutchConfig, cycle_start_ms: int
 ) -> DataFrame:
-    """Adds ``hit_throughput``: True for items the throughput killer
-    drains (Fetcher.java:311-338 semantics on the virtual clock).
+    """(``_tk_part``, ``_kill_sec``): the earliest kill instant per
+    fetch task (Fetcher.java:311-338 semantics on the virtual clock).
 
     A wall second `s` (bucket [s*1000, s*1000+999] after cycle start) is
     *bad* when s >= check_after and the task completed < threshold pages
     in it; `retries` consecutive bad seconds kill the task's queues at
-    the check instant (s+1)*1000, dropping every not-yet-started item.
-
-    ``tk_prior``: completions of earlier outlink-follow waves on the
-    same task clock — the reference's check loop sees ONE shared
-    timeline, so a later wave's grid must include them (judged alone, a
-    wave starting at t=500s would see seconds 0..499 empty and kill
-    itself immediately).
+    the check instant (s+1)*1000. ``fl`` needs ``_tk_part``,
+    ``fetch_start``, ``latency_ms``, ``gated`` columns.
 
     Scale shape: one groupBy per (partition, second) — cardinality
     bounded by partitions x timelimit seconds, tiny next to the
-    fetchlist; the kill table is one row per partition (broadcast
+    fetchlist; the result is one row per killed partition (broadcast
     join back). Zero Python."""
     thr = cfg.fetcher_throughput_threshold_pages
     retries = cfg.fetcher_throughput_threshold_retries
     check_after_s = cfg.fetcher_throughput_check_after_mins * 60
-    part = F.col("part_id") if "part_id" in fl.columns else F.lit(0)
-    fl = fl.withColumn("_tk_part", part)
     end_sec = F.floor(
         (
             F.col("fetch_start")
@@ -449,12 +443,6 @@ def _apply_throughput_killer(
         .groupBy("_tk_part", "_sec")
         .agg(F.count("*").alias("_n"))
     )
-    if tk_prior is not None:
-        counts = (
-            counts.unionByName(tk_prior)
-            .groupBy("_tk_part", "_sec")
-            .agg(F.sum("_n").alias("_n"))
-        )
     # dense second grid: an empty second is a bad second, exactly like
     # the reference's 1 Hz check loop
     grid = (
@@ -475,12 +463,23 @@ def _apply_throughput_killer(
     run = F.col("_sec") - F.coalesce(
         F.max(F.when(good, F.col("_sec"))).over(w), F.lit(-1).cast("long")
     )
-    kills = (
+    return (
         grid.withColumn("_run", run)
         .filter(F.col("_run") >= retries)
         .groupBy("_tk_part")
         .agg(F.min("_sec").alias("_kill_sec"))
     )
+
+
+def _apply_throughput_killer(
+    fl: DataFrame, cfg: NutchConfig, cycle_start_ms: int
+) -> DataFrame:
+    """Adds ``hit_throughput``: True for items the throughput killer
+    drains — everything not yet started at the kill instant
+    (emptyQueues => they stay db_unfetched)."""
+    part = F.col("part_id") if "part_id" in fl.columns else F.lit(0)
+    fl = fl.withColumn("_tk_part", part)
+    kills = _throughput_kill_secs(fl, cfg, cycle_start_ms)
     fl = fl.join(F.broadcast(kills), "_tk_part", "left")
     kill_wall = F.lit(cycle_start_ms) + (F.col("_kill_sec") + 1) * 1000
     hit = (
@@ -524,6 +523,7 @@ def _follow_fold_udf(cap: int):
         seen: set[int] = set()
         page_count: dict[str, int] = {}
         out_src, out_to, out_pos, out_seq, out_t = [], [], [], [], []
+        out_part: list[int] = []
         for r in pdf.itertuples(index=False):
             if r.kind == "s":
                 # page enters processing: claim its own hash (:844)
@@ -541,6 +541,7 @@ def _follow_fold_udf(cap: int):
             out_to.append(r.to_url)
             out_pos.append(r.pos)
             out_t.append(r.t)
+            out_part.append(r.part_id)
         return pd.DataFrame(
             {
                 "src_url": pd.Series(out_src, dtype="object"),
@@ -552,6 +553,9 @@ def _follow_fold_udf(cap: int):
                 # breaks cross-queue appends; seq orders within a queue)
                 "seq": pd.Series(out_seq, dtype="int64"),
                 "emit_t": pd.Series(out_t, dtype="int64"),
+                # the source's fetcher task (partition) — the follow item
+                # is appended to a queue of the SAME task
+                "part_id": pd.Series(out_part, dtype="int32"),
             }
         )
 
@@ -584,9 +588,19 @@ def fetch_follow_outlinks(
       exception counter) as ``queue_clock``, and drains in the fold's
       emission order (``_fifo_seq``) — the order items were appended —
       not the wave-0 url-hash interleave. Queues idle for a wave keep
-      their clock (the merge in ``fetch``), and the throughput killer
-      sees one shared completion timeline across waves (``tk_prior``) —
-      exactly the reference's single task clock.
+      their clock (the merge in ``fetch``).
+    - The throughput killer runs ONCE over the union of all waves'
+      completions — the reference's single 1 Hz task clock. Waves fetch
+      with the in-fetch killer off; the post-union cut (drop everything
+      starting after the earliest kill instant of its task/partition,
+      follow items inheriting the SOURCE's partition) is equivalent
+      because (a) completions in seconds <= the kill second all come
+      from items that started before the kill instant, so the detected
+      instant is unchanged by later items, and (b) every follow of a
+      killed source starts after that source's completion, hence after
+      the kill instant, and is dropped by the same cut — exactly the
+      reference's emptied-queues end state (and nothing re-arms the
+      checker after a kill, matching the task simply finishing).
     - The ``alreadyFetched`` dedup set is per-SOURCE-queue
       (FetchItemQueue of the page being parsed, :842-873) and persists
       across waves; the per-queue fold replays it sequentially.
@@ -622,21 +636,29 @@ def fetch_follow_outlinks(
         raise ValueError("fetch_follow_outlinks needs fetcher.follow.outlinks.depth > 0")
     cap = cfg.fetcher_follow_outlinks_num_links
 
+    kill_thr = cfg.fetcher_throughput_threshold_pages
+    # waves fetch with the in-fetch killer OFF; the kill is applied once
+    # over the union of all waves (see the docstring's equivalence note)
+    cfg_wave = cfg.with_(fetcher_throughput_threshold_pages=0) if kill_thr > 0 else cfg
+
     spark = fetchlist.sparkSession
     seen = spark.createDataFrame([], "_queue string, _h long")
     queue_clock = None
-    tk_counts = None
     wave = fetchlist
     fetched_waves: list[DataFrame] = []
     redir_waves: list[DataFrame] = []
     parsed_waves: list[dict] = []
     handles: list[DataFrame] = cleanup if cleanup is not None else []
     for d in range(depth + 1):
-        crawl_fetch, redirs, queue_clock, tk_counts = fetch(
-            wave, robots, outcomes, cfg, cycle_start_ms,
+        crawl_fetch, redirs, queue_clock = fetch(
+            wave, robots, outcomes, cfg_wave, cycle_start_ms,
             dns=dns, queue_clock=queue_clock, return_clock=True,
-            tk_prior=tk_counts,
         )
+        # persist the merged clock too: wave N's clock unions wave N-1's
+        # (already joined into fl) — left lazy, the sub-plan count would
+        # double per wave
+        queue_clock = queue_clock.persist()
+        handles.append(queue_clock)
         crawl_fetch = crawl_fetch.withColumn(
             "outlink_depth", F.lit(d).cast("int")
         ).persist()  # each wave feeds the next wave AND the output union
@@ -645,11 +667,14 @@ def fetch_follow_outlinks(
         redir_waves.append(redirs)
         if d == depth:
             if return_parsed:
-                # the final wave is parsed once (segment commit only) —
-                # no second consumer, nothing to persist
+                # the final wave is parsed only here, but under
+                # write_segments the caller consumes three of its
+                # products (crawl_parse, parse_text, parse_data) — the
+                # persist keeps extraction from running per consumer
                 parsed_waves.append(
                     parse(fetched_content(crawl_fetch, docs), cfg,
-                          url_filter_rules=url_filter_rules)
+                          url_filter_rules=url_filter_rules,
+                          persist_handles=handles)
                 )
             break
 
@@ -668,10 +693,18 @@ def fetch_follow_outlinks(
             F.col("_fifo_seq") if "_fifo_seq" in wave.columns
             else F.col("url_hash").cast("long")
         )
+        # follow items belong to the SOURCE's fetcher task: the thread
+        # that parses the page appends to its own task's queues
+        # (FetcherThread.java:882) — part_id rides along for the
+        # cross-wave throughput killer
+        part_expr = (
+            F.col("part_id").cast("int") if "part_id" in wave.columns
+            else F.lit(0).cast("int")
+        )
         src_drain = (
-            wave.select("url", drain_expr.alias("drain"))
+            wave.select("url", drain_expr.alias("drain"), part_expr.alias("part_id"))
             .groupBy("url")
-            .agg(F.min("drain").alias("drain"))
+            .agg(F.min("drain").alias("drain"), F.min("part_id").alias("part_id"))
         )
         src_q = (
             attach_queue(content.select("url", "fetch_time"), cfg, dns)
@@ -689,6 +722,7 @@ def fetch_follow_outlinks(
             F.lit("c").alias("kind"),
             F.col("fetch_time").alias("t"),
             "drain",
+            "part_id",
             F.col("pos").cast("int").alias("pos"),
             java_hashcode_expr(F.col("to_url")).alias("h"),
             F.col("url").alias("src_url"),
@@ -699,6 +733,7 @@ def fetch_follow_outlinks(
                 F.lit("s").alias("kind"),
                 F.col("fetch_time").alias("t"),
                 "drain",
+                "part_id",
                 F.lit(-1).cast("int").alias("pos"),
                 java_hashcode_expr(F.col("url")).alias("h"),
                 F.col("url").alias("src_url"),
@@ -713,7 +748,8 @@ def fetch_follow_outlinks(
 
         followed = events.groupBy("_queue").applyInPandas(
             _follow_fold_udf(cap),
-            "src_url string, to_url string, pos int, seq long, emit_t long",
+            "src_url string, to_url string, pos int, seq long, emit_t long,"
+            " part_id int",
         ).persist()  # feeds next wave + seen
         handles.append(followed)
 
@@ -745,19 +781,71 @@ def fetch_follow_outlinks(
             F.lit(None).cast("string").alias("repr_url"),
             F.col("seq").alias("_fifo_seq"),
             F.col("emit_t").alias("_fifo_t"),
+            "part_id",
         ).withColumn("url_hash", F.coalesce(nutch_url_hash32_expr(F.col("url")), F.lit(0)))
 
-    out_fetch = fetched_waves[0]
-    for wdf in fetched_waves[1:]:
-        out_fetch = out_fetch.unionByName(wdf)
-    out_redirs = redir_waves[0]
-    for rdf in redir_waves[1:]:
-        out_redirs = out_redirs.unionByName(rdf)
+    out_fetch = _union_all(fetched_waves)
+    out_redirs = _union_all(redir_waves)
+    killed_urls = None
+    if kill_thr > 0:
+        # the single cross-wave kill (see docstring): detect the earliest
+        # kill instant per task over the union's shared timeline, then cut
+        # everything that starts at/after it — including follows of killed
+        # sources and the killed sources' redirects/parse products
+        u = out_fetch.withColumn("_tk_part", F.col("part_id")).withColumn(
+            "fetch_start", F.col("fetch_time")
+        )
+        kills = _throughput_kill_secs(u, cfg, cycle_start_ms)
+        kill_wall = F.lit(cycle_start_ms) + (F.col("_kill_sec") + 1) * 1000
+        survives = (
+            F.col("_kill_sec").isNull()
+            | F.col("gated")
+            | (F.col("fetch_time") < kill_wall)
+        )
+        cut = u.join(F.broadcast(kills), "_tk_part", "left")
+        killed_urls = (
+            cut.filter(~survives).select("url").distinct().persist()
+        )
+        handles.append(killed_urls)
+        out_fetch = cut.filter(survives).drop("_tk_part", "_kill_sec", "fetch_start")
+        out_redirs = (
+            out_redirs.withColumn("_tk_part", F.col("part_id"))
+            .join(F.broadcast(kills), "_tk_part", "left")
+            .filter(F.col("_kill_sec").isNull() | (F.col("fetch_time") < kill_wall))
+            .drop("_tk_part", "_kill_sec")
+        )
+    out_fetch = out_fetch.drop("gated", "latency_ms", "part_id")
+    out_redirs = out_redirs.drop("part_id")
     if not return_parsed:
         return out_fetch, out_redirs
+    # per-wave parse products are unioned as-is: a url fetched in two
+    # different waves (followed from two source queues — alreadyFetched
+    # is per-queue) contributes its parse products once per wave, which
+    # is the reference's per-fetch emission (each FetcherThread parses
+    # the item it fetched); within a wave the url-keyed extraction
+    # collapses duplicates — the one place we emit less than the
+    # reference, documented here. Killed sources are never parsed.
     out_parsed = {
         k: _union_all([p[k] for p in parsed_waves]) for k in parsed_waves[0]
     }
+    if killed_urls is not None:
+        kset = killed_urls.select(F.col("url").alias("_src"))
+
+        def _cut(df: DataFrame) -> DataFrame:
+            # crawl_parse's STATUS_LINKED rows are keyed by the TARGET
+            # with the source in from_url — cut by the emitting source
+            src = (
+                F.coalesce(F.col("from_url"), F.col("url"))
+                if "from_url" in df.columns
+                else F.col("url")
+            )
+            return (
+                df.withColumn("_src", src)
+                .join(F.broadcast(kset), "_src", "left_anti")
+                .drop("_src")
+            )
+
+        out_parsed = {k: _cut(df) for k, df in out_parsed.items()}
     return out_fetch, out_redirs, out_parsed
 
 

@@ -142,6 +142,23 @@ def test_exception_backoff(spark):
     assert rows[order[1]]["fetch_time"] == NOW + 5100 + 10_000
 
 
+def test_exception_backoff_capped(spark):
+    """The per-exception backoff doubles but is capped at base*2^32 from
+    the 34th exception on (FetchItemQueues.java:295-301: exceptionDelay
+    *= 2L << Math.min(excCount-2, 31)) — uncapped pow(2, n) would
+    overflow the long fetch_time on a long-lived bad queue."""
+    urls = [f"http://exc.example.com/doc/{i}" for i in range(37)]
+    order = sorted(urls, key=lambda u: (nutch_url_hash32(u), u))
+    fl = fetchlist(spark, urls)
+    out = outcomes_df(spark, [(u, "exception", None, 100) for u in urls])
+    cf, _ = fetch(fl, robots_df(spark), out, CFG, NOW)
+    rows = {r["url"]: r for r in cf.collect()}
+    base, cost = 10_000, 5_100
+    # 36 prior exceptions: 33 doubling terms (2^33 - 1) + 3 capped 2^32
+    cum36 = (2**33 - 1) + 3 * 2**32
+    assert rows[order[36]]["fetch_time"] == NOW + 36 * cost + base * cum36
+
+
 def test_redirect_links_and_repr(spark):
     fl = fetchlist(spark, ["http://rd.example.com/doc/1"])
     out = outcomes_df(

@@ -204,9 +204,12 @@ def test_idle_wave_keeps_queue_clock(spark):
 
 
 def test_exception_counter_carries_across_waves(spark):
-    """FetchItemQueue's exception counter persists for the run: a queue
-    killed by max-exceptions in wave 0 must not fetch followed items in
-    wave 1 with a reset counter."""
+    """FetchItemQueue's exception counter persists for the run: the
+    purge fires ON the exception that makes excCount >= max
+    (FetchItemQueues.java:306-311 — the triggering item keeps its
+    status, the rest of the queue is emptied), and a queue blocked in
+    wave 0 must not fetch followed items in wave 1 with a reset
+    counter."""
     urls = [f"{H}/p{i}" for i in range(4)]
     order = sorted(urls, key=lambda u: (nutch_url_hash32(u), u))
     linker, excs = order[0], order[1:]  # linker drains first, then 3 exceptions
@@ -224,10 +227,14 @@ def test_exception_counter_carries_across_waves(spark):
         fl, robots_df(spark), outcomes, docs_df(spark, {linker: [t]}), cfg, NOW,
     )
     rows = cf.collect()
-    # wave 0: linker + the first 3 exceptions (counter hits 3 > 2 only
-    # AFTER the third, which is item exc_before=2 <= 2 — all three kept)
-    assert {r["url"] for r in rows if r["outlink_depth"] == 0} == set(urls)
-    # wave 1: the queue's cumulative counter is 3 > max 2 -> item dropped
+    # wave 0: linker + the first TWO exceptions — the second exception
+    # trips excCount(2) >= max(2) and purges the rest of the queue, so
+    # the third (exc_before=2) is never fetched
+    assert {r["url"] for r in rows if r["outlink_depth"] == 0} == {
+        linker, excs[0], excs[1]
+    }
+    # wave 1: the queue stays blocked (carried counter 2 >= max 2,
+    # queuesMaxExceptions semantics) -> the followed item is dropped
     assert [r for r in rows if r["outlink_depth"] == 1] == []
 
 
@@ -294,6 +301,39 @@ def test_throughput_killer_sees_shared_timeline_across_waves(spark):
     )
     w1 = {r["url"] for r in cf.collect() if r["outlink_depth"] == 1}
     assert w1 == {t}
+
+
+def test_follow_wave_killer_judges_source_partition(spark):
+    """Follow items inherit the SOURCE's fetcher task (partition): the
+    slow task's throughput kill drops its own follow even though the
+    other task's dense completion timeline would have spared it (a
+    follow mis-assigned to partition 0 would be judged on the healthy
+    grid and survive)."""
+    slow, fast = "http://slowq.example.com", "http://fasth.example.com"
+    t = f"{slow}/t1"
+    fast_urls = [f"{fast}/doc/{i}" for i in range(12)]
+    fl = fetchlist(spark, [f"{slow}/a"] + fast_urls).withColumn(
+        "part_id",
+        F.when(F.col("url").startswith(slow), F.lit(1)).otherwise(F.lit(0)),
+    )
+    # fast host: crawl-delay 0.9s -> one completion every second, its
+    # task is never starved; slow host keeps the 5s server delay
+    robots = robots_df(spark, [("fasth.example.com", None, 0.9, None, None)])
+    outcomes = outcomes_df(spark, [f"{slow}/a", t] + fast_urls)
+    cfg = NutchConfig(
+        fetcher_follow_outlinks_depth=1,
+        fetcher_throughput_threshold_pages=1,
+        fetcher_throughput_threshold_retries=3,
+        fetcher_throughput_check_after_mins=0,
+    )
+    cf, _ = fetch_follow_outlinks(
+        fl, robots, outcomes, docs_df(spark, {f"{slow}/a": [t]}), cfg, NOW,
+    )
+    got = {r["url"] for r in cf.collect()}
+    # task 1: a completes at 0.1s, the follow would start at 5.1s; secs
+    # 1-3 are empty (run of 3) -> task killed at +4s -> follow dropped
+    assert t not in got
+    assert got == {f"{slow}/a", *fast_urls}
 
 
 def test_depth_zero_config_rejected(spark):
