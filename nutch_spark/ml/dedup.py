@@ -34,6 +34,19 @@ from nutch_spark.ml.text import fingerprint, normalized_text
 # ---------------------------------------------------------------------------
 
 
+def _widen_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition a too-narrow input before an expensive map-side
+    fold. A small parquet table arrives as one input split
+    (files.maxPartitionBytes), serializing the per-shingle md5 folds on
+    one core; at corpus scale the scan already has >= defaultParallelism
+    splits and this is a no-op. Driver-side partition-count probe only —
+    no job is triggered."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Groups of identical normalized text: (fingerprint, doc_ids, keeper).
     Keeper = min doc_id (deterministic)."""
@@ -88,6 +101,7 @@ def ngram_jaccard_pairs(
     """All-pairs n-gram Jaccard >= threshold. Exact (O(n^2) on the
     shingle-inverted index) — the verification primitive; use
     minhash_lsh_candidates to prune at scale."""
+    documents = _widen_small_scan(documents)
     sh = documents.select(
         "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
     )
@@ -182,6 +196,7 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     bands*rows == num_hashes; collision prob ≈ 1-(1-j^rows)^bands."""
+    documents = _widen_small_scan(documents)
     banded = documents.select(
         "doc_id",
         F.posexplode(
@@ -213,6 +228,7 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified by true Jaccard on shingle sets — the
     standard two-phase near-dup pipeline (prune then verify)."""
+    documents = _widen_small_scan(documents)
     cands = minhash_lsh_candidates(documents, num_hashes, bands, k)
     sh = documents.select("doc_id", word_shingles(F.col("text"), k).alias("shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -279,6 +295,7 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
     """Near-dups by SimHash: band the 32-bit fingerprint into 4 bytes
     (pigeonhole: hamming<=3 pairs share at least one exact byte),
     bucket-join, verify Hamming distance."""
+    documents = _widen_small_scan(documents)
     sh = documents.select("doc_id", simhash32(F.col("text")).alias("sh"))
     bands = sh.select(
         "doc_id",
