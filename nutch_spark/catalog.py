@@ -29,6 +29,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -206,8 +207,17 @@ class SnapshotCatalog:
             meta["current_snapshot_id"] = snapshot_id
             self._store_meta(table, meta)
 
-    def expire_snapshots(self, table: str, keep: int = 2) -> int:
-        """Drop all but the newest ``keep`` snapshots (old-dir cleanup)."""
+    def expire_snapshots(
+        self, table: str, keep: int = 2, pending_grace_s: float = 24 * 3600
+    ) -> int:
+        """Drop all but the newest ``keep`` snapshots (old-dir cleanup).
+
+        ``pending_grace_s``: minimum age before an unreferenced
+        snap-pending-* dir is swept as an orphan. Commits write their
+        parquet outside the meta lock, so a pending dir may belong to a
+        LIVE in-flight commit — only dirs quiet for a full grace window
+        (dir mtime ticks on every file create/rename inside it) are
+        provably abandoned (driver died mid-write)."""
         with self._meta_lock(table):
             meta = self._load_meta(table)
             snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
@@ -227,10 +237,19 @@ class SnapshotCatalog:
             self._store_meta(table, meta)
             # orphan sweep (Iceberg remove-orphan-files style): a commit
             # whose driver died mid-write leaves a snap-pending-* dir no
-            # metadata references; expire is the maintenance window, so
-            # no commit is in flight and any pending dir is garbage
+            # metadata references. A pending dir can also belong to a
+            # commit in flight RIGHT NOW (parquet write happens outside
+            # the meta lock), so only sweep dirs quiet past the grace
+            # window — an active writer keeps bumping the dir mtime.
             table_dir = os.path.join(self.root, table)
             for d in os.listdir(table_dir):
-                if d.startswith("snap-pending-"):
-                    shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+                if not d.startswith("snap-pending-"):
+                    continue
+                path = os.path.join(table_dir, d)
+                try:
+                    quiet_s = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue  # raced with the owner's own rename/cleanup
+                if quiet_s >= pending_grace_s:
+                    shutil.rmtree(path, ignore_errors=True)
         return dropped

@@ -24,6 +24,9 @@ Scale shapes (100 TB corpus):
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -34,15 +37,54 @@ from nutch_spark.ml.text import fingerprint, normalized_text
 # ---------------------------------------------------------------------------
 
 
+def _parse_byte_conf(s: str) -> int:
+    """'134217728b' / '128m' / '1g' -> bytes (Spark byte-conf syntax)."""
+    s = s.strip().lower()
+    units = {"tb": 1024**4, "gb": 1024**3, "mb": 1024**2, "kb": 1024,
+             "t": 1024**4, "g": 1024**3, "m": 1024**2, "k": 1024, "b": 1}
+    for suf in sorted(units, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * units[suf])
+    return int(s)
+
+
 def _widen_small_scan(df: DataFrame) -> DataFrame:
     """Repartition a too-narrow input before an expensive map-side
     fold. A small parquet table arrives as one input split
     (files.maxPartitionBytes), serializing the per-shingle md5 folds on
     one core; at corpus scale the scan already has >= defaultParallelism
-    splits and this is a no-op. Driver-side partition-count probe only —
-    no job is triggered."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits and this is a no-op.
+
+    The probe is metadata-only: inputFiles() + local file sizes. It must
+    NOT touch ``df.rdd`` — under AQE that materializes every upstream
+    query stage as a real job at plan-construction time. Non-file and
+    non-local sources return unchanged (the guard exists for tiny local
+    test/bench inputs; a cluster-filesystem scan is already split by the
+    file index). Nested calls (near_duplicates -> lsh_candidates) stack
+    two adjacent Repartition nodes; Catalyst's CollapseRepartition keeps
+    the physical plan at one exchange."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return df
+        try:
+            total += os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return df
+    mpb = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    est_splits = max(1, -(-total // mpb))
+    if est_splits < target:
         return df.repartition(target)
     return df
 

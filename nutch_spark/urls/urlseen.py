@@ -130,24 +130,27 @@ class BloomBitmap:
     def _words_df(self, spark) -> DataFrame:
         """One-row (array<bigint>) DataFrame of the dense word array.
 
-        Built ONCE per bitmap and cached: the (index, word) rows travel
-        executor-ward Arrow-batched (createDataFrame on a pandas frame),
-        and the positional array is assembled JVM-side — never a
+        Plan built ONCE per bitmap and reused: the (index, word) rows
+        travel executor-ward Arrow-batched (createDataFrame on a pandas
+        frame), and the positional array is assembled JVM-side — never a
         multi-hundred-MB transient Python list through py4j per split()
-        call (at fpp=0.01 over 10^8 urls the array is ~19M longs)."""
+        call (at fpp=0.01 over 10^8 urls the array is ~19M longs).
+
+        Deliberately NOT persist()ed: a long-running crawl loop builds a
+        fresh bitmap per cycle and there is no unpersist hook once the
+        lazy split() frames escape — persisting would leak one ~150 MB
+        block per cycle. Within one plan both split() branches share the
+        broadcast via ReuseExchange; across separate actions the rebuild
+        is a single local-array agg, noise next to the probe side."""
         if self._wdf is None:
             rows = pd.DataFrame(
                 {"i": np.arange(len(self._words), dtype=np.int64), "v": self._words}
             )
-            self._wdf = (
-                spark.createDataFrame(rows)
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "v"))),
-                        lambda s: s["v"],
-                    ).alias("_bf_words")
-                )
-                .persist()
+            self._wdf = spark.createDataFrame(rows).agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "v"))),
+                    lambda s: s["v"],
+                ).alias("_bf_words")
             )
         return self._wdf
 
@@ -296,6 +299,44 @@ class CuckooFilter:
             int(r["part"]): (int(r["m"]), np.frombuffer(r["table"], dtype=np.uint16))
             for r in rows
         }
+        self._tdf = None  # lazily-built (part, m, array<int>) probe table
+
+    def _tables_df(self, spark) -> DataFrame:
+        """Per-partition (part, m, packed-table array<int>) probe frame.
+
+        Plan built ONCE per filter and reused: the flat (part, i, v)
+        entries travel executor-ward Arrow-batched (createDataFrame on
+        one numpy-backed pandas frame) and each partition's positional
+        array is assembled JVM-side — never a boxed Python int list per
+        split() call (at 10^8 urls the tables total ~1.2*10^8 slots).
+        Not persist()ed, same reasoning as BloomBitmap._words_df."""
+        if self._tdf is None:
+            flat = pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "_ck_part": np.full(len(table), p, dtype=np.int32),
+                            "_ck_m": np.full(len(table), m, dtype=np.int64),
+                            "i": np.arange(len(table), dtype=np.int64),
+                            "v": table.astype(np.int32),
+                        }
+                    )
+                    for p, (m, table) in self._tables.items()
+                ],
+                ignore_index=True,
+            )
+            self._tdf = (
+                spark.createDataFrame(flat)
+                .groupBy("_ck_part")
+                .agg(
+                    F.first("_ck_m").alias("_ck_m"),
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "v"))),
+                        lambda s: s["v"],
+                    ).alias("_ck_tbl"),
+                )
+            )
+        return self._tdf
 
     def might_contain_udf(self):
         tables, P, slots_, mix = self._tables, self.partitions, self.slots, self._MIX
@@ -340,13 +381,7 @@ class CuckooFilter:
         if not self._tables:
             return big.filter(F.lit(False)), big
         spark = big.sparkSession
-        rows = [
-            (int(p), int(m), table.astype(np.int32).tolist())
-            for p, (m, table) in self._tables.items()
-        ]
-        tdf = spark.createDataFrame(
-            rows, "_ck_part int, _ck_m bigint, _ck_tbl array<int>"
-        )
+        tdf = self._tables_df(spark)
         part = F.pmod(F.xxhash64(F.col(url_col)), F.lit(self.partitions)).cast("int")
         j = big.join(F.broadcast(tdf), part == F.col("_ck_part"), "left")
         h = f"xxhash64(`{url_col}`)"

@@ -116,6 +116,12 @@ def test_failed_write_cleans_pending_and_expire_sweeps_orphans(spark, tmp_path):
     assert not [d for d in os.listdir(tdir) if d.startswith("snap-pending-")]
     # simulate a crashed commit's orphan
     os.makedirs(tdir / "snap-pending-deadbeef")
+    # a FRESH pending dir may be a live commit writing outside the meta
+    # lock — the default grace window must leave it alone
+    cat.expire_snapshots("t", keep=5)
+    assert [d for d in os.listdir(tdir) if d.startswith("snap-pending-")]
+    # backdate it past the grace window -> provably abandoned -> swept
+    os.utime(tdir / "snap-pending-deadbeef", (0, 0))
     cat.expire_snapshots("t", keep=5)
     assert not [d for d in os.listdir(tdir) if d.startswith("snap-pending-")]
     assert cat.read(spark, "t").count() == 3  # table intact
