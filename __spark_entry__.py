@@ -1113,6 +1113,120 @@ def q_span_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML meta directives (HTMLMetaProcessor.java:40-220 via
+    operators/metatags.py): robots noindex/nofollow/none/noarchive
+    screens, pragma no-cache, base href, refresh parsing (bare-time,
+    url= form, unparseable-time drop), first-robots-value — folded over
+    a deterministic meta-span corpus; the oracle replays the identical
+    substring screens over the same content strings in SQL."""
+    from nutch_spark.operators.metatags import meta_directives
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = _url20()
+    m = did % 8
+    rt = (did % 9).cast("string")
+    b = (did % 5).cast("string")
+
+    def meta(text_col, off):
+        return F.struct(
+            F.lit("meta").alias("kind"),
+            text_col.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    txt = F.struct(
+        F.lit("text").alias("kind"),
+        F.substring("text", 1, 40).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(9).cast("int").alias("offset"),
+    )
+    refresh_url = F.concat(
+        F.lit("refresh:"), rt, F.lit(";url=http://r"), b, F.lit(".example.com/t")
+    )
+    base_href = F.concat(F.lit("base:http://base"), b, F.lit(".example.com/b/"))
+    spans = (
+        F.when(m == 0, F.array(meta(F.lit("robots:noindex,nofollow,noarchive"), 0), txt))
+        .when(m == 1, F.array(meta(F.lit("RoBoTs:NoNe"), 0), meta(F.lit("pragma:no-cache"), 1), txt))
+        .when(m == 2, F.array(meta(F.lit("robots:all"), 0), txt))
+        .when(m == 3, F.array(meta(refresh_url, 0), txt))
+        .when(m == 4, F.array(meta(base_href, 0), txt))
+        .when(m == 5, F.array(meta(F.lit("robots"), 0), meta(F.lit("refresh:abc"), 1), txt))
+        .when(m == 6, F.array(meta(F.concat(F.lit("refresh:"), rt), 0), txt))
+        .otherwise(F.array(txt))
+    )
+    md = meta_directives(spans, url)
+    return d.select(
+        url.alias("url"),
+        md["no_index"].cast("int").alias("no_index"),
+        md["no_follow"].cast("int").alias("no_follow"),
+        md["no_cache"].cast("int").alias("no_cache"),
+        md["base_href"].alias("base_href"),
+        md["refresh"].cast("int").alias("refresh"),
+        md["refresh_time"].cast("int").alias("refresh_time"),
+        md["refresh_href"].alias("refresh_href"),
+        md["robots"].alias("robots"),
+    )
+
+
+def q_parse_meta_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta directives through the full parse stage (HtmlParser.java:
+    223-250 + ParseOutputFormat.java:273-293): robots nofollow
+    suppresses a page's outlink LINKED rows entirely; a meta refresh
+    additionally emits a fresh LINKED datum (score 0, interval 0) at
+    the refresh target. Returns every STATUS_LINKED crawl_parse row."""
+    from nutch_spark.operators.parse import parse
+    from nutch_spark.schema import STATUS_LINKED
+
+    d = _docs(spark, sf_dir)
+    n = _n_docs(d, sf_dir)
+    did = F.col("doc_id")
+    m = did % 6
+    tgt = (did * 7 + 1) % n
+
+    def span(kind, text, ref, off):
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    refresh_meta = F.concat(
+        F.lit("refresh:"), (did % 9).cast("string"),
+        F.lit(";url=http://host"), ((did + 3) % 20).cast("string"),
+        F.lit(".example.com/r/"), did.cast("string"),
+    )
+    base = [
+        span(F.lit("text"), F.substring("text", 1, 40), F.lit(None).cast("string"), F.lit(0)),
+        span(F.lit("link"), F.concat(F.lit("a"), tgt.cast("string")), _url20(tgt), F.lit(1)),
+    ]
+    spans = (
+        F.when(m == 0, F.array(span(F.lit("meta"), F.lit("robots:nofollow"), F.lit(None).cast("string"), F.lit(2)), *base))
+        .when(m == 1, F.array(span(F.lit("meta"), refresh_meta, F.lit(None).cast("string"), F.lit(2)), *base))
+        .otherwise(F.array(*base))
+    )
+    content = d.select(
+        _url20().alias("url"),
+        F.lit(1.0).cast("float").alias("score"),
+        F.lit(FETCH_TS).cast("long").alias("fetch_time"),
+        F.lit(None).cast("long").alias("gen_time"),
+        spans.alias("spans"),
+        F.lit(True).alias("is_canonical"),
+    )
+    parsed = parse(content, CFG)
+    return parsed["crawl_parse"].filter(F.col("status") == STATUS_LINKED).select(
+        "url",
+        "from_url",
+        "anchor",
+        "repr_url",
+        F.col("score").cast("double").alias("score"),
+        F.col("fetch_interval").cast("int").alias("fetch_interval"),
+    )
+
+
 def q_fetch_depth_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 in-fetch outlink following (fetcher.follow.outlinks.depth=1,
     FetcherThread.java:840-886): wave 0 is the politeness fetch; its
@@ -2272,6 +2386,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fetch_statuses": q_fetch_statuses,
         "parse_outlinks": q_parse_outlinks,
         "span_signature": q_span_signature,
+        "meta_directives": q_meta_directives,
+        "parse_meta_effects": q_parse_meta_effects,
         "warc_export": q_warc_export,
         "index_docs": q_index_docs,
         "index_filters": q_index_filters,
@@ -4572,6 +4688,84 @@ SELECT 'http://host' || CAST(h AS VARCHAR) || '.example.com/doc/'
     || CAST(doc_id AS VARCHAR) || '.img',
   'img', CAST(1 AS INTEGER), CAST(0.5 AS DOUBLE)
 FROM b
+""",
+        # ---- HTML meta directives (HTMLMetaProcessor) ---------------------
+        # replays the reference's case-insensitive substring screens
+        # over the exact content strings the fixture feeds the engine
+        "meta_directives": """
+WITH b AS (
+  SELECT doc_id,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    doc_id % 8 AS m,
+    CAST(doc_id % 9 AS VARCHAR) AS rt,
+    CAST(doc_id % 5 AS VARCHAR) AS bb
+  FROM documents
+),
+d AS (
+  SELECT *,
+    CASE WHEN m = 0 THEN 'noindex,nofollow,noarchive' WHEN m = 1 THEN 'NoNe'
+         WHEN m = 2 THEN 'all' WHEN m = 5 THEN '' END AS robots,
+    CASE WHEN m = 1 THEN 'no-cache' END AS pragma,
+    CASE WHEN m = 3 THEN rt || ';url=http://r' || bb || '.example.com/t'
+         WHEN m = 5 THEN 'abc'
+         WHEN m = 6 THEN rt END AS refresh_content,
+    CASE WHEN m = 4 THEN 'http://base' || bb || '.example.com/b/' END AS base_href
+  FROM b
+),
+e AS (
+  SELECT *,
+    TRY_CAST(regexp_extract(refresh_content, '^([^;]*)', 1) AS INTEGER) AS rtime
+  FROM d
+)
+SELECT url,
+  CAST(CASE WHEN robots IS NOT NULL AND (contains(lower(robots), 'noindex')
+        OR contains(lower(robots), 'none')) THEN 1 ELSE 0 END AS INTEGER) AS no_index,
+  CAST(CASE WHEN robots IS NOT NULL AND (contains(lower(robots), 'nofollow')
+        OR contains(lower(robots), 'none')) THEN 1 ELSE 0 END AS INTEGER) AS no_follow,
+  CAST(CASE WHEN (robots IS NOT NULL AND contains(lower(robots), 'noarchive'))
+        OR (pragma IS NOT NULL AND contains(lower(pragma), 'no-cache'))
+        THEN 1 ELSE 0 END AS INTEGER) AS no_cache,
+  base_href,
+  CAST(CASE WHEN rtime IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS refresh,
+  rtime AS refresh_time,
+  CASE WHEN rtime IS NOT NULL THEN
+    CASE WHEN m = 3 THEN 'http://r' || bb || '.example.com/t' ELSE url END
+  END AS refresh_href,
+  robots
+FROM e
+""",
+        # ---- meta directives through parse() ------------------------------
+        # nofollow (m=0) kills the page's outlink row; refresh (m=1)
+        # adds a LINKED datum at the target. chooseRepr: every fixture
+        # host shares domain example.com, both paths non-root, equal
+        # host label counts -> temp refresh (time<5) reprs the SOURCE,
+        # perm refresh reprs the target (recorded as NULL since equal)
+        "parse_meta_effects": """
+WITH dn AS (SELECT COUNT(*) AS n FROM documents),
+b AS (
+  SELECT doc_id, doc_id % 6 AS m, (doc_id * 7 + 1) % dn.n AS tgt,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS from_url
+  FROM documents, dn
+)
+SELECT 'http://host' || CAST(tgt % 20 AS VARCHAR) || '.example.com/doc/'
+    || CAST(tgt AS VARCHAR) AS url,
+  from_url,
+  'a' || CAST(tgt AS VARCHAR) AS anchor,
+  CAST(NULL AS VARCHAR) AS repr_url,
+  CAST(1.0 AS DOUBLE) AS score,
+  CAST(2592000 AS INTEGER) AS fetch_interval
+FROM b WHERE m <> 0
+UNION ALL
+SELECT 'http://host' || CAST((doc_id + 3) % 20 AS VARCHAR) || '.example.com/r/'
+    || CAST(doc_id AS VARCHAR),
+  from_url,
+  CAST(NULL AS VARCHAR),
+  CASE WHEN doc_id % 9 < 5 THEN from_url END,
+  CAST(0.0 AS DOUBLE),
+  CAST(0 AS INTEGER)
+FROM b WHERE m = 1
 """,
         # ---- T12 span signature -------------------------------------------
         "span_signature": """

@@ -257,6 +257,8 @@ def index_actions(
     *,
     delete: bool = True,
     skip_notmodified: bool = False,
+    parse_meta: DataFrame | None = None,
+    delete_robots_noindex: bool = False,
 ) -> DataFrame:
     """IndexerMapReduce action resolution (``IndexerMapReduce.java:
     299-340``): which urls become index adds vs deletes.
@@ -268,6 +270,13 @@ def index_actions(
     rows are silently skipped when ``indexer.skip.notmodified``; only
     successfully fetched+parsed pages become adds. Returns (url,
     action 'add'|'delete', reason) — dropped rows emit nothing.
+
+    ``delete_robots_noindex`` (indexer.delete.robots.noindex,
+    IndexerMapReduce.java:277-289): a url whose parse metadata carries a
+    robots value containing ``noindex`` (case-insensitive) is deleted
+    before any other rule is consulted — the reference returns from the
+    reducer the moment the ParseData arrives. ``parse_meta`` is the
+    parse stage's (url, robots, ...) frame.
 
     One broadcast-sized left join + column logic, no Python.
     """
@@ -284,6 +293,18 @@ def index_actions(
     j = crawldb.join(
         parse_text.select("url", F.lit(True).alias("_pt")), "url", "left"
     )
+    if delete_robots_noindex and parse_meta is not None:
+        j = j.join(
+            parse_meta.select("url", F.col("robots").alias("_robots")),
+            "url",
+            "left",
+        )
+        robots_del = (
+            F.col("_robots").isNotNull()
+            & (F.instr(F.lower(F.col("_robots")), "noindex") > 0)
+        )
+    else:
+        robots_del = F.lit(False)
     st = F.col("status")
     deleting = F.lit(delete)
     gone = deleting & (st == STATUS_DB_GONE)
@@ -294,11 +315,12 @@ def index_actions(
         | ((st == STATUS_DB_NOTMODIFIED) & F.lit(not skip_notmodified))
     )
     action = (
-        F.when(gone | redir | dup, F.lit("delete"))
+        F.when(robots_del | gone | redir | dup, F.lit("delete"))
         .when(addable, F.lit("add"))
     )
     reason = (
-        F.when(gone, F.lit("gone"))
+        F.when(robots_del, F.lit("robots_noindex"))
+        .when(gone, F.lit("gone"))
         .when(redir, F.lit("redirects"))
         .when(dup, F.lit("duplicates"))
         .when(addable, F.lit("indexed"))

@@ -31,6 +31,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nutch_spark.config import NutchConfig
+from nutch_spark.operators.metatags import (
+    CACHING_FORBIDDEN_CONTENT,
+    CACHING_FORBIDDEN_KEY,
+    PERM_REFRESH_TIME,
+    meta_directives,
+)
 from nutch_spark.schema import (
     STATUS_FETCH_SUCCESS,
     STATUS_LINKED,
@@ -98,15 +104,32 @@ def parse(
     the dict more than once (the outlink-follow fetch: once for the
     follow fold, once in the segment commit) pays extraction once.
     """
-    c = content.withColumn("signature", span_signature(F.col("spans")))
+    c = content.withColumn("signature", span_signature(F.col("spans"))).withColumn(
+        "_md", meta_directives(F.col("spans"), F.col("url"))
+    )
 
-    parse_text = c.select("url", parse_text_col(F.col("spans")).alias("text"))
+    # noindex -> text/title extraction skipped entirely
+    # (HtmlParser.java:208-221); the doc still parses, signs, and emits
+    # its outlinks/signature rows
+    parse_text = c.select(
+        "url",
+        F.when(F.col("_md.no_index"), F.lit(""))
+        .otherwise(parse_text_col(F.col("spans")))
+        .alias("text"),
+    )
 
     # ---- outlink extraction: media_ref spans in span order, capped at
     # extraction time (db.max.outlinks.per.page; < 0 means unlimited —
     # ParseOutputFormat maps it to Integer.MAX_VALUE, and F.slice would
-    # throw on a non-positive length)
-    all_links = F.filter(F.col("spans"), lambda s: s["media_ref"].isNotNull())
+    # throw on a non-positive length). robots nofollow suppresses the
+    # whole outlink array (HtmlParser.java:223-243) — link spans carry
+    # producer-resolved absolute media_refs, so the reference's <base>
+    # re-resolution of relative hrefs has no span-model analogue (base
+    # still resolves refresh targets in meta_directives).
+    all_links = F.when(
+        F.col("_md.no_follow"),
+        F.filter(F.col("spans"), lambda s: F.lit(False)),
+    ).otherwise(F.filter(F.col("spans"), lambda s: s["media_ref"].isNotNull()))
     if cfg.db_max_outlinks_per_page < 0:
         link_spans = all_links
     else:
@@ -229,10 +252,84 @@ def parse(
         F.lit(None).cast("string").alias("from_url"),
     )
 
-    crawl_parse = linked.unionByName(sig_rows).unionByName(noncanon)
+    # meta-refresh redirect (HtmlParser.java:246-250 sets
+    # SUCCESS_REDIRECT; ParseOutputFormat.java:273-293 consumes it): the
+    # target is normalized in SCOPE_FETCHER + filtered + subjected to
+    # the same internal/external ignore policy, then emitted as a fresh
+    # STATUS_LINKED datum (score 0, interval 0) whose repr_url is
+    # chooseRepr(from, to, temp=refresh_time < PERM_REFRESH_TIME) and is
+    # only recorded when it differs from the target.
+    refresh = c.filter(F.col("_md.refresh")).select(
+        F.col("url").alias("from_url"),
+        "fetch_time",
+        F.col("_md.refresh_href").alias("to_raw"),
+        F.col("_md.refresh_time").alias("refresh_time"),
+    )
+    if normalize_outlinks:
+        refresh = refresh.withColumn(
+            "to_url", normalize_col(F.col("to_raw"), "fetcher")
+        ).filter(F.col("to_url").isNotNull())
+    else:
+        refresh = refresh.withColumn("to_url", F.col("to_raw"))
+    if url_filter_rules is not None:
+        refresh = refresh.filter(url_filter_cond(F.col("to_url"), url_filter_rules))
+    r_src, r_dst = host_col(F.col("from_url")), host_col(F.col("to_url"))
+    if cfg.db_ignore_internal_links:
+        refresh = refresh.filter(r_src != r_dst)
+    if cfg.db_ignore_external_links:
+        keep = r_src == r_dst
+        if exemption_rules:
+            from nutch_spark.urls.filters import exemption_cond
+
+            keep = keep | exemption_cond(F.col("to_url"), exemption_rules)
+        refresh = refresh.filter(keep)
+    from nutch_spark.operators.fetchsim import _choose_repr_udf
+
+    repr_u = _choose_repr_udf()(
+        F.col("from_url"),
+        F.col("to_url"),
+        F.col("refresh_time") < PERM_REFRESH_TIME,
+    )
+    refresh_links = refresh.select(
+        F.col("to_url").alias("url"),
+        F.lit(STATUS_LINKED).cast("int").alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        F.lit(0).alias("fetch_interval"),
+        F.lit(0.0).cast("float").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.expr(_EMPTY_MAP).alias("metadata"),
+        F.lit(None).cast("long").alias("gen_time"),
+        F.when(repr_u != F.col("to_url"), repr_u).alias("repr_url"),
+        F.lit(None).cast("string").alias("anchor"),
+        F.col("from_url"),
+    )
+
+    # per-doc meta directives for the indexer (robots first-value for
+    # the noindex delete, IndexerMapReduce.java:277-289; caching
+    # policy stamp, HtmlParser.java:259-263)
+    parse_meta = c.select(
+        "url",
+        F.col("_md.robots").alias("robots"),
+        F.col("_md.no_index").alias("no_index"),
+        F.col("_md.no_follow").alias("no_follow"),
+        F.when(
+            F.col("_md.no_cache"), F.lit(CACHING_FORBIDDEN_CONTENT)
+        ).alias(CACHING_FORBIDDEN_KEY.replace(".", "_")),
+        F.col("_md.base_href").alias("base_href"),
+        F.col("_md.refresh").alias("refresh"),
+        F.col("_md.refresh_time").alias("refresh_time"),
+        F.col("_md.refresh_href").alias("refresh_href"),
+    )
+
+    crawl_parse = (
+        linked.unionByName(sig_rows).unionByName(noncanon).unionByName(refresh_links)
+    )
     return {
         "parse_text": parse_text,
         "parse_data": parse_data,
+        "parse_meta": parse_meta,
         "outlinks": outlinks.select("url", "to_url", "anchor", "pos", "link_score"),
         "crawl_parse": crawl_parse,
     }
