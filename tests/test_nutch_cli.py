@@ -103,3 +103,31 @@ def test_install_preserves_old_until_new_lands(tmp_path):
     os.makedirs(tmp2); (tmp2 / "c.parquet").write_text("new2")
     _install(str(tmp2), str(tmp_path / "db2"))
     assert (tmp_path / "db2" / "c.parquet").read_text() == "new2"
+
+
+def test_readlinkdb_dump_and_url(spark, tmp_path, capsys):
+    outlinks = spark.createDataFrame(
+        [
+            ("http://a.example.com/", "http://t.example.com/1", "one"),
+            ("http://b.example.com/", "http://t.example.com/1", "uno"),
+            ("http://a.example.com/", "http://t.example.com/2", "two"),
+        ],
+        "url string, to_url string, anchor string",
+    )
+    ol = str(tmp_path / "outlinks")
+    outlinks.write.parquet(ol)
+    ldb = str(tmp_path / "linkdb")
+    assert nutch_cli.main(["invertlinks", ldb, ol]) == 0
+    capsys.readouterr()
+
+    assert nutch_cli.main(["readlinkdb", ldb, "-url", "http://t.example.com/1"]) == 0
+    out = capsys.readouterr().out
+    assert "fromUrl: http://a.example.com/ anchor: one" in out
+    assert "fromUrl: http://b.example.com/ anchor: uno" in out
+
+    dump = str(tmp_path / "ldump")
+    assert nutch_cli.main(["readlinkdb", ldb, "-dump", dump, "-regex", "/1$"]) == 0
+    assert "dumped 1 targets" in capsys.readouterr().out
+
+    assert nutch_cli.main(["readlinkdb", ldb, "-url", "http://nosuch.example.com/"]) == 0
+    assert "no link information" in capsys.readouterr().out

@@ -174,6 +174,34 @@ def cmd_invertlinks(args) -> int:
     return 0
 
 
+def cmd_readlinkdb(args) -> int:
+    """LinkDbReader (``crawl/LinkDbReader.java:154-231``): -dump with
+    optional -regex on the target url, or -url for one target's
+    inlinks. Same parquet-table convention as readdb."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    db = _read(spark, args.linkdb)
+    if args.dump:
+        df = db
+        if args.regex:
+            # LinkDbReader.java:134-151 screens the KEY (target url)
+            df = df.filter(F.col("url").rlike(args.regex))
+        _write(df, args.dump)
+        print(f"readlinkdb: dumped {_read(spark, args.dump).count()} targets to {args.dump}")
+    elif args.url:
+        rows = db.filter(F.col("url") == args.url).collect()
+        if not rows:
+            print(f"no link information for {args.url}")
+        for r in rows:
+            for il in r["inlinks"]:
+                print(f"fromUrl: {il['from_url']} anchor: {il['anchor']}")
+    else:
+        print("readlinkdb: one of -dump/-url required", file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_dedup(args) -> int:
     from nutch_spark.operators.dedup import dedup
 
@@ -327,6 +355,13 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("invertlinks")
     s.add_argument("linkdb"); s.add_argument("outlinks")
     s.set_defaults(fn=cmd_invertlinks)
+
+    s = sub.add_parser("readlinkdb")
+    s.add_argument("linkdb")
+    s.add_argument("-dump", dest="dump")
+    s.add_argument("-regex", dest="regex")
+    s.add_argument("-url", dest="url")
+    s.set_defaults(fn=cmd_readlinkdb)
 
     s = sub.add_parser("dedup")
     s.add_argument("crawldb")
