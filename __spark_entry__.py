@@ -1125,7 +1125,7 @@ def q_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     did = F.col("doc_id")
     url = _url20()
-    m = did % 8
+    m = did % 11
     rt = (did % 9).cast("string")
     b = (did % 5).cast("string")
 
@@ -1155,6 +1155,16 @@ def q_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, F.array(meta(base_href, 0), txt))
         .when(m == 5, F.array(meta(F.lit("robots"), 0), meta(F.lit("refresh:abc"), 1), txt))
         .when(m == 6, F.array(meta(F.concat(F.lit("refresh:"), rt), 0), txt))
+        # empty url= target -> the page itself (new URL(currURL, ""))
+        .when(m == 7, F.array(meta(F.concat(F.lit("refresh:"), rt, F.lit(";url=")), 0), txt))
+        # href-less <base> after a valid one -> the valid one is kept
+        .when(m == 8, F.array(meta(base_href, 0), meta(F.lit("base"), 1), txt))
+        # two valid bases -> the LAST one wins
+        .when(m == 9, F.array(
+            meta(F.lit("base:http://old.example.com/"), 0),
+            meta(F.concat(F.lit("base:http://base"), b, F.lit(".example.com/n/")), 1),
+            txt,
+        ))
         .otherwise(F.array(txt))
     )
     md = meta_directives(spans, url)
@@ -4669,6 +4679,11 @@ FROM documents WHERE doc_id < 40
         # every _web doc has exactly one link span (to (doc*7+1)%n) and
         # one media span -> validCount 2, link_score = 1.0/2
         "parse_outlinks": """
+-- links-to-self are dropped on the raw target (filterNormalize,
+-- ParseOutputFormat.java:406-408): the doc link self-collides iff
+-- tgt = doc_id (never with an even document count, guard kept as the
+-- exact twin); a self-linking page's media link would then take the
+-- full OPIC share (validCount 1)
 WITH dn AS (SELECT COUNT(*) AS n FROM documents),
 b AS (
   SELECT doc_id, doc_id % 20 AS h, (doc_id * 7 + 1) % dn.n AS tgt
@@ -4680,13 +4695,14 @@ SELECT 'http://host' || CAST(h AS VARCHAR) || '.example.com/doc/'
     || CAST(tgt AS VARCHAR) AS to_url,
   'anchor ' || CAST(tgt AS VARCHAR) AS anchor,
   CAST(0 AS INTEGER) AS pos, CAST(0.5 AS DOUBLE) AS link_score
-FROM b
+FROM b WHERE tgt <> doc_id
 UNION ALL
 SELECT 'http://host' || CAST(h AS VARCHAR) || '.example.com/doc/'
     || CAST(doc_id AS VARCHAR),
   'http://host' || CAST(h AS VARCHAR) || '.example.com/media/'
     || CAST(doc_id AS VARCHAR) || '.img',
-  'img', CAST(1 AS INTEGER), CAST(0.5 AS DOUBLE)
+  'img', CAST(1 AS INTEGER),
+  CAST(CASE WHEN tgt = doc_id THEN 1.0 ELSE 0.5 END AS DOUBLE)
 FROM b
 """,
         # ---- HTML meta directives (HTMLMetaProcessor) ---------------------
@@ -4697,7 +4713,7 @@ WITH b AS (
   SELECT doc_id,
     'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
       || CAST(doc_id AS VARCHAR) AS url,
-    doc_id % 8 AS m,
+    doc_id % 11 AS m,
     CAST(doc_id % 9 AS VARCHAR) AS rt,
     CAST(doc_id % 5 AS VARCHAR) AS bb
   FROM documents
@@ -4709,8 +4725,12 @@ d AS (
     CASE WHEN m = 1 THEN 'no-cache' END AS pragma,
     CASE WHEN m = 3 THEN rt || ';url=http://r' || bb || '.example.com/t'
          WHEN m = 5 THEN 'abc'
-         WHEN m = 6 THEN rt END AS refresh_content,
-    CASE WHEN m = 4 THEN 'http://base' || bb || '.example.com/b/' END AS base_href
+         WHEN m = 6 THEN rt
+         WHEN m = 7 THEN rt || ';url=' END AS refresh_content,
+    -- m=8: the second (href-less) <base> is skipped, the first wins;
+    -- m=9: the LAST resolving <base> wins
+    CASE WHEN m = 4 OR m = 8 THEN 'http://base' || bb || '.example.com/b/'
+         WHEN m = 9 THEN 'http://base' || bb || '.example.com/n/' END AS base_href
   FROM b
 ),
 e AS (
@@ -4756,7 +4776,7 @@ SELECT 'http://host' || CAST(tgt % 20 AS VARCHAR) || '.example.com/doc/'
   CAST(NULL AS VARCHAR) AS repr_url,
   CAST(1.0 AS DOUBLE) AS score,
   CAST(2592000 AS INTEGER) AS fetch_interval
-FROM b WHERE m <> 0
+FROM b WHERE m <> 0 AND tgt <> doc_id
 UNION ALL
 SELECT 'http://host' || CAST((doc_id + 3) % 20 AS VARCHAR) || '.example.com/r/'
     || CAST(doc_id AS VARCHAR),

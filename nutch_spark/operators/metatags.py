@@ -28,11 +28,13 @@ substring screens on the lowercased content):
 - robots content contains ``all``      -> nothing
 - pragma content contains ``no-cache`` -> nocache
 - refresh: time = content before ``';'`` parsed as int (parse failure
-  drops the whole directive); target = content after ``url=`` (any
-  case) else after ``';'``, resolved; bare time -> the page itself
-  (HTMLMetaProcessor.java:146-193)
-- base href: resolved against the page URL; the DOM walk's last
-  ``<base>`` wins (setBaseHref is unconditional per tag)
+  drops the whole directive); target search only runs when a ``';'``
+  exists: content after ``url=`` (any case; empty remainder -> the
+  page itself) else after ``';'``, resolved; bare time or no ``';'``
+  -> the page itself (HTMLMetaProcessor.java:146-193)
+- base href: resolved against the page URL; the last ``<base>`` whose
+  href resolves wins — an href-less or unresolvable one is skipped,
+  keeping any earlier valid base (HTMLMetaProcessor.java:198-217)
 
 Every screen is a JVM ``exists``/``filter`` fold over the span array —
 one pass per doc, no Python, all expressible in ANSI SQL for the
@@ -113,9 +115,21 @@ def meta_directives(spans: Column, url: Column) -> Column:
         F.lit(1),
     )
 
-    # last <base href> wins (unconditional setBaseHref per tag)
+    # last <base> whose href RESOLVES wins: the reference only calls
+    # setBaseHref when hrefNode != null AND the URL constructs
+    # (HTMLMetaProcessor.java:198-217) — an href-less or unresolvable
+    # <base> is ignored entirely, keeping any earlier valid one
     base_span = F.try_element_at(
-        F.filter(metas, lambda s: _name(s) == F.lit("base")), F.lit(-1)
+        F.filter(
+            metas,
+            lambda s: (_name(s) == F.lit("base"))
+            & (
+                s["media_ref"].isNotNull()
+                | ((_content(s) != F.lit(""))
+                   & _resolve(url, _content(s)).isNotNull())
+            ),
+        ),
+        F.lit(-1),
     )
     base_href = F.when(
         base_span.isNotNull(),
@@ -136,11 +150,18 @@ def meta_directives(spans: Column, url: Column) -> Column:
     rcontent = _content(rspan)
     refresh = rspan.isNotNull()
     refresh_time = F.regexp_extract(rcontent, r"^([^;]*)", 1).try_cast("int")
-    # target: after 'url=' (any case), else after ';', else the page
+    # target (HTMLMetaProcessor.java:159-193): the URL is only looked
+    # for when a ';' exists; inside, 'url=' (any case, first hit) takes
+    # everything after it — an EMPTY remainder means new URL("") throws
+    # and new URL(currURL, "") resolves to the page itself; without
+    # 'url=' the remainder after ';' is the spec. No ';' (bare time, or
+    # 'url=' glued to the time) -> the page itself.
+    has_semi = F.instr(rcontent, ";") > 0
+    has_url_kw = F.instr(F.lower(rcontent), "url=") > 0
     after_url = F.regexp_extract(rcontent, r"(?i)url=(.*)$", 1)
     after_semi = F.regexp_extract(rcontent, r";(.*)$", 1)
-    spec = F.when(after_url != "", after_url).when(
-        after_semi != "", F.trim(after_semi)
+    spec = F.when(has_semi & has_url_kw & (after_url != ""), after_url).when(
+        has_semi & ~has_url_kw & (after_semi != ""), F.trim(after_semi)
     )
     refresh_href = F.when(
         refresh,

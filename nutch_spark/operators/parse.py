@@ -82,6 +82,53 @@ def parse_text_col(spans: Column) -> Column:
     )
 
 
+def _filter_normalize(
+    df: DataFrame,
+    from_col: str,
+    raw_col: str,
+    scope: str,
+    cfg: NutchConfig,
+    url_filter_rules: list[str] | None,
+    exemption_rules: list[str] | None,
+    normalize_outlinks: bool,
+) -> DataFrame:
+    """``ParseOutputFormat.filterNormalize`` (:401-467) as ONE shared
+    column pipeline for both call sites — outlinks (SCOPE_OUTLINK) and
+    meta-refresh targets (SCOPE_FETCHER): drop links-to-self comparing
+    the RAW target against the source (:406-408, "ignore links to self
+    (or anchors within the page)"), normalize -> filter, then the
+    ``db.ignore.{internal,external}.links`` host policy with
+    urlfilter-ignoreexempt (:417-449). Adds column ``to_url``.
+
+    Documented deviation: the reference evaluates the ignore policy on
+    the raw target's lowercased host *before* normalization; we
+    evaluate it on the normalized URL — the normalizer lowercases hosts
+    without remapping them, so the comparison is host-equivalent."""
+    df = df.filter(F.col(raw_col) != F.col(from_col))
+    if normalize_outlinks:
+        df = df.withColumn("to_url", normalize_col(F.col(raw_col), scope)).filter(
+            F.col("to_url").isNotNull()
+        )
+    else:
+        df = df.withColumn("to_url", F.col(raw_col))
+    if url_filter_rules is not None:
+        df = df.filter(url_filter_cond(F.col("to_url"), url_filter_rules))
+    src, dst = host_col(F.col(from_col)), host_col(F.col("to_url"))
+    if cfg.db_ignore_internal_links:
+        df = df.filter(src != dst)
+    if cfg.db_ignore_external_links:
+        keep = src == dst
+        if exemption_rules:
+            # urlfilter-ignoreexempt (ExemptionUrlFilter.java:38-44):
+            # an external target the exemption chain accepts is still
+            # followed
+            from nutch_spark.urls.filters import exemption_cond
+
+            keep = keep | exemption_cond(F.col("to_url"), exemption_rules)
+        df = df.filter(keep)
+    return df
+
+
 def parse(
     content: DataFrame,
     cfg: NutchConfig,
@@ -91,7 +138,8 @@ def parse(
     exemption_rules: list[str] | None = None,
     persist_handles: list | None = None,
 ) -> dict[str, DataFrame]:
-    """Returns {'parse_text', 'parse_data', 'outlinks', 'crawl_parse'}.
+    """Returns {'parse_text', 'parse_data', 'outlinks', 'crawl_parse',
+    'refresh_links', 'parse_meta'}.
 
     ``content`` columns: url, score, fetch_time, gen_time, spans,
     is_canonical (from fetchsim.fetched_content).
@@ -146,31 +194,12 @@ def parse(
         )
         .filter(F.length("to_url_raw") <= cfg.db_max_outlink_length)
     )
-    to_url = F.col("to_url_raw")
-    if normalize_outlinks:
-        exploded = exploded.withColumn("to_url", normalize_col(to_url, "outlink")).filter(
-            F.col("to_url").isNotNull()
-        )
-    else:
-        exploded = exploded.withColumn("to_url", to_url)
-    if url_filter_rules is not None:
-        exploded = exploded.filter(url_filter_cond(F.col("to_url"), url_filter_rules))
-
-    # internal/external link policy (db.ignore.*.links)
+    exploded = _filter_normalize(
+        exploded, "url", "to_url_raw", "outlink", cfg,
+        url_filter_rules, exemption_rules, normalize_outlinks,
+    )
     src_host = host_col(F.col("url"))
     dst_host = host_col(F.col("to_url"))
-    if cfg.db_ignore_internal_links:
-        exploded = exploded.filter(src_host != dst_host)
-    if cfg.db_ignore_external_links:
-        keep = src_host == dst_host
-        if exemption_rules:
-            # urlfilter-ignoreexempt (ExemptionUrlFilter.java:38-44):
-            # an external target the exemption chain accepts is still
-            # followed
-            from nutch_spark.urls.filters import exemption_cond
-
-            keep = keep | exemption_cond(F.col("to_url"), exemption_rules)
-        exploded = exploded.filter(keep)
 
     # within-page dedup, first occurrence wins (ParseOutputFormat dedup set)
     w_dup = Window.partitionBy("url", "to_url").orderBy("pos")
@@ -254,35 +283,26 @@ def parse(
 
     # meta-refresh redirect (HtmlParser.java:246-250 sets
     # SUCCESS_REDIRECT; ParseOutputFormat.java:273-293 consumes it): the
-    # target is normalized in SCOPE_FETCHER + filtered + subjected to
-    # the same internal/external ignore policy, then emitted as a fresh
-    # STATUS_LINKED datum (score 0, interval 0) whose repr_url is
+    # target runs through the same filterNormalize as outlinks but in
+    # SCOPE_FETCHER — so a bare-time refresh (target = the page itself)
+    # is dropped by the links-to-self check — then is emitted as a
+    # fresh STATUS_LINKED datum (score 0, interval 0) whose repr_url is
     # chooseRepr(from, to, temp=refresh_time < PERM_REFRESH_TIME) and is
-    # only recorded when it differs from the target.
+    # only recorded when it differs from the target. The reference
+    # appends this datum straight to crawlOut BEFORE the scoring-filter
+    # outlink loop, so depth/urlmeta scoring filters never see it —
+    # callers that gate outlinks (crawl_loop) must use the separate
+    # 'refresh_links' product and bypass it around their gates.
     refresh = c.filter(F.col("_md.refresh")).select(
         F.col("url").alias("from_url"),
         "fetch_time",
         F.col("_md.refresh_href").alias("to_raw"),
         F.col("_md.refresh_time").alias("refresh_time"),
     )
-    if normalize_outlinks:
-        refresh = refresh.withColumn(
-            "to_url", normalize_col(F.col("to_raw"), "fetcher")
-        ).filter(F.col("to_url").isNotNull())
-    else:
-        refresh = refresh.withColumn("to_url", F.col("to_raw"))
-    if url_filter_rules is not None:
-        refresh = refresh.filter(url_filter_cond(F.col("to_url"), url_filter_rules))
-    r_src, r_dst = host_col(F.col("from_url")), host_col(F.col("to_url"))
-    if cfg.db_ignore_internal_links:
-        refresh = refresh.filter(r_src != r_dst)
-    if cfg.db_ignore_external_links:
-        keep = r_src == r_dst
-        if exemption_rules:
-            from nutch_spark.urls.filters import exemption_cond
-
-            keep = keep | exemption_cond(F.col("to_url"), exemption_rules)
-        refresh = refresh.filter(keep)
+    refresh = _filter_normalize(
+        refresh, "from_url", "to_raw", "fetcher", cfg,
+        url_filter_rules, exemption_rules, normalize_outlinks,
+    )
     from nutch_spark.operators.fetchsim import _choose_repr_udf
 
     repr_u = _choose_repr_udf()(
@@ -323,15 +343,21 @@ def parse(
         F.col("_md.refresh_href").alias("refresh_href"),
     )
 
-    crawl_parse = (
-        linked.unionByName(sig_rows).unionByName(noncanon).unionByName(refresh_links)
-    )
+    # 'crawl_parse_gateable' = the rows the reference's scoring filters
+    # see (outlink targets + per-page datums); refresh datums bypass
+    # them (appended to crawlOut before the targets loop,
+    # ParseOutputFormat.java:283-293) and ship separately so crawl_loop
+    # can gate one and not the other. 'crawl_parse' stays the full union
+    # for plain consumers (bench, contract queries, segment replay).
+    gateable = linked.unionByName(sig_rows).unionByName(noncanon)
     return {
         "parse_text": parse_text,
         "parse_data": parse_data,
         "parse_meta": parse_meta,
         "outlinks": outlinks.select("url", "to_url", "anchor", "pos", "link_score"),
-        "crawl_parse": crawl_parse,
+        "crawl_parse": gateable.unionByName(refresh_links),
+        "crawl_parse_gateable": gateable,
+        "refresh_links": refresh_links,
     }
 
 

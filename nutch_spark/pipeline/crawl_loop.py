@@ -133,7 +133,12 @@ class Crawler:
             "url", "status", "fetch_time", "retries", "fetch_interval", "score",
             "signature", "modified_time", "metadata", "gen_time", "repr_url",
         ]
-        crawl_parse = parsed["crawl_parse"]
+        gates = bool(self.cfg.urlmeta_tags) or self.cfg.scoring_depth_enabled
+        # meta-refresh datums bypass the scoring filters in the reference
+        # (appended to crawlOut before the outlink-targets loop,
+        # ParseOutputFormat.java:283-293) — gate only the gateable slice
+        # and re-union the refresh datums after
+        crawl_parse = parsed["crawl_parse_gateable"] if gates else parsed["crawl_parse"]
         if self.cfg.urlmeta_tags:
             # urlmeta: configured tags ride from parent datum to outlinks
             from nutch_spark.operators.urlmeta import propagate_url_meta
@@ -149,6 +154,12 @@ class Crawler:
 
             crawl_parse = depth_gate_outlinks(
                 crawl_parse, crawl_fetch.select("url", "metadata"), self.cfg
+            )
+        if gates:
+            # ungated: refresh targets restart depth/meta like redirect
+            # targets (no parent stamp -> initialScore defaults)
+            crawl_parse = crawl_parse.unionByName(
+                parsed["refresh_links"].select(*crawl_parse.columns)
             )
         segment_rows = (
             crawl_fetch.select(*datum_cols)
@@ -222,6 +233,13 @@ class Crawler:
             self.catalog.commit(parsed["parse_text"], f"{seg}_parse_text", now_ms=now_ms,
                                 lineage={"cycle_id": cycle_id})
             self.catalog.commit(parsed["parse_data"], f"{seg}_parse_data", now_ms=now_ms,
+                                lineage={"cycle_id": cycle_id})
+            # per-doc meta directives (robots/noindex/base/refresh): the
+            # reference persists these inside ParseData's parse metadata
+            # (ParseOutputFormat.java:364-366) — IndexerMapReduce reads
+            # them for indexer.delete.robots.noindex, so an index job
+            # replayed from committed segments needs this table
+            self.catalog.commit(parsed["parse_meta"], f"{seg}_parse_meta", now_ms=now_ms,
                                 lineage={"cycle_id": cycle_id})
 
         fl.unpersist()

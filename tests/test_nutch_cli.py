@@ -131,3 +131,48 @@ def test_readlinkdb_dump_and_url(spark, tmp_path, capsys):
 
     assert nutch_cli.main(["readlinkdb", ldb, "-url", "http://nosuch.example.com/"]) == 0
     assert "no link information" in capsys.readouterr().out
+
+
+def test_readseg_list_dump_get(spark, tmp_path, capsys):
+    """SegmentReader parity (-list columns with '?' for missing parts;
+    -dump writes url-sorted record groups; -get prints one URL)."""
+    seg = str(tmp_path / "segment_0001")
+    spark.createDataFrame(
+        [
+            ("http://a.example.com/", 33, 2_000, b"ab".hex()),
+            ("http://b.example.com/", 33, 5_000, None),
+        ],
+        "url string, status int, fetch_time long, signature string",
+    ).write.parquet(seg + "_crawl_fetch")
+    spark.createDataFrame(
+        [("http://a.example.com/", "hello text")], "url string, text string"
+    ).write.parquet(seg + "_parse_text")
+    spark.createDataFrame(
+        [("http://a.example.com/", 67, 2_000)],
+        "url string, status int, fetch_time long",
+    ).write.parquet(seg + "_crawl_parse")
+
+    assert nutch_cli.main(["readseg", "-list", seg]) == 0
+    out = capsys.readouterr().out
+    header, row = out.strip().splitlines()
+    assert header.startswith("NAME\t\tGENERATED")
+    # generated '?' (no crawl_generate), fetched 2, parsed 1, epoch times
+    assert row.split("\t") == [
+        "segment_0001", "?", "", "1970-01-01T00:00:02", "1970-01-01T00:00:05", "2", "1",
+    ]
+
+    assert nutch_cli.main(["readseg", seg, "-get", "http://a.example.com/"]) == 0
+    out = capsys.readouterr().out
+    assert "URL:: http://a.example.com/" in out
+    assert "parse_text ParseText::\nhello text" in out
+    assert '"status":33' in out and '"status":67' in out
+
+    dump = str(tmp_path / "segdump")
+    assert nutch_cli.main(["readseg", seg, "-dump", dump]) == 0
+    assert "dumped 2 records" in capsys.readouterr().out
+    text = spark.read.text(dump)
+    urls = [r["value"][6:] for r in text.collect() if r["value"].startswith("URL:: ")]
+    assert urls == sorted(urls) and len(urls) == 2
+
+    assert nutch_cli.main(["readseg", seg]) == 2
+    assert "one of -list/-dump/-get" in capsys.readouterr().err

@@ -103,6 +103,43 @@ def test_refresh_forms(spark):
     assert (got[6]["refresh_time"], got[6]["refresh_href"]) == (9, "http://second.example.com/")
 
 
+def test_refresh_empty_url_target_is_page_itself(spark):
+    # HTMLMetaProcessor.java:161-193: '7;url=' -> substring after url=
+    # is '', new URL('') throws, new URL(currURL, '') resolves to the
+    # page; 'url=' glued to the time (no ';') never parses as a time
+    rows = [
+        ("http://h.example.com/a/page", [_m("refresh:7;url=")]),
+        ("http://h.example.com/a/page", [_m("refresh:7url=x")]),
+        ("http://h.example.com/a/page", [_m("refresh:7;")]),
+    ]
+    got = _directives(spark, rows)
+    assert (got[0]["refresh"], got[0]["refresh_time"], got[0]["refresh_href"]) == (
+        True, 7, "http://h.example.com/a/page")
+    assert got[1]["refresh"] is False  # time '7url=x' unparseable
+    assert (got[2]["refresh"], got[2]["refresh_href"]) == (
+        True, "http://h.example.com/a/page")
+
+
+def test_base_hrefless_and_last_valid_wins(spark):
+    # HTMLMetaProcessor.java:198-217: setBaseHref only fires when the
+    # href attr exists AND the URL constructs — an href-less <base>
+    # keeps the earlier valid one; among valid bases the last wins
+    rows = [
+        ("http://h.example.com/a/page",
+         [_m("base:http://good.example.com/"), _m("base")]),
+        ("http://h.example.com/a/page",
+         [_m("base:http://old.example.com/"), _m("base:http://new.example.com/n/")]),
+        ("http://h.example.com/a/page", [_m("base")]),
+        # relative href resolves against the page
+        ("http://h.example.com/a/page", [_m("base:sub/")]),
+    ]
+    got = _directives(spark, rows)
+    assert got[0]["base_href"] == "http://good.example.com/"
+    assert got[1]["base_href"] == "http://new.example.com/n/"
+    assert got[2]["base_href"] is None
+    assert got[3]["base_href"] == "http://h.example.com/a/sub/"
+
+
 def test_robots_first_value_and_sticky_or(spark):
     # tags OR together for directives (sticky setters), but the
     # metadata 'robots' value is the FIRST tag's content
@@ -180,6 +217,44 @@ def test_parse_refresh_emits_linked_datum_with_repr(spark):
     # cross-domain: chooseRepr returns dst == to_url -> repr omitted
     assert b["repr_url"] is None
     assert "http://c.example.com/" not in {r["from_url"] for r in linked.values()}
+
+
+def test_parse_drops_links_to_self(spark):
+    # ParseOutputFormat.filterNormalize:406-408 'ignore links to self':
+    # a bare-time refresh resolves to the page itself and emits NO
+    # LINKED datum; a self-targeting outlink is dropped AND excluded
+    # from the OPIC validCount (the surviving link takes a bigger share)
+    self_link = ("link", "me", "http://a.example.com/", 1)
+    other = ("link", "you", "http://t.example.com/1", 2)
+    rows = [
+        _doc("http://a.example.com/", [_tx("t"), self_link, other]),
+        _doc("http://b.example.com/", [_m("refresh:3"), _tx("t")]),
+    ]
+    out = parse(spark.createDataFrame(rows, CONTENT_SCHEMA), CFG, normalize_outlinks=False)
+    links = out["outlinks"].collect()
+    assert {r["to_url"] for r in links} == {"http://t.example.com/1"}
+    # validCount = 1 (self link excluded): full score flows to the survivor
+    assert links[0]["link_score"] == 1.0
+    assert out["refresh_links"].count() == 0
+    assert out["crawl_parse"].filter(F.col("status") == STATUS_LINKED).count() == 1
+
+
+def test_parse_refresh_links_split_from_gateable(spark):
+    # the refresh datum bypasses scoring filters in the reference
+    # (appended before the outlink-targets loop) — parse() ships it in
+    # 'refresh_links', and 'crawl_parse_gateable' + 'refresh_links'
+    # reassemble exactly 'crawl_parse'
+    rows = [
+        _doc("http://a.example.com/", [_m("refresh:9;url=http://other.example.com/y"),
+                                       ("link", "a1", "http://t.example.com/1", 1)]),
+    ]
+    out = parse(spark.createDataFrame(rows, CONTENT_SCHEMA), CFG, normalize_outlinks=False)
+    refresh = out["refresh_links"].collect()
+    assert [r["url"] for r in refresh] == ["http://other.example.com/y"]
+    gateable = {(r["url"], r["status"]) for r in out["crawl_parse_gateable"].collect()}
+    assert ("http://other.example.com/y", STATUS_LINKED) not in gateable
+    total = out["crawl_parse"].count()
+    assert total == out["crawl_parse_gateable"].count() + len(refresh)
 
 
 def test_parse_meta_caching_forbidden_and_indexer_noindex_delete(spark):

@@ -12,6 +12,8 @@ a reference user can run their existing playbook verbatim:
     python tools/nutch.py readdb   crawldb/ -dump out/ [--status N] [--regex R]
     python tools/nutch.py mergedb  out/ db1/ db2/ ...
     python tools/nutch.py invertlinks linkdb/ outlinks/
+    python tools/nutch.py readseg  -list wh/segment_0001 [...]
+    python tools/nutch.py readseg  wh/segment_0001 -dump out/ | -get URL
     python tools/nutch.py dedup    crawldb/
     python tools/nutch.py hostdb   crawldb/ hostdb/
     python tools/nutch.py normalizerchecker 'http://WWW.Ex.COM:80/a/../b'
@@ -301,6 +303,145 @@ def cmd_indexchecker(args) -> int:
     return 0
 
 
+# SegmentReader parts (segment/SegmentReader.java:66-74) — ours are the
+# parquet tables crawl_loop commits per cycle; crawl_generate/content
+# only exist when a caller staged them (bench does), and a missing part
+# prints '?' exactly like the reference's per-part flags
+_SEG_PARTS = (
+    "crawl_generate", "crawl_fetch", "content",
+    "crawl_parse", "parse_data", "parse_text", "parse_meta",
+)
+
+
+def _seg_part(seg: str, part: str) -> str | None:
+    """Resolve one segment part dir: ``<seg>/<part>`` (reference
+    layout) or ``<seg>_<part>`` (catalog table naming)."""
+    for cand in (os.path.join(seg, part), seg.rstrip("/") + "_" + part):
+        if os.path.isdir(cand):
+            return cand
+    return None
+
+
+def _fmt_ms(ms) -> str:
+    import datetime as dt
+
+    if ms is None:
+        return "?"
+    return dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+
+
+def cmd_readseg(args) -> int:
+    """SegmentReader (``segment/SegmentReader.java:494-614``): -list
+    prints the reference's NAME/GENERATED/FETCHER START/END/FETCHED/
+    PARSED line per segment ('?' for absent parts); -dump writes a
+    url-sorted text rendering of every part record (datum/parse rows as
+    JSON — the operational equivalent of CrawlDatum.toString()); -get
+    prints one URL's records across all parts. Fetcher start/end are
+    UTC (the reference formats in local time)."""
+    from pyspark.sql import functions as F
+
+    if not (args.list or args.dump or args.get):
+        print("readseg: one of -list/-dump/-get required", file=sys.stderr)
+        return 2
+    spark = _spark()
+    if args.list:
+        print("NAME\t\tGENERATED\tFETCHER START\t\tFETCHER END\t\tFETCHED\tPARSED")
+        for seg in args.segments:
+            gen = fetched = parsed = start = end = None
+            part = _seg_part(seg, "crawl_generate")
+            if part:
+                gen = _read(spark, part).count()
+            part = _seg_part(seg, "crawl_fetch")
+            if part:
+                fetched, start, end = _read(spark, part).agg(
+                    F.count("*"), F.min("fetch_time"), F.max("fetch_time")
+                ).collect()[0]
+            part = _seg_part(seg, "parse_data") or _seg_part(seg, "parse_text")
+            if part:
+                parsed = _read(spark, part).count()
+            name = os.path.basename(seg.rstrip("/"))
+            print(
+                f"{name}\t{gen if gen is not None else '?'}\t\t"
+                f"{_fmt_ms(start)}\t{_fmt_ms(end)}\t"
+                f"{fetched if fetched is not None else '?'}\t"
+                f"{parsed if parsed is not None else '?'}"
+            )
+        return 0
+
+    seg = args.segments[0]
+    sections = []
+    for part in _SEG_PARTS:
+        path = _seg_part(seg, part)
+        if not path:
+            continue
+        df = _read(spark, path)
+        label = {
+            "crawl_generate": "CrawlDatum::",
+            "crawl_fetch": "CrawlDatum::",
+            "crawl_parse": "CrawlDatum::",
+            "content": "Content::",
+            "parse_data": "ParseData::",
+            "parse_text": "ParseText::",
+            "parse_meta": "ParseMeta::",
+        }[part]
+        body = (
+            F.col("text")
+            if part == "parse_text"
+            else F.to_json(F.struct(*[c for c in df.columns if c != "url"]))
+        )
+        sections.append(
+            df.select(
+                "url",
+                F.concat(F.lit(f"{part} {label}\n"), body).alias("section"),
+            )
+        )
+    if not sections:
+        print(f"readseg: no segment parts found under {seg}", file=sys.stderr)
+        return 2
+    union = sections[0]
+    for s_ in sections[1:]:
+        union = union.unionByName(s_)
+
+    if args.get:
+        rows = union.filter(F.col("url") == args.get).collect()
+        if not rows:
+            print(f"readseg: no records for {args.get}")
+            return 0
+        print(f"URL:: {args.get}")
+        for r in sorted(rows, key=lambda r: r["section"]):
+            print(r["section"])
+        return 0
+
+    # -dump: per-url record groups in url order (the reference's
+    # sorted-key dump), one text part per output split
+    out = (
+        union.groupBy("url")
+        .agg(F.array_sort(F.collect_list("section")).alias("secs"))
+        .select(
+            F.concat(
+                F.lit("URL:: "), F.col("url"), F.lit("\n"),
+                F.array_join("secs", "\n"),
+            ).alias("value")
+        )
+        .orderBy("value")
+    )
+    out.write.mode("overwrite").text(args.dump)
+    print(f"readseg: dumped {_read_text_count(spark, args.dump)} records to {args.dump}")
+    return 0
+
+
+def _read_text_count(spark, path: str) -> int:
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.text(path)
+        .filter(F.col("value").startswith("URL:: "))
+        .count()
+    )
+
+
 def cmd_normalizerchecker(args) -> int:
     from nutch_spark.urls.normalizer import normalize
 
@@ -378,6 +519,14 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("indexchecker")
     s.add_argument("file"); s.add_argument("--url", default="http://example.com/")
     s.set_defaults(fn=cmd_indexchecker)
+
+    s = sub.add_parser("readseg")
+    s.add_argument("segments", nargs="+",
+                   help="segment dir(s) or catalog table prefix(es)")
+    s.add_argument("-list", action="store_true", dest="list")
+    s.add_argument("-dump", default=None, dest="dump")
+    s.add_argument("-get", default=None, dest="get")
+    s.set_defaults(fn=cmd_readseg)
 
     s = sub.add_parser("normalizerchecker")
     s.add_argument("url"); s.add_argument("--scope", default="default")
