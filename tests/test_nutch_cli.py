@@ -176,3 +176,188 @@ def test_readseg_list_dump_get(spark, tmp_path, capsys):
 
     assert nutch_cli.main(["readseg", seg]) == 2
     assert "one of -list/-dump/-get" in capsys.readouterr().err
+
+
+def _stage_crawldb(spark, path, rows):
+    """rows: (url, status, score) triples -> full datum-schema parquet."""
+    df = spark.createDataFrame(
+        [
+            (u, s, 1_000, 0, 2592000, sc, f"sig_{u}", 0, {}, 900, None)
+            for (u, s, sc) in rows
+        ],
+        "url string, status int, fetch_time long, retries int,"
+        " fetch_interval int, score float, signature string,"
+        " modified_time long, metadata map<string,string>, gen_time long,"
+        " repr_url string",
+    )
+    df.write.parquet(path)
+    return df
+
+
+def test_freegen_fetch_parse_pipeline(spark, tmp_path, capsys):
+    """The reference playbook freegen -> fetch -> parse over the CLI:
+    a fetchlist built straight from seeds, fetched with the default
+    all-success outcomes, parsed into segment part tables."""
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text("http://a.example.com/x\nhttp://b.example.com/y\n")
+    fl = str(tmp_path / "fetchlist")
+    assert nutch_cli.main(["freegen", str(seeds), fl]) == 0
+    assert "2 urls" in capsys.readouterr().out
+
+    seg = str(tmp_path / "seg")
+    assert nutch_cli.main(["fetch", fl, seg]) == 0
+    assert "2 urls fetched" in capsys.readouterr().out
+    cf = spark.read.parquet(seg + "_crawl_fetch")
+    assert cf.filter("status = 33").count() == 2  # fetch_success
+
+    content = str(tmp_path / "content")
+    spark.createDataFrame(
+        [
+            ("http://a.example.com/x", 1.0, 1_000, 900,
+             [("text", "hello world", None, 0),
+              ("link", "b", "http://b.example.com/y", 1)], True),
+        ],
+        "url string, score float, fetch_time long, gen_time long,"
+        " spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
+        " is_canonical boolean",
+    ).write.parquet(content)
+    out = str(tmp_path / "parsed")
+    assert nutch_cli.main(["parse", content, out]) == 0
+    assert "1 documents parsed" in capsys.readouterr().out
+    links = spark.read.parquet(out + "_outlinks").collect()
+    assert [r["to_url"] for r in links] == ["http://b.example.com/y"]
+
+
+def test_index_clean_dump_exports(spark, tmp_path, capsys):
+    db = str(tmp_path / "crawldb")
+    _stage_crawldb(spark, db, [
+        ("http://a.example.com/", 2, 1.0),   # db_fetched
+        ("http://gone.example.com/", 3, 0.5),  # db_gone
+        ("http://dup.example.com/", 7, 0.5),   # db_duplicate
+    ])
+    pt = str(tmp_path / "parse_text")
+    spark.createDataFrame(
+        [("http://a.example.com/", "Alpha page text")], "url string, text string"
+    ).write.parquet(pt)
+
+    idx = str(tmp_path / "index_out")
+    assert nutch_cli.main(["index", db, pt, idx]) == 0
+    assert "1 documents written (jsonl)" in capsys.readouterr().out
+
+    deletes = str(tmp_path / "deletes")
+    assert nutch_cli.main(["clean", db, deletes]) == 0
+    assert "deleted a total of 2 documents" in capsys.readouterr().out
+    vals = {r["value"] for r in spark.read.text(deletes).collect()}
+    assert '{"url":"http://gone.example.com/","action":"delete"}' in vals
+
+    files = str(tmp_path / "files")
+    assert nutch_cli.main(["dump", pt, files]) == 0
+    assert "1 files" in capsys.readouterr().out
+
+    cc = str(tmp_path / "cc")
+    pages = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [("http://a.example.com/", 1_000, "Alpha page text")],
+        "url string, fetch_time long, text string",
+    ).write.parquet(pages)
+    assert nutch_cli.main(["commoncrawldump", pages, cc]) == 0
+    assert "1 records" in capsys.readouterr().out
+
+
+def test_webgraph_linkrank_scoreupdater_nodedumper(spark, tmp_path, capsys):
+    outlinks = str(tmp_path / "outlinks")
+    spark.createDataFrame(
+        [
+            ("http://a.example.com/", "http://b.example.com/", "b", 0),
+            ("http://b.example.com/", "http://a.example.com/", "a", 0),
+            ("http://c.example.com/", "http://a.example.com/", "a2", 0),
+        ],
+        "url string, to_url string, anchor string, pos int",
+    ).write.parquet(outlinks)
+    graph = str(tmp_path / "graph")
+    assert nutch_cli.main(["webgraph", outlinks, graph]) == 0
+    assert "3 edges" in capsys.readouterr().out
+
+    scores = str(tmp_path / "scores")
+    assert nutch_cli.main(["linkrank", graph, scores, "--iterations", "2"]) == 0
+    assert "3 nodes scored" in capsys.readouterr().out
+
+    assert nutch_cli.main(
+        ["nodedumper", "--group", "in", "--webgraph", graph, "--topn", "1"]
+    ) == 0
+    # a has 2 inlinks -> the top row
+    assert capsys.readouterr().out.splitlines()[0] == "http://a.example.com/\t2"
+    assert nutch_cli.main(["nodedumper", "--group", "scores"]) == 2
+    capsys.readouterr()
+
+    db = str(tmp_path / "crawldb")
+    _stage_crawldb(spark, db, [("http://a.example.com/", 2, 1.0)])
+    assert nutch_cli.main(["scoreupdater", db, scores]) == 0
+    row = spark.read.parquet(db).first()
+    lr = spark.read.parquet(scores).where(
+        "url = 'http://a.example.com/'").first()["score"]
+    assert abs(row["score"] - lr) < 1e-6
+
+
+def test_stats_hostdb_sitemap_properties(spark, tmp_path, capsys):
+    db = str(tmp_path / "crawldb")
+    _stage_crawldb(spark, db, [
+        ("http://a.example.com/", 2, 1.0),
+        ("http://a.example.com/2", 1, 0.5),
+        ("http://b.other.org/", 3, 0.5),
+    ])
+    assert nutch_cli.main(["domainstats", db, "--mode", "host"]) == 0
+    out = capsys.readouterr().out
+    assert "a.example.com\t2" in out
+    assert nutch_cli.main(["protocolstats", db]) == 0
+    capsys.readouterr()
+    assert nutch_cli.main(["crawlcomplete", db]) == 0
+    capsys.readouterr()
+
+    hdb = str(tmp_path / "hostdb")
+    assert nutch_cli.main(["updatehostdb", db, hdb]) == 0
+    assert "2 hosts" in capsys.readouterr().out
+    assert nutch_cli.main(["readhostdb", hdb, "-get", "a.example.com"]) == 0
+    assert "a.example.com" in capsys.readouterr().out
+
+    sm = str(tmp_path / "sitemaps")
+    spark.createDataFrame(
+        [("http://a.example.com/sitemap.xml",
+          "<urlset><url><loc>http://a.example.com/new</loc>"
+          "<priority>0.75</priority></url></urlset>")],
+        "sitemap_url string, content string",
+    ).write.parquet(sm)
+    assert nutch_cli.main(["sitemap", db, sm]) == 0
+    assert "4 urls" in capsys.readouterr().out
+
+    assert nutch_cli.main(["showproperties"]) == 0
+    props = capsys.readouterr().out
+    assert "fetcher_server_delay=" in props
+
+
+def test_mergesegs_and_mergelinkdb(spark, tmp_path, capsys):
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    for p, t in ((s1, 1_000), (s2, 2_000)):
+        spark.createDataFrame(
+            [("http://a.example.com/", 33, t, 0, 2592000, 1.0, None, 0,
+              {}, 900, None)],
+            "url string, status int, fetch_time long, retries int,"
+            " fetch_interval int, score float, signature string,"
+            " modified_time long, metadata map<string,string>,"
+            " gen_time long, repr_url string",
+        ).write.parquet(p)
+    merged = str(tmp_path / "merged")
+    assert nutch_cli.main(["mergesegs", merged, s1, s2]) == 0
+    assert "1 rows" in capsys.readouterr().out
+    assert spark.read.parquet(merged).first()["fetch_time"] == 2_000
+
+    l1, l2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    for p, frm in ((l1, "x"), (l2, "y")):
+        spark.createDataFrame(
+            [("http://t.example.com/", [(f"http://{frm}.example.com/", frm)])],
+            "url string, inlinks array<struct<from_url:string,anchor:string>>",
+        ).write.parquet(p)
+    ml = str(tmp_path / "ml")
+    assert nutch_cli.main(["mergelinkdb", ml, l1, l2]) == 0
+    assert "1 targets" in capsys.readouterr().out
+    assert len(spark.read.parquet(ml).first()["inlinks"]) == 2

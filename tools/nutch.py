@@ -15,7 +15,27 @@ a reference user can run their existing playbook verbatim:
     python tools/nutch.py readseg  -list wh/segment_0001 [...]
     python tools/nutch.py readseg  wh/segment_0001 -dump out/ | -get URL
     python tools/nutch.py dedup    crawldb/
-    python tools/nutch.py hostdb   crawldb/ hostdb/
+    python tools/nutch.py hostdb   crawldb/ hostdb/   (alias: updatehostdb)
+    python tools/nutch.py readhostdb hostdb/ -get host.example.com
+    python tools/nutch.py freegen  seeds.txt fetchlist/
+    python tools/nutch.py fetch    fetchlist/ seg [--robots R --outcomes O]
+    python tools/nutch.py parse    seg_content/ seg
+    python tools/nutch.py mergesegs out/ seg1_rows/ seg2_rows/ [--slice N]
+    python tools/nutch.py mergelinkdb out/ ldb1/ ldb2/
+    python tools/nutch.py index    crawldb/ seg_parse_text/ out/ [--format csv]
+    python tools/nutch.py clean    crawldb/ deletes/
+    python tools/nutch.py dump     seg_parse_text/ files/
+    python tools/nutch.py commoncrawldump pages/ out/
+    python tools/nutch.py warc     seg_content/ out/
+    python tools/nutch.py domainstats crawldb/ [--mode host|domain|suffix|tld]
+    python tools/nutch.py protocolstats crawldb/
+    python tools/nutch.py crawlcomplete crawldb/ [--mode host|domain]
+    python tools/nutch.py webgraph outlinks/ graph/
+    python tools/nutch.py linkrank graph/ scores/ [--iterations 10]
+    python tools/nutch.py scoreupdater crawldb/ scores/
+    python tools/nutch.py nodedumper --group in --webgraph graph/ --topn 10
+    python tools/nutch.py sitemap  crawldb/ sitemaps/ [--overwrite]
+    python tools/nutch.py showproperties
     python tools/nutch.py normalizerchecker 'http://WWW.Ex.COM:80/a/../b'
     python tools/nutch.py filterchecker 'https://example.com/x'
 
@@ -57,6 +77,15 @@ def _install(tmp: str, target: str) -> None:
 def _spark():
     from nutch_spark.session import get_spark
 
+    # Python workers don't inherit the driver's sys.path patch above —
+    # without the repo root on PYTHONPATH, any pandas-UDF stage dies
+    # with ModuleNotFoundError when the CLI is invoked from another cwd
+    # (the spark-submit deployment ships nutch_spark.zip via --py-files
+    # instead; this is the bare-`python tools/nutch.py` path)
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    prev = os.environ.get("PYTHONPATH", "")
+    if root not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = root + (os.pathsep + prev if prev else "")
     return get_spark(
         master=os.environ.get("NUTCH_SPARK_MASTER", "local[*]"),
         shuffle_partitions=int(os.environ.get("NUTCH_SPARK_SHUFFLE", "32")),
@@ -442,6 +471,338 @@ def _read_text_count(spark, path: str) -> int:
     )
 
 
+def cmd_freegen(args) -> int:
+    """FreeGenerator (``tools/FreeGenerator.java``): fetchlist straight
+    from seed text, skipping the CrawlDb."""
+    from nutch_spark.operators.generate import free_generate
+
+    spark = _spark()
+    cfg = NutchConfig()
+    fl = free_generate(spark, args.seeds, cfg, _now(args), num_lists=args.num_lists)
+    _write(fl, args.out)
+    print(f"freegen: {_read(spark, args.out).count()} urls in fetchlist")
+    return 0
+
+
+def _empty_robots(spark):
+    return spark.createDataFrame(
+        [],
+        "host string, disallow array<string>, allow array<string>,"
+        " crawl_delay double, defer_visits boolean, forbid_all boolean",
+    )
+
+
+def cmd_fetch(args) -> int:
+    """Fetcher (``fetcher/Fetcher.java``) over the simulated web: the
+    politeness/robots/redirect machinery is real; the network is a
+    table. ``--outcomes`` is the (url, outcome, redirect_to,
+    latency_ms) protocol fixture — absent, every fetchlist url succeeds
+    at 100 ms (an operator smoke run). Writes ``<out>_crawl_fetch`` and
+    ``<out>_redirects``."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.fetchsim import fetch
+
+    spark = _spark()
+    cfg = NutchConfig()
+    fl = _read(spark, args.fetchlist)
+    robots = _read(spark, args.robots) if args.robots else _empty_robots(spark)
+    if args.outcomes:
+        outcomes = _read(spark, args.outcomes)
+    else:
+        outcomes = fl.select(
+            "url",
+            F.lit("success").alias("outcome"),
+            F.lit(None).cast("string").alias("redirect_to"),
+            F.lit(100).cast("long").alias("latency_ms"),
+        )
+    dns = _read(spark, args.dns) if args.dns else None
+    crawl_fetch, redirects = fetch(fl, robots, outcomes, cfg, _now(args), dns=dns)
+    _write(crawl_fetch, args.out.rstrip("/") + "_crawl_fetch")
+    _write(redirects, args.out.rstrip("/") + "_redirects")
+    n = _read(spark, args.out.rstrip("/") + "_crawl_fetch").count()
+    print(f"fetch: {n} urls fetched")
+    return 0
+
+
+def cmd_parse(args) -> int:
+    """ParseSegment (``parse/ParseSegment.java``): parse fetched
+    content (url, score, fetch_time, gen_time, spans, is_canonical)
+    into the segment part tables ``<out>_{parse_text,parse_data,
+    parse_meta,crawl_parse}`` and ``<out>_outlinks``."""
+    from nutch_spark.operators.parse import parse
+
+    spark = _spark()
+    cfg = NutchConfig()
+    parsed = parse(_read(spark, args.content), cfg)
+    base = args.out.rstrip("/")
+    for part in ("parse_text", "parse_data", "parse_meta", "crawl_parse", "outlinks"):
+        _write(parsed[part], f"{base}_{part}")
+    n = _read(spark, base + "_parse_text").count()
+    print(f"parse: {n} documents parsed")
+    return 0
+
+
+def cmd_mergesegs(args) -> int:
+    """SegmentMerger (``segment/SegmentMerger.java``) over segment-rows
+    tables; ``--slice`` caps rows per output slice like -slice."""
+    from nutch_spark.operators.merger import merge_segments
+
+    spark = _spark()
+    out = merge_segments(
+        [_read(spark, p) for p in args.segments], slice_size=args.slice
+    )
+    _write(out, args.out)
+    print(f"mergesegs: {_read(spark, args.out).count()} rows")
+    return 0
+
+
+def cmd_mergelinkdb(args) -> int:
+    """LinkDbMerger: left-fold of merge_linkdbs (inlink union with the
+    db.max.inlinks cap at every step, like the reference's reducer)."""
+    from nutch_spark.operators.linkdb import merge_linkdbs
+
+    spark = _spark()
+    cfg = NutchConfig()
+    acc = _read(spark, args.dbs[0])
+    for p in args.dbs[1:]:
+        acc = merge_linkdbs(acc, _read(spark, p), cfg)
+    _write(acc, args.out)
+    print(f"mergelinkdb: {_read(spark, args.out).count()} targets")
+    return 0
+
+
+def cmd_index(args) -> int:
+    """IndexingJob (``indexer/IndexingJob.java``): build NutchDocuments
+    from crawldb + parse_text and write them through the jsonl (the
+    exchange sink) or csv writer."""
+    from nutch_spark.operators.indexer import (
+        index_documents, write_csv, write_jsonl,
+    )
+
+    spark = _spark()
+    cfg = NutchConfig()
+    docs = index_documents(_read(spark, args.crawldb), _read(spark, args.parse_text), cfg)
+    if args.format == "csv":
+        write_csv(docs, args.out, ["url", "title", "content"])
+    else:
+        write_jsonl(docs, args.out)
+    n = spark.read.text(args.out).count()
+    print(f"index: {n} documents written ({args.format})")
+    return 0
+
+
+def cmd_clean(args) -> int:
+    """CleaningJob (``indexer/CleaningJob.java:44-72``): scan the
+    crawldb for DB_GONE (404) and DB_DUPLICATE entries and emit delete
+    requests for the index writers (jsonl delete actions here)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.warc import _json_escape
+    from nutch_spark.schema import STATUS_DB_DUPLICATE, STATUS_DB_GONE
+
+    spark = _spark()
+    dels = (
+        _read(spark, args.crawldb)
+        .filter(F.col("status").isin(STATUS_DB_GONE, STATUS_DB_DUPLICATE))
+        .select(F.concat(F.lit('{"url":"'), _json_escape(F.col("url")),
+                         F.lit('","action":"delete"}')).alias("value"))
+    )
+    dels.write.mode("overwrite").text(args.out)
+    n = spark.read.text(args.out).count()
+    print(f"CleaningJob: deleted a total of {n} documents")
+    return 0
+
+
+def cmd_dump(args) -> int:
+    """FileDumper (``tools/FileDumper.java``): export each fetched
+    document's text to ``<md5(url)>.txt`` — executors write their own
+    partition's files (no driver collect)."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    out_dir = os.path.abspath(args.out)
+    os.makedirs(out_dir, exist_ok=True)
+    df = _read(spark, args.parse_text).select(
+        F.md5("url").alias("name"), F.coalesce("text", F.lit("")).alias("text")
+    )
+
+    def _write_part(rows):
+        for r in rows:
+            with open(os.path.join(out_dir, r["name"] + ".txt"), "w") as f:
+                f.write(r["text"])
+
+    df.foreachPartition(_write_part)
+    print(f"dump: {len(os.listdir(out_dir))} files in {out_dir}")
+    return 0
+
+
+def cmd_commoncrawldump(args) -> int:
+    """CommonCrawlDataDumper: one CommonCrawl JSON envelope per fetched
+    page, written as text lines keyed by the reversed-host key."""
+    from nutch_spark.operators.warc import commoncrawl_records
+
+    spark = _spark()
+    recs = commoncrawl_records(_read(spark, args.pages))
+    recs.select("record").write.mode("overwrite").text(args.out)
+    print(f"commoncrawldump: {spark.read.text(args.out).count()} records")
+    return 0
+
+
+def cmd_warc(args) -> int:
+    """WARCExporter: WARC resource records (one warcinfo per file part)
+    from fetched content (url, status, fetch_time, spans)."""
+    from nutch_spark.operators.warc import warc_records, write_warc
+
+    spark = _spark()
+    recs = warc_records(_read(spark, args.content))
+    write_warc(recs, args.out)
+    n = len([f for f in os.listdir(args.out) if f.endswith(".warc")])
+    print(f"warc: wrote {n} warc files to {args.out}")
+    return 0
+
+
+def cmd_domainstats(args) -> int:
+    from nutch_spark.operators.stats import domain_stats
+
+    spark = _spark()
+    df = domain_stats(_read(spark, args.crawldb), mode=args.mode)
+    if args.out:
+        _write(df, args.out)
+    for r in df.orderBy("n_urls", ascending=False).limit(args.limit).collect():
+        print(f"{r[0]}\t{r['n_urls']}")
+    return 0
+
+
+def cmd_protocolstats(args) -> int:
+    from nutch_spark.operators.stats import protocol_status_stats
+
+    spark = _spark()
+    for r in protocol_status_stats(_read(spark, args.crawldb)).collect():
+        print(f"{r[0]}\t{r[1]}")
+    return 0
+
+
+def cmd_crawlcomplete(args) -> int:
+    from nutch_spark.operators.stats import crawl_summary
+
+    spark = _spark()
+    for r in crawl_summary(_read(spark, args.crawldb), mode=args.mode).collect():
+        print("\t".join(str(v) for v in r))
+    return 0
+
+
+def cmd_webgraph(args) -> int:
+    from nutch_spark.operators.webgraph import build_webgraph
+
+    spark = _spark()
+    links = build_webgraph(_read(spark, args.outlinks))
+    _write(links, args.out)
+    print(f"webgraph: {_read(spark, args.out).count()} edges")
+    return 0
+
+
+def cmd_linkrank(args) -> int:
+    from nutch_spark.operators.webgraph import linkrank
+
+    spark = _spark()
+    scores = linkrank(_read(spark, args.webgraph), iterations=args.iterations)
+    _write(scores, args.out)
+    print(f"linkrank: {_read(spark, args.out).count()} nodes scored")
+    return 0
+
+
+def cmd_scoreupdater(args) -> int:
+    from nutch_spark.operators.webgraph import score_updater
+
+    spark = _spark()
+    out = score_updater(_read(spark, args.crawldb), _read(spark, args.scores))
+    tmp = args.crawldb.rstrip("/") + ".tmp"
+    _write(out, tmp)
+    _install(tmp, args.crawldb)
+    print("scoreupdater: crawldb scores updated")
+    return 0
+
+
+def cmd_nodedumper(args) -> int:
+    """NodeDumper (``scoring/webgraph/NodeDumper.java:55-200``): top
+    urls by inlink count, outlink count, or link-analysis score."""
+    from pyspark.sql import functions as F
+
+    if args.group == "scores" and not args.scores:
+        print("nodedumper: --scores required with --group scores", file=sys.stderr)
+        return 2
+    if args.group != "scores" and not args.webgraph:
+        print("nodedumper: --webgraph required with --group in/out", file=sys.stderr)
+        return 2
+    spark = _spark()
+    if args.group == "scores":
+        df = _read(spark, args.scores).select("url", F.col("score").alias("value"))
+    else:
+        links = _read(spark, args.webgraph)
+        key = "dst" if args.group == "in" else "src"
+        df = links.groupBy(F.col(key).alias("url")).agg(F.count("*").alias("value"))
+    top = df.orderBy(F.desc("value"), "url").limit(args.topn)
+    if args.out:
+        _write(top, args.out)
+    for r in top.collect():
+        print(f"{r['url']}\t{r['value']}")
+    return 0
+
+
+def cmd_readhostdb(args) -> int:
+    """ReadHostDb (``hostdb/ReadHostDb.java``): -dump the host table or
+    -get one host's record."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    db = _read(spark, args.hostdb)
+    if args.dump:
+        _write(db, args.dump)
+        print(f"readhostdb: dumped {_read(spark, args.dump).count()} hosts")
+    elif args.get:
+        rows = db.filter(F.col(db.columns[0]) == args.get).collect()
+        if not rows:
+            print(f"no host information for {args.get}")
+        for r in rows:
+            print(r.asDict())
+    else:
+        print("readhostdb: one of -dump/-get required", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_sitemap(args) -> int:
+    """SitemapProcessor (``util/SitemapProcessor.java``): parse fetched
+    sitemap XML (sitemap_url, content) and merge entries into the
+    crawldb (new urls become db_unfetched)."""
+    from nutch_spark.operators.sitemap import parse_sitemaps, sitemap_merge
+
+    spark = _spark()
+    cfg = NutchConfig()
+    entries, index_refs = parse_sitemaps(_read(spark, args.sitemaps), cfg)
+    out = sitemap_merge(
+        _read(spark, args.crawldb), entries, cfg, _now(args),
+        overwrite=args.overwrite,
+    )
+    tmp = args.crawldb.rstrip("/") + ".tmp"
+    _write(out, tmp)
+    _install(tmp, args.crawldb)
+    n_idx = index_refs.count()
+    print(f"sitemap: crawldb now {_read(spark, args.crawldb).count()} urls"
+          f" ({n_idx} child sitemaps not followed)")
+    return 0
+
+
+def cmd_showproperties(args) -> int:
+    """ShowProperties: dump the effective configuration."""
+    import dataclasses
+
+    for f in sorted(dataclasses.fields(NutchConfig), key=lambda f: f.name):
+        print(f"{f.name}={getattr(NutchConfig(), f.name)}")
+    return 0
+
+
 def cmd_normalizerchecker(args) -> int:
     from nutch_spark.urls.normalizer import normalize
 
@@ -527,6 +888,108 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-dump", default=None, dest="dump")
     s.add_argument("-get", default=None, dest="get")
     s.set_defaults(fn=cmd_readseg)
+
+    s = sub.add_parser("freegen")
+    s.add_argument("seeds"); s.add_argument("out")
+    s.add_argument("--num-lists", type=int, default=None)
+    s.set_defaults(fn=cmd_freegen)
+
+    s = sub.add_parser("fetch")
+    s.add_argument("fetchlist"); s.add_argument("out")
+    s.add_argument("--robots", default=None)
+    s.add_argument("--outcomes", default=None)
+    s.add_argument("--dns", default=None)
+    s.set_defaults(fn=cmd_fetch)
+
+    s = sub.add_parser("parse")
+    s.add_argument("content"); s.add_argument("out")
+    s.set_defaults(fn=cmd_parse)
+
+    s = sub.add_parser("mergesegs")
+    s.add_argument("out"); s.add_argument("segments", nargs="+")
+    s.add_argument("--slice", type=int, default=None)
+    s.set_defaults(fn=cmd_mergesegs)
+
+    s = sub.add_parser("mergelinkdb")
+    s.add_argument("out"); s.add_argument("dbs", nargs="+")
+    s.set_defaults(fn=cmd_mergelinkdb)
+
+    s = sub.add_parser("index")
+    s.add_argument("crawldb"); s.add_argument("parse_text"); s.add_argument("out")
+    s.add_argument("--format", choices=["jsonl", "csv"], default="jsonl")
+    s.set_defaults(fn=cmd_index)
+
+    s = sub.add_parser("clean")
+    s.add_argument("crawldb"); s.add_argument("out")
+    s.set_defaults(fn=cmd_clean)
+
+    s = sub.add_parser("dump")
+    s.add_argument("parse_text"); s.add_argument("out")
+    s.set_defaults(fn=cmd_dump)
+
+    s = sub.add_parser("commoncrawldump")
+    s.add_argument("pages"); s.add_argument("out")
+    s.set_defaults(fn=cmd_commoncrawldump)
+
+    s = sub.add_parser("warc")
+    s.add_argument("content"); s.add_argument("out")
+    s.set_defaults(fn=cmd_warc)
+
+    s = sub.add_parser("domainstats")
+    s.add_argument("crawldb")
+    s.add_argument("--mode", choices=["domain", "host", "suffix", "tld"],
+                   default="domain")
+    s.add_argument("--out", default=None)
+    s.add_argument("--limit", type=int, default=50)
+    s.set_defaults(fn=cmd_domainstats)
+
+    s = sub.add_parser("protocolstats")
+    s.add_argument("crawldb")
+    s.set_defaults(fn=cmd_protocolstats)
+
+    s = sub.add_parser("crawlcomplete")
+    s.add_argument("crawldb")
+    s.add_argument("--mode", choices=["host", "domain"], default="host")
+    s.set_defaults(fn=cmd_crawlcomplete)
+
+    s = sub.add_parser("webgraph")
+    s.add_argument("outlinks"); s.add_argument("out")
+    s.set_defaults(fn=cmd_webgraph)
+
+    s = sub.add_parser("linkrank")
+    s.add_argument("webgraph"); s.add_argument("out")
+    s.add_argument("--iterations", type=int, default=10)
+    s.set_defaults(fn=cmd_linkrank)
+
+    s = sub.add_parser("scoreupdater")
+    s.add_argument("crawldb"); s.add_argument("scores")
+    s.set_defaults(fn=cmd_scoreupdater)
+
+    s = sub.add_parser("nodedumper")
+    s.add_argument("--group", choices=["in", "out", "scores"], default="in")
+    s.add_argument("--webgraph", default=None)
+    s.add_argument("--scores", default=None)
+    s.add_argument("--topn", type=int, default=10)
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_nodedumper)
+
+    s = sub.add_parser("updatehostdb")
+    s.add_argument("crawldb"); s.add_argument("hostdb")
+    s.set_defaults(fn=cmd_hostdb)
+
+    s = sub.add_parser("readhostdb")
+    s.add_argument("hostdb")
+    s.add_argument("-dump", default=None, dest="dump")
+    s.add_argument("-get", default=None, dest="get")
+    s.set_defaults(fn=cmd_readhostdb)
+
+    s = sub.add_parser("sitemap")
+    s.add_argument("crawldb"); s.add_argument("sitemaps")
+    s.add_argument("--overwrite", action="store_true")
+    s.set_defaults(fn=cmd_sitemap)
+
+    s = sub.add_parser("showproperties")
+    s.set_defaults(fn=cmd_showproperties)
 
     s = sub.add_parser("normalizerchecker")
     s.add_argument("url"); s.add_argument("--scope", default="default")
