@@ -193,3 +193,37 @@ def test_merge_crawldbs_full_tie_first_db_wins(spark):
     assert r1["retries"] == 7 and r1["score"] == 9.0   # first db won
     assert r1["metadata"]["k"] == "a"                  # meta winner consistent
     assert r1 == r2                                    # replay-deterministic
+
+
+def test_linkdb_merger_ported_matrix(spark):
+    """TestLinkDbMerger.java:44-125 verbatim: two linkdbs where
+    http://example.com/ appears in both — its merged inlinks are the
+    union of both lists; single-db keys pass through untouched."""
+    def ldb(spark, entries):
+        return spark.createDataFrame(
+            [(u, [(f, "") for f in froms]) for u, froms in entries],
+            "url string, inlinks array<struct<from_url:string,anchor:string>>",
+        )
+
+    db1 = ldb(spark, [
+        ("http://example.com/foo",
+         ["http://example.com/100", "http://example.com/101"]),
+        ("http://example.com/",
+         ["http://example.com/110", "http://example.com/111"]),
+    ])
+    db2 = ldb(spark, [
+        ("http://example.com/", ["http://foo.com/200", "http://foo.com/201"]),
+        ("http://example.com/bar", ["http://foo.com/210", "http://foo.com/211"]),
+    ])
+    merged = merge_linkdbs(db1, db2, CFG)
+    got = {r["url"]: sorted(i["from_url"] for i in r["inlinks"])
+           for r in merged.collect()}
+    assert got == {
+        "http://example.com/foo":
+            ["http://example.com/100", "http://example.com/101"],
+        "http://example.com/":
+            ["http://example.com/110", "http://example.com/111",
+             "http://foo.com/200", "http://foo.com/201"],
+        "http://example.com/bar":
+            ["http://foo.com/210", "http://foo.com/211"],
+    }
