@@ -558,6 +558,40 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_crawldb(_docs(spark, sf_dir)), mode="host")
 
 
+# deterministic suffix rotation: 1-label TLDs, 2-label public suffixes,
+# and an unknown TLD so the suffix walk's fallback branch is exercised
+_SUFFIX_ROTATION = ["com", "co.uk", "org", "de", "com.au", "barbaz", "io", "co.jp"]
+
+
+def q_suffix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 DomainStatistics MODE_SUFFIX + MODE_TLD
+    (util/domain/DomainStatistics.java:194-199): counts keyed by the
+    host's public suffix and by its last label, over a crawldb whose
+    hosts rotate through 1-label/2-label/unknown suffixes plus IP hosts
+    (suffix null — URLUtil.getDomainSuffix has none for IPs)."""
+    from nutch_spark.operators.stats import domain_stats
+
+    d = F.col("doc_id")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _SUFFIX_ROTATION]), (d % 8 + 1).cast("int")
+    )
+    url = F.when(
+        d % 97 == 0,
+        F.concat(F.lit("http://1.2.3."), (d % 250 + 1).cast("string"), F.lit("/p")),
+    ).otherwise(
+        F.concat(
+            F.lit("http://h"), (d % 40).cast("string"), F.lit(".example."),
+            sfx, F.lit("/p/"), d.cast("string"),
+        )
+    )
+    db = _docs(spark, sf_dir).select(
+        url.alias("url"), (d % 2 + 1).cast("int").alias("status")
+    )
+    su = domain_stats(db, mode="suffix").withColumn("mode", F.lit("suffix"))
+    tl = domain_stats(db, mode="tld").withColumn("mode", F.lit("tld"))
+    return su.unionByName(tl)
+
+
 def q_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 SegmentMerger (segment/SegmentMerger.java): latest generation
     wins per URL across segments."""
@@ -2370,6 +2404,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "urlfilter_domain": q_urlfilter_domain,
         "sitemap_merge": q_sitemap,
         "domain_stats": q_domain_stats,
+        "suffix_stats": q_suffix_stats,
         "segment_merge": q_segment_merge,
         "free_generate": q_free_generate,
         "text_profile_sig": q_text_profile_sig,
@@ -4458,6 +4493,33 @@ SELECT 'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS key,
   COUNT(*) FILTER (WHERE status = 2) AS n_fetched,
   COUNT(*) FILTER (WHERE status = 1) AS n_unfetched
 FROM crawldb GROUP BY 1
+""",
+        # ---- A5 suffix/tld stats ------------------------------------------
+        # independent restatement: the suffix per row follows from the
+        # deterministic host construction (rotation by doc_id%8, IP rows
+        # at doc_id%97=0 -> NULL suffix), tld = last label of the suffix
+        "suffix_stats": """
+WITH db AS (
+  SELECT CASE WHEN doc_id % 97 = 0 THEN NULL
+         ELSE CASE doc_id % 8 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+              WHEN 2 THEN 'org' WHEN 3 THEN 'de' WHEN 4 THEN 'com.au'
+              WHEN 5 THEN 'barbaz' WHEN 6 THEN 'io' ELSE 'co.jp' END END AS sfx,
+         CAST(doc_id % 2 + 1 AS INTEGER) AS status
+  FROM documents
+)
+SELECT sfx AS key, COUNT(*) AS n_urls,
+  COUNT(*) FILTER (WHERE status = 2) AS n_fetched,
+  COUNT(*) FILTER (WHERE status = 1) AS n_unfetched,
+  'suffix' AS mode
+FROM db GROUP BY 1
+UNION ALL
+SELECT CASE sfx WHEN 'co.uk' THEN 'uk' WHEN 'com.au' THEN 'au'
+       WHEN 'co.jp' THEN 'jp' ELSE sfx END AS key,
+  COUNT(*) AS n_urls,
+  COUNT(*) FILTER (WHERE status = 2) AS n_fetched,
+  COUNT(*) FILTER (WHERE status = 1) AS n_unfetched,
+  'tld' AS mode
+FROM db GROUP BY 1
 """,
         # ---- J7 segment merge ---------------------------------------------
         "segment_merge": f"""

@@ -79,11 +79,12 @@ def _content(s: Column) -> Column:
     return F.regexp_extract(s["text"], r"^[^:]*:(.*)$", 1)
 
 
-def _robots_screen(spans: Column, token: str) -> Column:
+def _robots_screen(metas: Column, token: str) -> Column:
     """Any robots meta whose lowercased content contains ``token`` —
-    each tag's setters are sticky, so tags OR together."""
+    each tag's setters are sticky, so tags OR together. Takes the
+    already-filtered meta spans so call sites share one derivation."""
     return F.exists(
-        _meta_spans(spans),
+        metas,
         lambda s: (_name(s) == F.lit(ROBOTS_METATAG))
         & (F.instr(F.lower(_content(s)), token) > 0),
     )
@@ -94,9 +95,9 @@ def meta_directives(spans: Column, url: Column) -> Column:
     refresh_time, refresh_href, robots) for one doc's span array."""
     metas = _meta_spans(spans)
 
-    no_index = _robots_screen(spans, "noindex") | _robots_screen(spans, "none")
-    no_follow = _robots_screen(spans, "nofollow") | _robots_screen(spans, "none")
-    no_cache = _robots_screen(spans, "noarchive") | F.exists(
+    no_index = _robots_screen(metas, "noindex") | _robots_screen(metas, "none")
+    no_follow = _robots_screen(metas, "nofollow") | _robots_screen(metas, "none")
+    no_cache = _robots_screen(metas, "noarchive") | F.exists(
         metas,
         lambda s: (_name(s) == F.lit("pragma"))
         & (F.instr(F.lower(_content(s)), "no-cache") > 0),

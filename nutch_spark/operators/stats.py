@@ -22,7 +22,7 @@ from nutch_spark.schema import (
     STATUS_DB_UNFETCHED,
     STATUS_NAMES,
 )
-from nutch_spark.urls.urlutil import domain_expr, host_col
+from nutch_spark.urls.urlutil import domain_expr, host_col, tld_expr
 
 
 def status_name_col(status: Column) -> Column:
@@ -120,8 +120,20 @@ def hostdb_update(crawldb: DataFrame, cfg: NutchConfig) -> DataFrame:
 
 def domain_stats(crawldb: DataFrame, mode: str = "domain") -> DataFrame:
     """CrawlCompletionStats / DomainStatistics (A5): fetched/unfetched
-    counts per host or domain."""
-    key = host_col(F.col("url")) if mode == "host" else domain_expr(F.col("url"))
+    counts per host, domain, public suffix, or top-level domain
+    (DomainStatistics.java:190-199 MODE_HOST/DOMAIN/SUFFIX/TLD —
+    suffix = URLUtil.getDomainSuffix, tld = its last label)."""
+    url = F.col("url")
+    if mode == "host":
+        key = host_col(url)
+    elif mode == "domain":
+        key = domain_expr(url)
+    elif mode == "suffix":
+        key = tld_expr(url)
+    elif mode == "tld":
+        key = F.try_element_at(F.split(tld_expr(url), r"\."), F.lit(-1))
+    else:
+        raise ValueError(f"domain_stats: unknown mode {mode!r}")
     return (
         crawldb.withColumn("key", key)
         .groupBy("key")

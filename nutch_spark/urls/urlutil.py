@@ -448,6 +448,36 @@ def domain_expr(url_or_host_col: Column) -> Column:
     )
 
 
+def tld_expr(url_or_host_col: Column) -> Column:
+    """Exact JVM twin of ``get_tld`` (URLUtil.getDomainSuffix): the
+    longest known public suffix of the host, else its last label; null
+    for IPs/hostless inputs. Flattens the same depth-2 suffix walk as
+    ``domain_expr`` — a 2-label tail can only match when the host has a
+    third label in front of it (the walk only tests tails strictly
+    after a dot), so ``co.uk`` as the whole host yields ``uk``."""
+    assert all(s.count(".") <= 1 for s in _SUFFIXES), (
+        "tld_expr flattens the suffix walk to depth 2; regenerate the "
+        "when-chain if _SUFFIXES gains 3-label entries"
+    )
+    s2 = [s for s in _SUFFIXES if "." in s]
+
+    host = F.when(
+        url_or_host_col.contains("://"), host_expr(url_or_host_col)
+    ).otherwise(F.lower(url_or_host_col))
+    host = F.nullif(host, F.lit(""))
+    host = F.when(
+        host.endswith("."), F.substr(host, F.lit(1), F.length(host) - 1)
+    ).otherwise(host)
+
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    t1 = F.try_element_at(labels, F.lit(-1))
+    t2 = F.concat_ws(".", F.try_element_at(labels, F.lit(-2)), t1)
+    return F.when(host.rlike(_IP_RE_JAVA), F.lit(None).cast("string")).otherwise(
+        F.when((n >= 3) & t2.isin(s2), t2).otherwise(t1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # TableUtil reversed-url keys (util/TableUtil.java:41-140)
 # ---------------------------------------------------------------------------

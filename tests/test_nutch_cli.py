@@ -2,6 +2,7 @@
 inject, generate, readdb, mergedb, checkers — runs end-to-end over
 parquet table dirs (tools/nutch.py)."""
 
+import os
 import sys
 
 sys.path.insert(0, "tools")
@@ -178,6 +179,44 @@ def test_readseg_list_dump_get(spark, tmp_path, capsys):
     assert "one of -list/-dump/-get" in capsys.readouterr().err
 
 
+def test_readseg_catalog_warehouse_and_multiseg(spark, tmp_path, capsys):
+    """readseg must read SnapshotCatalog-committed segment tables (the
+    crawl loop's warehouse layout: wh/<table>/snap-*/ + metadata.json),
+    and -dump must cover EVERY listed segment, not just the first."""
+    from nutch_spark.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(wh)
+    cat.commit(
+        spark.createDataFrame(
+            [("http://a.example.com/", 33, 2_000)],
+            "url string, status int, fetch_time long",
+        ),
+        "segment_0001_crawl_fetch", now_ms=1,
+    )
+    cat.commit(
+        spark.createDataFrame(
+            [("http://b.example.com/", 33, 9_000)],
+            "url string, status int, fetch_time long",
+        ),
+        "segment_0002_crawl_fetch", now_ms=2,
+    )
+
+    seg1, seg2 = os.path.join(wh, "segment_0001"), os.path.join(wh, "segment_0002")
+    assert nutch_cli.main(["readseg", "-list", seg1, seg2]) == 0
+    rows = capsys.readouterr().out.strip().splitlines()[1:]
+    assert rows[0].split("\t")[0] == "segment_0001"
+    assert rows[1].split("\t")[0] == "segment_0002"
+    assert rows[0].split("\t")[-2] == "1"  # fetched count from snapshot
+
+    dump = str(tmp_path / "whdump")
+    assert nutch_cli.main(["readseg", seg1, seg2, "-dump", dump]) == 0
+    assert "dumped 2 records" in capsys.readouterr().out
+    text = "\n".join(r["value"] for r in spark.read.text(dump).collect())
+    assert "URL:: http://a.example.com/" in text
+    assert "URL:: http://b.example.com/" in text
+
+
 def _stage_crawldb(spark, path, rows):
     """rows: (url, status, score) triples -> full datum-schema parquet."""
     df = spark.createDataFrame(
@@ -309,6 +348,14 @@ def test_stats_hostdb_sitemap_properties(spark, tmp_path, capsys):
     assert nutch_cli.main(["domainstats", db, "--mode", "host"]) == 0
     out = capsys.readouterr().out
     assert "a.example.com\t2" in out
+    # suffix/tld modes (DomainStatistics MODE_SUFFIX/MODE_TLD): both
+    # hosts share the public suffixes com/org — NOT per-domain rows
+    assert nutch_cli.main(["domainstats", db, "--mode", "suffix"]) == 0
+    out = capsys.readouterr().out
+    assert "com\t2" in out and "org\t1" in out and "example.com" not in out
+    assert nutch_cli.main(["domainstats", db, "--mode", "tld"]) == 0
+    out = capsys.readouterr().out
+    assert "com\t2" in out and "org\t1" in out
     assert nutch_cli.main(["protocolstats", db]) == 0
     capsys.readouterr()
     assert nutch_cli.main(["crawlcomplete", db]) == 0

@@ -11,7 +11,9 @@ from nutch_spark.urls.urlutil import (
     domain_expr,
     get_domain,
     get_host,
+    get_tld,
     host_expr,
+    tld_expr,
 )
 
 URLS = [
@@ -120,3 +122,16 @@ def test_domain_expr_matches_get_domain(spark, values):
     rows = df.select("v", domain_expr(F.col("v")).alias("d")).collect()
     for r in rows:
         assert r["d"] == get_domain(r["v"]), repr(r["v"])
+
+
+@pytest.mark.parametrize("values", [URLS, HOSTS])
+def test_tld_expr_matches_get_tld(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    rows = df.select("v", tld_expr(F.col("v")).alias("t")).collect()
+    for r in rows:
+        assert r["t"] == get_tld(r["v"]), repr(r["v"])
+    # pin the walk's subtleties vs URLUtil.getDomainSuffix: a 2-label
+    # suffix needs a label in front to match; bare 'co.uk' yields 'uk'
+    assert get_tld("b.a.co.uk") == "co.uk"
+    assert get_tld("co.uk") == "uk"
+    assert get_tld("1.2.3.4") is None

@@ -97,6 +97,17 @@ def _now(args) -> int:
 
 
 def _read(spark, path):
+    """Read a table dir: plain parquet, or — when the dir carries a
+    SnapshotCatalog ``metadata.json`` (crawl_loop's committed tables,
+    ``wh/<table>/snap-*/``) — the table's current snapshot. This is what
+    lets ``readseg -list wh/segment_0001`` & co. work against the crawl
+    loop's warehouse, not just bench-style plain-parquet prefixes."""
+    p = path.rstrip("/")
+    if os.path.exists(os.path.join(p, "metadata.json")):
+        from nutch_spark.catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(os.path.dirname(p) or ".")
+        return cat.read(spark, os.path.basename(p))
     return spark.read.parquet(path)
 
 
@@ -399,9 +410,11 @@ def cmd_readseg(args) -> int:
             )
         return 0
 
-    seg = args.segments[0]
+    # -dump/-get read EVERY listed segment (the parser accepts many);
+    # sections union across segments, so a url refetched in two
+    # segments shows both records, like merging the reference's dumps
     sections = []
-    for part in _SEG_PARTS:
+    for seg, part in ((s, p) for s in args.segments for p in _SEG_PARTS):
         path = _seg_part(seg, part)
         if not path:
             continue
@@ -427,7 +440,10 @@ def cmd_readseg(args) -> int:
             )
         )
     if not sections:
-        print(f"readseg: no segment parts found under {seg}", file=sys.stderr)
+        print(
+            f"readseg: no segment parts found under {' '.join(args.segments)}",
+            file=sys.stderr,
+        )
         return 2
     union = sections[0]
     for s_ in sections[1:]:
@@ -456,19 +472,18 @@ def cmd_readseg(args) -> int:
         )
         .orderBy("value")
     )
-    out.write.mode("overwrite").text(args.dump)
-    print(f"readseg: dumped {_read_text_count(spark, args.dump)} records to {args.dump}")
+    # exact record count: one output row per url group. persist so the
+    # count and the write share one execution of the union+groupBy
+    # (re-reading the text and counting 'URL:: ' lines over-counts when
+    # a page's parse_text itself contains such a line)
+    out.persist()
+    try:
+        n = out.count()
+        out.write.mode("overwrite").text(args.dump)
+    finally:
+        out.unpersist()
+    print(f"readseg: dumped {n} records to {args.dump}")
     return 0
-
-
-def _read_text_count(spark, path: str) -> int:
-    from pyspark.sql import functions as F
-
-    return (
-        spark.read.text(path)
-        .filter(F.col("value").startswith("URL:: "))
-        .count()
-    )
 
 
 def cmd_freegen(args) -> int:
@@ -627,13 +642,25 @@ def cmd_dump(args) -> int:
         F.md5("url").alias("name"), F.coalesce("text", F.lit("")).alias("text")
     )
 
-    def _write_part(rows):
-        for r in rows:
+    if spark.sparkContext.master.startswith("local"):
+        # executors share the driver's filesystem: write in parallel
+        def _write_part(rows):
+            for r in rows:
+                with open(os.path.join(out_dir, r["name"] + ".txt"), "w") as f:
+                    f.write(r["text"])
+
+        df.foreachPartition(_write_part)
+        n = len(os.listdir(out_dir))
+    else:
+        # non-local master: out_dir only exists on the driver, so stream
+        # partitions through it (bounded memory) instead of having each
+        # executor open() a path that lives on another machine
+        n = 0
+        for r in df.toLocalIterator():
             with open(os.path.join(out_dir, r["name"] + ".txt"), "w") as f:
                 f.write(r["text"])
-
-    df.foreachPartition(_write_part)
-    print(f"dump: {len(os.listdir(out_dir))} files in {out_dir}")
+            n += 1
+    print(f"dump: {n} files in {out_dir}")
     return 0
 
 
