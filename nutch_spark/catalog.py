@@ -11,8 +11,10 @@ commits, the way an Iceberg catalog would:
 - the previous snapshot stays readable => ``db.preserve.backup`` /
   ``crawldb/old`` for free, plus time travel to any snapshot;
 - each snapshot records lineage (input snapshot ids per source table,
-  cycle id, stage) and metrics (counter map) — the north rule's
-  per-partition lineage + fetch/parse metrics;
+  cycle id, stage), metrics (counter map), and an Iceberg-manifest-style
+  per-file manifest (rows/bytes/url zone map read from the parquet
+  footers at commit) — the north rule's per-partition lineage +
+  fetch/parse metrics;
 - optimistic concurrency: commit fails if the parent snapshot moved
   (the ``.locked`` analogue, ``CrawlDb.java:69,191-195``).
 
@@ -49,6 +51,53 @@ class Snapshot:
     path: str
     lineage: dict[str, Any] = field(default_factory=dict)
     metrics: dict[str, Any] = field(default_factory=dict)
+    # Iceberg-manifest-style per-file entries: {file, bytes, rows,
+    # url_min, url_max} for each parquet part (one per write partition)
+    manifest: list[dict[str, Any]] = field(default_factory=list)
+
+
+def _file_manifest(snap_dir: str) -> list[dict[str, Any]]:
+    """Per-partition lineage from the committed parquet footers: one
+    entry per ``part-*`` file with its byte size, row count, and a
+    url zone map (min/max across row groups) when the table has a url
+    column. This is what an Iceberg manifest records; footers are
+    O(KB) metadata reads, so the driver-side loop costs O(#files)
+    small reads per commit — real Iceberg moves exactly this into the
+    writer tasks, which the docstring-level swap to a production
+    catalog would restore."""
+    import pyarrow.parquet as pq
+
+    out: list[dict[str, Any]] = []
+    for name in sorted(os.listdir(snap_dir)):
+        if not name.endswith(".parquet") or name.startswith("."):
+            continue
+        fp = os.path.join(snap_dir, name)
+        md = pq.ParquetFile(fp).metadata
+        entry: dict[str, Any] = {
+            "file": name,
+            "bytes": os.path.getsize(fp),
+            "rows": md.num_rows,
+        }
+        url_min = url_max = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                # leaf path, robust to struct/map siblings in the schema
+                if col.path_in_schema != "url":
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+                url_min = mn if url_min is None else min(url_min, mn)
+                url_max = mx if url_max is None else max(url_max, mx)
+        if url_min is not None:
+            entry["url_min"], entry["url_max"] = url_min, url_max
+        out.append(entry)
+    return out
 
 
 class SnapshotCatalog:
@@ -142,6 +191,9 @@ class SnapshotCatalog:
             # sweeps those)
             shutil.rmtree(pending, ignore_errors=True)
             raise
+        # footer scan outside the lock too — it only touches the
+        # uuid-unique pending dir
+        manifest = _file_manifest(pending)
         with self._meta_lock(table):
             meta = self._load_meta(table)
             if expected_parent != -1 and meta["current_snapshot_id"] != expected_parent:
@@ -164,6 +216,7 @@ class SnapshotCatalog:
                 path=rel,
                 lineage=lineage or {},
                 metrics=metrics or {},
+                manifest=manifest,
             )
             meta["snapshots"].append(snap.__dict__)
             meta["current_snapshot_id"] = snap_id

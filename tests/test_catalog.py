@@ -125,3 +125,33 @@ def test_failed_write_cleans_pending_and_expire_sweeps_orphans(spark, tmp_path):
     cat.expire_snapshots("t", keep=5)
     assert not [d for d in os.listdir(tdir) if d.startswith("snap-pending-")]
     assert cat.read(spark, "t").count() == 3  # table intact
+
+
+def test_commit_records_per_file_manifest(spark, tmp_path):
+    """Every commit records an Iceberg-manifest-style per-file entry
+    (rows, bytes, url zone map from the parquet footers) — the
+    north rule's per-partition lineage."""
+    from nutch_spark.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [(f"http://h{i % 4}.example.com/{i:03d}", i) for i in range(40)],
+        "url string, v int",
+    ).repartition(4)
+    snap = cat.commit(df, "t", now_ms=1)
+
+    assert snap.manifest, "manifest missing"
+    assert sum(f["rows"] for f in snap.manifest) == 40
+    assert all(f["bytes"] > 0 for f in snap.manifest)
+    # zone map: global min/max across files == true url extremes
+    mins = [f["url_min"] for f in snap.manifest if "url_min" in f]
+    maxs = [f["url_max"] for f in snap.manifest if "url_max" in f]
+    assert min(mins) == "http://h0.example.com/000"
+    assert max(maxs) == "http://h3.example.com/039"
+    # manifest survives the metadata round-trip (snapshots() re-load)
+    reloaded = cat.snapshots("t")[-1]
+    assert reloaded.manifest == snap.manifest
+    # a url-less table still manifests rows/bytes, just no zone map
+    snap2 = cat.commit(spark.range(7).toDF("id"), "u", now_ms=2)
+    assert sum(f["rows"] for f in snap2.manifest) == 7
+    assert all("url_min" not in f for f in snap2.manifest)

@@ -216,6 +216,15 @@ def test_readseg_catalog_warehouse_and_multiseg(spark, tmp_path, capsys):
     assert "URL:: http://a.example.com/" in text
     assert "URL:: http://b.example.com/" in text
 
+    # snapshot history + per-file manifest (Iceberg history-style)
+    assert nutch_cli.main(
+        ["snapshots", wh, "segment_0001_crawl_fetch", "-manifest"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("* 1\tparent=None")
+    assert "rows=1" in out and "http://a.example.com/" in out
+    assert nutch_cli.main(["snapshots", wh, "nosuch"]) == 2
+
 
 def _stage_crawldb(spark, path, rows):
     """rows: (url, status, score) triples -> full datum-schema parquet."""

@@ -35,6 +35,7 @@ a reference user can run their existing playbook verbatim:
     python tools/nutch.py scoreupdater crawldb/ scores/
     python tools/nutch.py nodedumper --group in --webgraph graph/ --topn 10
     python tools/nutch.py sitemap  crawldb/ sitemaps/ [--overwrite]
+    python tools/nutch.py snapshots wh/ crawldb [-manifest]
     python tools/nutch.py showproperties
     python tools/nutch.py normalizerchecker 'http://WWW.Ex.COM:80/a/../b'
     python tools/nutch.py filterchecker 'https://example.com/x'
@@ -821,6 +822,37 @@ def cmd_sitemap(args) -> int:
     return 0
 
 
+def cmd_snapshots(args) -> int:
+    """Snapshot history of a catalog table (Iceberg `history`-style):
+    one line per snapshot with stage/cycle lineage and metrics, plus —
+    with -manifest — the per-file row/byte/url-range manifest the
+    commit recorded from the parquet footers (per-partition lineage)."""
+    from nutch_spark.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(args.warehouse)
+    snaps = cat.snapshots(args.table)
+    if not snaps:
+        print(f"snapshots: no history for {args.table}", file=sys.stderr)
+        return 2
+    cur = cat.current_snapshot_id(args.table)
+    for s in snaps:
+        mark = "*" if s.snapshot_id == cur else " "
+        lin = " ".join(f"{k}={v}" for k, v in sorted(s.lineage.items()))
+        met = " ".join(
+            f"{k}={v}" for k, v in sorted(s.metrics.items()) if not isinstance(v, dict)
+        )
+        print(f"{mark} {s.snapshot_id}\tparent={s.parent_id}\t{lin}\t{met}")
+        if args.manifest:
+            for f in s.manifest:
+                rng = (
+                    f"\t[{f['url_min']} .. {f['url_max']}]"
+                    if "url_min" in f
+                    else ""
+                )
+                print(f"    {f['file']}\trows={f['rows']}\tbytes={f['bytes']}{rng}")
+    return 0
+
+
 def cmd_showproperties(args) -> int:
     """ShowProperties: dump the effective configuration."""
     import dataclasses
@@ -1014,6 +1046,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("crawldb"); s.add_argument("sitemaps")
     s.add_argument("--overwrite", action="store_true")
     s.set_defaults(fn=cmd_sitemap)
+
+    s = sub.add_parser("snapshots")
+    s.add_argument("warehouse")
+    s.add_argument("table")
+    s.add_argument("-manifest", action="store_true")
+    s.set_defaults(fn=cmd_snapshots)
 
     s = sub.add_parser("showproperties")
     s.set_defaults(fn=cmd_showproperties)
