@@ -172,7 +172,7 @@ def meta_directives(spans: Column, url: Column) -> Column:
         ),
     )
 
-    return F.struct(
+    full = F.struct(
         no_index.alias("no_index"),
         no_follow.alias("no_follow"),
         no_cache.alias("no_cache"),
@@ -182,6 +182,24 @@ def meta_directives(spans: Column, url: Column) -> Column:
         refresh_href.alias("refresh_href"),
         robots.alias("robots"),
     )
+    # meta-less fast path: most of a web corpus carries no meta spans,
+    # and the struct is evaluated wholesale per row (Catalyst keeps the
+    # non-cheap projection un-collapsed), so one short-circuiting
+    # `exists` scan spares every directive fold + regex for those rows.
+    # Every directive is vacuous over zero metas, so the constant branch
+    # is exactly what `full` evaluates to on an empty metas array.
+    empty = F.struct(
+        F.lit(False).alias("no_index"),
+        F.lit(False).alias("no_follow"),
+        F.lit(False).alias("no_cache"),
+        F.lit(None).cast("string").alias("base_href"),
+        F.lit(False).alias("refresh"),
+        F.lit(None).cast("int").alias("refresh_time"),
+        F.lit(None).cast("string").alias("refresh_href"),
+        F.lit(None).cast("string").alias("robots"),
+    )
+    has_meta = F.exists(spans, lambda s: s["kind"] == F.lit("meta"))
+    return F.when(has_meta, full).otherwise(empty)
 
 
 def _resolve(base: Column, spec: Column) -> Column:

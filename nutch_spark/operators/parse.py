@@ -82,6 +82,55 @@ def parse_text_col(spans: Column) -> Column:
     )
 
 
+def _filter_normalize_exprs(
+    from_c: Column,
+    raw_c: Column,
+    scope: str,
+    cfg: NutchConfig,
+    url_filter_rules: list[str] | None,
+    exemption_rules: list[str] | None,
+    normalize_outlinks: bool,
+) -> tuple[Column, Column]:
+    """``ParseOutputFormat.filterNormalize`` (:401-467) as ONE shared
+    column pipeline for both call sites — outlinks (SCOPE_OUTLINK) and
+    meta-refresh targets (SCOPE_FETCHER): drop links-to-self comparing
+    the RAW target against the source (:406-408, "ignore links to self
+    (or anchors within the page)"), normalize -> filter, then the
+    ``db.ignore.{internal,external}.links`` host policy with
+    urlfilter-ignoreexempt (:417-449). Returns ``(to_url, keep)``
+    column exprs so callers can either filter rows (the outlink path)
+    or evaluate in-row without a separate scan (the refresh path —
+    self-linked/absent targets enter the normalize UDF as NULLs, which
+    Arrow ships as a validity bitmap, not strings).
+
+    Documented deviation: the reference evaluates the ignore policy on
+    the raw target's lowercased host *before* normalization; we
+    evaluate it on the normalized URL — the normalizer lowercases hosts
+    without remapping them, so the comparison is host-equivalent."""
+    not_self = raw_c != from_c
+    if normalize_outlinks:
+        to_url = normalize_col(F.when(not_self, raw_c), scope)
+    else:
+        to_url = F.when(not_self, raw_c)
+    keep = not_self & to_url.isNotNull()
+    if url_filter_rules is not None:
+        keep = keep & url_filter_cond(to_url, url_filter_rules)
+    src, dst = host_col(from_c), host_col(to_url)
+    if cfg.db_ignore_internal_links:
+        keep = keep & (src != dst)
+    if cfg.db_ignore_external_links:
+        k = src == dst
+        if exemption_rules:
+            # urlfilter-ignoreexempt (ExemptionUrlFilter.java:38-44):
+            # an external target the exemption chain accepts is still
+            # followed
+            from nutch_spark.urls.filters import exemption_cond
+
+            k = k | exemption_cond(to_url, exemption_rules)
+        keep = keep & k
+    return to_url, keep
+
+
 def _filter_normalize(
     df: DataFrame,
     from_col: str,
@@ -92,41 +141,13 @@ def _filter_normalize(
     exemption_rules: list[str] | None,
     normalize_outlinks: bool,
 ) -> DataFrame:
-    """``ParseOutputFormat.filterNormalize`` (:401-467) as ONE shared
-    column pipeline for both call sites — outlinks (SCOPE_OUTLINK) and
-    meta-refresh targets (SCOPE_FETCHER): drop links-to-self comparing
-    the RAW target against the source (:406-408, "ignore links to self
-    (or anchors within the page)"), normalize -> filter, then the
-    ``db.ignore.{internal,external}.links`` host policy with
-    urlfilter-ignoreexempt (:417-449). Adds column ``to_url``.
-
-    Documented deviation: the reference evaluates the ignore policy on
-    the raw target's lowercased host *before* normalization; we
-    evaluate it on the normalized URL — the normalizer lowercases hosts
-    without remapping them, so the comparison is host-equivalent."""
-    df = df.filter(F.col(raw_col) != F.col(from_col))
-    if normalize_outlinks:
-        df = df.withColumn("to_url", normalize_col(F.col(raw_col), scope)).filter(
-            F.col("to_url").isNotNull()
-        )
-    else:
-        df = df.withColumn("to_url", F.col(raw_col))
-    if url_filter_rules is not None:
-        df = df.filter(url_filter_cond(F.col("to_url"), url_filter_rules))
-    src, dst = host_col(F.col(from_col)), host_col(F.col("to_url"))
-    if cfg.db_ignore_internal_links:
-        df = df.filter(src != dst)
-    if cfg.db_ignore_external_links:
-        keep = src == dst
-        if exemption_rules:
-            # urlfilter-ignoreexempt (ExemptionUrlFilter.java:38-44):
-            # an external target the exemption chain accepts is still
-            # followed
-            from nutch_spark.urls.filters import exemption_cond
-
-            keep = keep | exemption_cond(F.col("to_url"), exemption_rules)
-        df = df.filter(keep)
-    return df
+    """Row-filtering form of ``_filter_normalize_exprs``: adds column
+    ``to_url`` and keeps only the surviving rows."""
+    to_url, keep = _filter_normalize_exprs(
+        F.col(from_col), F.col(raw_col), scope, cfg,
+        url_filter_rules, exemption_rules, normalize_outlinks,
+    )
+    return df.withColumn("to_url", to_url).filter(keep)
 
 
 def parse(
@@ -247,6 +268,12 @@ def parse(
         F.col("url").alias("from_url"),
     )
 
+    # ---- per-doc datum rows ----
+    # sig / noncanon / refresh are separate scans ON PURPOSE: measured
+    # (2M docs, local[8]) a fused array+explode pass — even UDF-free —
+    # runs ~7% SLOWER than the extra column-pruned page-cached scans
+    # because Generate+HOF-filter breaks whole-stage codegen on the
+    # all-docs path. Scans are the cheap resource here; codegen isn't.
     sig_rows = c.select(
         "url",
         F.lit(STATUS_SIGNATURE).cast("int").alias("status"),
@@ -288,10 +315,12 @@ def parse(
     # is dropped by the links-to-self check — then is emitted as a
     # fresh STATUS_LINKED datum (score 0, interval 0) whose repr_url is
     # chooseRepr(from, to, temp=refresh_time < PERM_REFRESH_TIME) and is
-    # only recorded when it differs from the target. The reference
-    # appends this datum straight to crawlOut BEFORE the scoring-filter
-    # outlink loop, so depth/urlmeta scoring filters never see it —
-    # callers that gate outlinks (crawl_loop) must use the separate
+    # only recorded when it differs from the target. The filter on the
+    # meta-guarded `_md.refresh` keeps the normalize/chooseRepr Python
+    # nodes on the (rare) refresh rows only. The reference appends this
+    # datum straight to crawlOut BEFORE the scoring-filter outlink
+    # loop, so depth/urlmeta scoring filters never see it — callers
+    # that gate outlinks (crawl_loop) must use the separate
     # 'refresh_links' product and bypass it around their gates.
     refresh = c.filter(F.col("_md.refresh")).select(
         F.col("url").alias("from_url"),
