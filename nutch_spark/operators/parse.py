@@ -82,55 +82,6 @@ def parse_text_col(spans: Column) -> Column:
     )
 
 
-def _filter_normalize_exprs(
-    from_c: Column,
-    raw_c: Column,
-    scope: str,
-    cfg: NutchConfig,
-    url_filter_rules: list[str] | None,
-    exemption_rules: list[str] | None,
-    normalize_outlinks: bool,
-) -> tuple[Column, Column]:
-    """``ParseOutputFormat.filterNormalize`` (:401-467) as ONE shared
-    column pipeline for both call sites — outlinks (SCOPE_OUTLINK) and
-    meta-refresh targets (SCOPE_FETCHER): drop links-to-self comparing
-    the RAW target against the source (:406-408, "ignore links to self
-    (or anchors within the page)"), normalize -> filter, then the
-    ``db.ignore.{internal,external}.links`` host policy with
-    urlfilter-ignoreexempt (:417-449). Returns ``(to_url, keep)``
-    column exprs so callers can either filter rows (the outlink path)
-    or evaluate in-row without a separate scan (the refresh path —
-    self-linked/absent targets enter the normalize UDF as NULLs, which
-    Arrow ships as a validity bitmap, not strings).
-
-    Documented deviation: the reference evaluates the ignore policy on
-    the raw target's lowercased host *before* normalization; we
-    evaluate it on the normalized URL — the normalizer lowercases hosts
-    without remapping them, so the comparison is host-equivalent."""
-    not_self = raw_c != from_c
-    if normalize_outlinks:
-        to_url = normalize_col(F.when(not_self, raw_c), scope)
-    else:
-        to_url = F.when(not_self, raw_c)
-    keep = not_self & to_url.isNotNull()
-    if url_filter_rules is not None:
-        keep = keep & url_filter_cond(to_url, url_filter_rules)
-    src, dst = host_col(from_c), host_col(to_url)
-    if cfg.db_ignore_internal_links:
-        keep = keep & (src != dst)
-    if cfg.db_ignore_external_links:
-        k = src == dst
-        if exemption_rules:
-            # urlfilter-ignoreexempt (ExemptionUrlFilter.java:38-44):
-            # an external target the exemption chain accepts is still
-            # followed
-            from nutch_spark.urls.filters import exemption_cond
-
-            k = k | exemption_cond(to_url, exemption_rules)
-        keep = keep & k
-    return to_url, keep
-
-
 def _filter_normalize(
     df: DataFrame,
     from_col: str,
@@ -141,13 +92,46 @@ def _filter_normalize(
     exemption_rules: list[str] | None,
     normalize_outlinks: bool,
 ) -> DataFrame:
-    """Row-filtering form of ``_filter_normalize_exprs``: adds column
-    ``to_url`` and keeps only the surviving rows."""
-    to_url, keep = _filter_normalize_exprs(
-        F.col(from_col), F.col(raw_col), scope, cfg,
-        url_filter_rules, exemption_rules, normalize_outlinks,
-    )
-    return df.withColumn("to_url", to_url).filter(keep)
+    """``ParseOutputFormat.filterNormalize`` (:401-467) as ONE shared
+    column pipeline for both call sites — outlinks (SCOPE_OUTLINK) and
+    meta-refresh targets (SCOPE_FETCHER): drop links-to-self comparing
+    the RAW target against the source (:406-408, "ignore links to self
+    (or anchors within the page)"), normalize -> filter, then the
+    ``db.ignore.{internal,external}.links`` host policy with
+    urlfilter-ignoreexempt (:417-449). Adds column ``to_url``.
+
+    The downstream conditions reference the materialized ``to_url``
+    COLUMN, not the normalize expression — re-embedding the expression
+    would clone its Python UDF into every condition (plan audits count
+    the ArrowEvalPython nodes; keep it at one per call site).
+
+    Documented deviation: the reference evaluates the ignore policy on
+    the raw target's lowercased host *before* normalization; we
+    evaluate it on the normalized URL — the normalizer lowercases hosts
+    without remapping them, so the comparison is host-equivalent."""
+    df = df.filter(F.col(raw_col) != F.col(from_col))
+    if normalize_outlinks:
+        df = df.withColumn("to_url", normalize_col(F.col(raw_col), scope)).filter(
+            F.col("to_url").isNotNull()
+        )
+    else:
+        df = df.withColumn("to_url", F.col(raw_col))
+    if url_filter_rules is not None:
+        df = df.filter(url_filter_cond(F.col("to_url"), url_filter_rules))
+    src, dst = host_col(F.col(from_col)), host_col(F.col("to_url"))
+    if cfg.db_ignore_internal_links:
+        df = df.filter(src != dst)
+    if cfg.db_ignore_external_links:
+        keep = src == dst
+        if exemption_rules:
+            # urlfilter-ignoreexempt (ExemptionUrlFilter.java:38-44):
+            # an external target the exemption chain accepts is still
+            # followed
+            from nutch_spark.urls.filters import exemption_cond
+
+            keep = keep | exemption_cond(F.col("to_url"), exemption_rules)
+        df = df.filter(keep)
+    return df
 
 
 def parse(
