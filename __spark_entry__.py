@@ -374,6 +374,29 @@ def q_readdb_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jexl_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 real-JEXL: readdb -dump -expr with the reference's JEXL
+    syntax over the CrawlDatum context (CrawlDbReader -expr through
+    JexlUtil.parseExpression + CrawlDatum.execute:569-612) — status by
+    NAME, ISO-date literal rewritten to epoch millis
+    (JexlUtil.java:56-67), anchored =~ regex match — compiled to JVM
+    Columns by nutch_spark/jexl.py (no Python in the filter path)."""
+    from nutch_spark.operators.stats import dump
+
+    db = _crawldb(_docs(spark, sf_dir))
+    out = dump(
+        db,
+        jexl=(
+            "status == 'db_fetched' && score gt 3.5 && "
+            "fetchTime lt 2023-12-01T00:00:00Z && url =~ '.*[02468]'"
+        ),
+    )
+    return out.select(
+        "url", "status", "fetch_time",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def q_mark_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/G4 generate-mark writeback: fetchlist rows stamp ``_ngt_``
     (gen_time) back into the CrawlDb (Generator.java:640-689)."""
@@ -446,6 +469,23 @@ def q_hostdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "host", "n_urls", "n_db_unfetched", "n_db_fetched", "n_db_gone",
         "n_db_notmodified", "n_tried", "last_fetch_time",
+    )
+
+
+def q_readhostdb_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/T14 ReadHostDb -expr (hostdb/ReadHostDb.java:96-131): the
+    hostdb dump gated by a JEXL script over the per-host counters —
+    exercises the derived ``ok``/``redirs`` context variables and
+    keyword operators, compiled to JVM Columns."""
+    from nutch_spark.operators.stats import hostdb_update, read_hostdb
+
+    hdb = hostdb_update(_crawldb(_docs(spark, sf_dir)), CFG)
+    out = read_hostdb(
+        hdb, jexl="ok gt 0 && fetched > notModified && redirs == 0"
+    )
+    return out.select(
+        "host", "n_urls", "n_db_unfetched", "n_db_fetched",
+        "n_db_gone", "n_db_notmodified",
     )
 
 
@@ -1723,7 +1763,10 @@ def q_index_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array(F.concat(F.lit("a"), (d % 3).cast("string"))))
     rows = base.withColumns({"title": title, "anchors": anchors})
-    gated = jexl_index_filter(rows, "status IN (2, 6) AND score > 0.5")
+    gated = jexl_index_filter(
+        rows,
+        "(status == 'db_fetched' || status == 'db_notmodified') && score > 0.5",
+    )
     return csv_render(gated, ["url", "title", "anchors"]).select("url", "csv")
 
 
@@ -2396,10 +2439,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "linkdb_invert": q_linkdb,
         "linkdb_merge": q_linkdb_merge,
         "readdb_dump": q_readdb_dump,
+        "jexl_dump": q_jexl_dump,
         "mark_generated": q_mark_generated,
         "crawldb_stats": q_stats,
         "readdb_topn": q_topn,
         "hostdb_stats": q_hostdb,
+        "readhostdb_expr": q_readhostdb_expr,
         "crawldb_404_purge": q_crawldb_404_purge,
         "urlfilter_domain": q_urlfilter_domain,
         "sitemap_merge": q_sitemap,
@@ -4343,6 +4388,16 @@ SELECT url, status, fetch_time, CAST(score AS DOUBLE) AS score
 FROM crawldb
 WHERE status = 1 AND regexp_matches(url, '/doc/\\d*[02468]$') AND score >= 2.0
 """,
+        # ---- T14 readdb dump with a real JEXL -expr -------------------------
+        # status 'db_fetched' = 2; 2023-12-01T00:00:00Z = 1701388800000 ms
+        # (the JexlUtil date rewrite); =~ is Java String.matches (anchored)
+        "jexl_dump": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url, status, fetch_time, CAST(score AS DOUBLE) AS score
+FROM crawldb
+WHERE status = 2 AND score > 3.5 AND fetch_time < 1701388800000
+  AND regexp_matches(url, '^(?:.*[02468])$')
+""",
         # ---- J3 generate-mark writeback ------------------------------------
         "mark_generated": f"""
 WITH {_CRAWLDB_CTE}
@@ -4425,6 +4480,24 @@ SELECT 'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
   COUNT(*) FILTER (WHERE status <> 1) AS n_tried,
   MAX(fetch_time) AS last_fetch_time
 FROM crawldb GROUP BY 1
+""",
+        # ---- A4/T14 readhostdb -expr ---------------------------------------
+        # JEXL 'ok gt 0 && fetched > notModified && redirs == 0' over the
+        # hostdb counters; the fixture has no redirect statuses so redirs=0
+        "readhostdb_expr": f"""
+WITH {_CRAWLDB_CTE},
+h AS (
+  SELECT 'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+    COUNT(*) AS n_urls,
+    COUNT(*) FILTER (WHERE status = 1) AS n_db_unfetched,
+    COUNT(*) FILTER (WHERE status = 2) AS n_db_fetched,
+    COUNT(*) FILTER (WHERE status = 3) AS n_db_gone,
+    COUNT(*) FILTER (WHERE status = 6) AS n_db_notmodified
+  FROM crawldb GROUP BY 1
+)
+SELECT host, n_urls, n_db_unfetched, n_db_fetched, n_db_gone, n_db_notmodified
+FROM h
+WHERE (n_db_fetched + n_db_notmodified) > 0 AND n_db_fetched > n_db_notmodified
 """,
         # ---- S9 indexing job ----------------------------------------------
         # indexable = db_fetched/db_notmodified; fields per

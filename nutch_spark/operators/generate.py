@@ -65,8 +65,16 @@ def select_eligible(
     *,
     url_filter_rules: list[str] | None = None,
     expr: str | None = None,
+    jexl: str | None = None,
 ) -> DataFrame:
-    """G1: eligibility filters + sort value; returns datums + ``sort`` col."""
+    """G1: eligibility filters + sort value; returns datums + ``sort`` col.
+
+    ``expr`` takes a Spark-SQL boolean (the repo's long-standing T14
+    substitution); ``jexl`` takes the reference's own ``generate.expr``
+    JEXL syntax (Generator.java evaluates it via
+    ``datum.execute(expr, url)``, CrawlDatum.java:569-612) compiled to
+    a JVM Column over the same variable names — see
+    :mod:`nutch_spark.jexl`."""
     df = crawldb
     if url_filter_rules is not None:
         df = df.filter(url_filter_cond(F.col("url"), url_filter_rules))
@@ -96,6 +104,10 @@ def select_eligible(
         )
     if expr:
         df = df.filter(F.expr(expr))
+    if jexl:
+        from nutch_spark.jexl import crawldatum_resolver, jexl_filter_column
+
+        df = df.filter(jexl_filter_column(jexl, crawldatum_resolver()))
     # NOTE: per the fork rule above, restrict-status is only reachable
     # for db_unfetched — the reference's own mapper returns early for
     # every other status before this check (Generator.java:234-237 vs
@@ -328,6 +340,7 @@ def generate(
     num_lists: int | None = None,
     url_filter_rules: list[str] | None = None,
     expr: str | None = None,
+    jexl: str | None = None,
     hostdb: DataFrame | None = None,
     dns: DataFrame | None = None,
 ) -> DataFrame:
@@ -346,7 +359,10 @@ def generate(
     gen_time = cur_time if gen_time is None else gen_time
     num_lists = num_lists or cfg.fetch_partitions
 
-    df = select_eligible(crawldb, cfg, cur_time, url_filter_rules=url_filter_rules, expr=expr)
+    df = select_eligible(
+        crawldb, cfg, cur_time,
+        url_filter_rules=url_filter_rules, expr=expr, jexl=jexl,
+    )
     df = df.withColumn("host_key", _host_key(cfg)).filter(F.col("host_key").isNotNull())
 
     # hostdb-driven per-host budgets (Generator.java:431-475): a hostdb

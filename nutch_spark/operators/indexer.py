@@ -147,15 +147,23 @@ def route_documents(docs: DataFrame, routes: list[tuple[str, str]]) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def jexl_index_filter(docs: DataFrame, expr: str) -> DataFrame:
-    """Document gate by expression over the indexing context. Per this
-    repo's documented T14 policy the JEXL language is substituted by a
-    Spark SQL boolean expression over the same context names the
-    reference exposes (status, fetchTime/score/... as columns of the
-    joined document row); rows where the expression is not TRUE are
-    dropped, mirroring the reference's null-on-false/exception."""
+def jexl_index_filter(docs: DataFrame, expr: str, dialect: str = "jexl") -> DataFrame:
+    """Document gate by expression over the indexing context
+    (JexlIndexingFilter.java:56-102: ``doc.<field>``, status name,
+    fetchTime/score/..., the three metadata maps). ``dialect="jexl"``
+    (the reference's ``index.jexl.filter`` syntax) compiles through
+    :mod:`nutch_spark.jexl` to a JVM Column; ``dialect="sql"`` keeps
+    the repo's earlier T14 substitution (a Spark SQL boolean over the
+    same names). Either way rows where the expression is not TRUE are
+    dropped, mirroring the reference's ``Boolean.TRUE.equals`` gate —
+    and, like ``setConf`` (:107-122), a missing or unparsable
+    expression is a hard error, not a pass-through."""
     if expr is None:
         raise ValueError("index.jexl.filter must have a value")
+    if dialect == "jexl":
+        from nutch_spark.jexl import indexing_doc_resolver, jexl_filter_column
+
+        return docs.filter(jexl_filter_column(expr, indexing_doc_resolver(docs)))
     return docs.filter(F.expr(expr) == F.lit(True))
 
 

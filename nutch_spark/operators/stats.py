@@ -19,6 +19,8 @@ from nutch_spark.schema import (
     STATUS_DB_FETCHED,
     STATUS_DB_GONE,
     STATUS_DB_NOTMODIFIED,
+    STATUS_DB_REDIR_PERM,
+    STATUS_DB_REDIR_TEMP,
     STATUS_DB_UNFETCHED,
     STATUS_NAMES,
 )
@@ -65,10 +67,14 @@ def top_n(crawldb: DataFrame, n: int, min_score: float | None = None) -> DataFra
 
 def dump(crawldb: DataFrame, *, status: int | None = None, regex: str | None = None,
          min_score: float | None = None, max_score: float | None = None,
-         min_retry: int | None = None, expr: str | None = None) -> DataFrame:
+         min_retry: int | None = None, expr: str | None = None,
+         jexl: str | None = None) -> DataFrame:
     """readdb -dump with the reference's filters
     (CrawlDbReader.processDumpJob, :834-899: status/regex/retry/
-    score-min/score-max/expr)."""
+    score-min/score-max/expr). ``expr`` is a Spark-SQL boolean (T14
+    substitution); ``jexl`` is the reference's own ``-expr`` JEXL
+    syntax compiled to a JVM Column (:mod:`nutch_spark.jexl`,
+    CrawlDatum.execute context)."""
     df = crawldb
     if status is not None:
         df = df.filter(F.col("status") == status)
@@ -82,6 +88,10 @@ def dump(crawldb: DataFrame, *, status: int | None = None, regex: str | None = N
         df = df.filter(F.col("retries") >= min_retry)
     if expr is not None:
         df = df.filter(F.expr(expr))
+    if jexl is not None:
+        from nutch_spark.jexl import crawldatum_resolver, jexl_filter_column
+
+        df = df.filter(jexl_filter_column(jexl, crawldatum_resolver()))
     return df
 
 
@@ -111,11 +121,26 @@ def hostdb_update(crawldb: DataFrame, cfg: NutchConfig) -> DataFrame:
         cnt(STATUS_DB_FETCHED),
         cnt(STATUS_DB_GONE),
         cnt(STATUS_DB_NOTMODIFIED),
+        cnt(STATUS_DB_REDIR_TEMP),
+        cnt(STATUS_DB_REDIR_PERM),
         F.sum(F.when(F.col("status") != STATUS_DB_UNFETCHED, 1).otherwise(0)).alias("n_tried"),
         F.max("fetch_time").alias("last_fetch_time"),
         F.avg("score").alias("avg_score"),
         F.expr("percentile_approx(score, array(0.5, 0.75, 0.95), 1000)").alias("score_pcts"),
     )
+
+
+def read_hostdb(hostdb: DataFrame, jexl: str | None = None) -> DataFrame:
+    """ReadHostDb dump (hostdb/ReadHostDb.java:89-140): the host table,
+    optionally gated by a ``hostdb.filter.expression`` JEXL script over
+    the per-host counters (unfetched/fetched/gone/redirs/ok/
+    numRecords/...) — compiled to a JVM Column, see
+    :func:`nutch_spark.jexl.hostdb_resolver`."""
+    if jexl is None:
+        return hostdb
+    from nutch_spark.jexl import hostdb_resolver, jexl_filter_column
+
+    return hostdb.filter(jexl_filter_column(jexl, hostdb_resolver(hostdb)))
 
 
 def domain_stats(crawldb: DataFrame, mode: str = "domain") -> DataFrame:

@@ -63,7 +63,12 @@ def test_jexl_gate(spark):
     df = spark.createDataFrame(
         [(1, 2.0), (2, 0.1), (3, None)], "status int, score double"
     )
-    kept = jexl_index_filter(df, "status < 3 AND score > 0.5").collect()
+    kept = jexl_index_filter(
+        df, "score > 0.5 && (status == 'db_unfetched' || status == 'db_gone')"
+    ).collect()
     assert [r["status"] for r in kept] == [1]  # null expr drops the row
     with pytest.raises(ValueError):
         jexl_index_filter(df, None)
+    # the earlier T14 SQL substitution stays available behind dialect="sql"
+    kept = jexl_index_filter(df, "status < 3 AND score > 0.5", dialect="sql")
+    assert [r["status"] for r in kept.collect()] == [1]

@@ -1,0 +1,283 @@
+"""JEXL expression parity (T14 — the real-language upgrade).
+
+Ports the reference's JEXL surface:
+- ``util/JexlUtil.java:50-77`` (ISO-date rewrite, parse-failure -> error),
+- ``index-jexl-filter/.../TestJexlIndexingFilter.java`` (allow / block /
+  missing-config / invalid-expression),
+- ``crawl/CrawlDatum.java:569-612`` (the CrawlDatum MapContext: status
+  NAME, fetchTime, interval, score, signature, metadata keys with
+  ``-`` -> ``_``),
+plus unit coverage of the parser/compiler subset documented in
+``nutch_spark/jexl.py``.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.jexl import (
+    JexlError,
+    crawldatum_resolver,
+    indexing_doc_resolver,
+    jexl_column,
+    jexl_filter_column,
+    make_resolver,
+    parse_jexl,
+    rewrite_dates,
+)
+from nutch_spark.operators.indexer import jexl_index_filter
+
+
+# --- JexlUtil date rewrite (JexlUtil.java:56-67) ---------------------------
+
+
+def test_date_rewrite_to_epoch_millis():
+    # 2016-03-20T00:00:00Z == 1458432000000 (the JexlUtil example date)
+    assert rewrite_dates("fetchTime < 2016-03-20T00:00:00Z") == (
+        "fetchTime < 1458432000000"
+    )
+
+
+def test_date_rewrite_replaces_all_occurrences_of_first_date():
+    # Java String.replace replaces every occurrence of the first-found
+    # date; a second DISTINCT date is left behind (single matcher.find()).
+    two_same = "a > 2016-03-20T00:00:00Z && b < 2016-03-20T00:00:00Z"
+    assert "2016" not in rewrite_dates(two_same)
+    two_diff = "a > 2016-03-20T00:00:00Z && b < 2017-01-01T00:00:00Z"
+    assert "2017-01-01T00:00:00Z" in rewrite_dates(two_diff)
+    with pytest.raises(JexlError):
+        parse_jexl(two_diff)  # leftover date is a parse error, as upstream
+
+
+# --- parser unit tests ------------------------------------------------------
+
+
+def test_parse_precedence_and_keywords():
+    # 'a or b and c' groups as a or (b and c); keyword ops alias symbols
+    assert parse_jexl("a or b and c") == parse_jexl("a || (b && c)")
+    assert parse_jexl("x lt 3") == parse_jexl("x < 3")
+    assert parse_jexl("x ge 3") == parse_jexl("x >= 3")
+    assert parse_jexl("x ne null") == parse_jexl("x != null")
+    assert parse_jexl("1 + 2 * 3") == (
+        "bin", "+", ("num", 1), ("bin", "*", ("num", 2), ("num", 3))
+    )
+
+
+def test_parse_errors():
+    for bad in ("doc.lang=<>:='en'",  # TestJexlIndexingFilter's invalid expr
+                "a ==", "(a", "a b", ""):
+        with pytest.raises(JexlError):
+            parse_jexl(bad)
+    with pytest.raises(JexlError):
+        parse_jexl(None)
+
+
+def test_parse_dotted_and_indexed():
+    assert parse_jexl("doc.lang") == ("var", ("doc", "lang"))
+    assert parse_jexl("parseMeta['k']") == (
+        "index", ("var", ("parseMeta",)), ("str", "k")
+    )
+
+
+# --- compile-to-Column semantics over the CrawlDatum context ----------------
+
+
+@pytest.fixture()
+def datums(spark):
+    rows = [
+        # url, status, fetch_time, retries, interval, score, sig, mod, meta
+        ("http://a.example.com/1", 1, 1_458_000_000_000, 0, 2592000, 1.5,
+         None, 0, {"my-tag": "news"}),
+        ("http://b.example.com/2", 2, 1_459_000_000_000, 2, 2592000, 0.25,
+         "ab" * 16, 0, {}),
+        ("http://c.example.com/3", 3, 1_460_000_000_000, 1, 1296000, 4.0,
+         None, 0, {"my_tag": "blog"}),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "url string, status int, fetch_time long, retries int, "
+        "fetch_interval int, score float, signature string, "
+        "modified_time long, metadata map<string,string>",
+    )
+
+
+def _urls(df, expr):
+    col = jexl_filter_column(expr, crawldatum_resolver())
+    return sorted(r["url"] for r in df.filter(col).collect())
+
+
+def test_status_is_the_status_name(datums):
+    # CrawlDatum.java:576 exposes getStatusName(), not the byte
+    assert _urls(datums, "status == 'db_fetched'") == [
+        "http://b.example.com/2"
+    ]
+    assert _urls(datums, "status == 'db_unfetched' || status == 'db_gone'") == [
+        "http://a.example.com/1", "http://c.example.com/3"
+    ]
+
+
+def test_date_literal_and_numeric_compare(datums):
+    assert _urls(datums, "fetchTime < 2016-03-20T00:00:00Z") == [
+        "http://a.example.com/1"
+    ]
+    assert _urls(datums, "score > 1.0 && retries lt 2") == [
+        "http://a.example.com/1", "http://c.example.com/3"
+    ]
+    assert _urls(datums, "interval / 2 == 648000") == [
+        "http://c.example.com/3"
+    ]
+
+
+def test_null_safe_equality(datums):
+    # JEXL: 'x == null' is a null test; plain Spark '=' would 3VL it away
+    assert _urls(datums, "signature == null") == [
+        "http://a.example.com/1", "http://c.example.com/3"
+    ]
+    assert _urls(datums, "signature != null") == ["http://b.example.com/2"]
+
+
+def test_regex_match_is_anchored(datums):
+    # Java String.matches is whole-string: 'example' alone matches nothing
+    assert _urls(datums, "url =~ 'example'") == []
+    assert _urls(datums, "url =~ 'http://[ab].example.com/.*'") == [
+        "http://a.example.com/1", "http://b.example.com/2"
+    ]
+    assert _urls(datums, "url !~ 'http://[ab].example.com/.*'") == [
+        "http://c.example.com/3"
+    ]
+    with pytest.raises(JexlError):
+        jexl_column("url =~ other", crawldatum_resolver())
+
+
+def test_ternary_and_elvis(datums):
+    got = datums.select(
+        "url",
+        jexl_column(
+            "status == 'db_fetched' ? score * 2 : score",
+            crawldatum_resolver(),
+        ).alias("v"),
+    )
+    vals = {r["url"]: r["v"] for r in got.collect()}
+    assert vals["http://b.example.com/2"] == 0.5
+    assert vals["http://a.example.com/1"] == 1.5
+    assert _urls(datums, "(signature ?: 'missing') == 'missing'") == [
+        "http://a.example.com/1", "http://c.example.com/3"
+    ]
+
+
+def test_metadata_variables_with_dash_rewrite(datums):
+    # CrawlDatum.java:601 registers Text metadata under key.replace('-','_'):
+    # the variable my_tag must see both the 'my-tag' and 'my_tag' map keys
+    assert _urls(datums, "my_tag == 'news'") == ["http://a.example.com/1"]
+    assert _urls(datums, "my_tag == 'blog'") == ["http://c.example.com/3"]
+    assert _urls(datums, "my_tag != null") == [
+        "http://a.example.com/1", "http://c.example.com/3"
+    ]
+
+
+def test_unknown_variable_raises():
+    with pytest.raises(JexlError):
+        jexl_column("doc.lang == 'en'", make_resolver({"url": F.col("url")}))
+
+
+# --- TestJexlIndexingFilter port -------------------------------------------
+
+
+@pytest.fixture()
+def indexed_doc(spark):
+    # the ported fixture: one doc with lang field + datum columns
+    return spark.createDataFrame(
+        [("http://nutch.apache.org/index.html", 2, 100, 0.5, "en",
+          "The Foo Page", "this is a sample foo bar page. hope you enjoy it.")],
+        "url string, status int, fetch_time long, score double, "
+        "lang string, title string, text string",
+    )
+
+
+def test_allow_matching_document(indexed_doc):
+    out = jexl_index_filter(indexed_doc, "doc.lang=='en'")
+    assert out.count() == 1
+    assert out.columns == indexed_doc.columns  # doc returned unmodified
+
+
+def test_block_not_matching_documents(indexed_doc):
+    ru = indexed_doc.withColumn("lang", F.lit("ru"))
+    assert jexl_index_filter(ru, "doc.lang=='en'").count() == 0
+
+
+def test_missing_configuration(indexed_doc):
+    with pytest.raises(ValueError):
+        jexl_index_filter(indexed_doc, None)
+
+
+def test_invalid_expression(indexed_doc):
+    with pytest.raises(JexlError):
+        jexl_index_filter(indexed_doc, "doc.lang=<>:='en'").count()
+
+
+def test_indexing_context_datum_names(indexed_doc):
+    # status resolves to the NAME; title/text resolve flat (filter:68-69)
+    out = jexl_index_filter(
+        indexed_doc,
+        "status == 'db_fetched' && fetchTime < 2016-03-20T00:00:00Z "
+        "&& title =~ 'The .*' && doc.missing == null",
+    )
+    assert out.count() == 1
+    assert jexl_index_filter(indexed_doc, "doc.missing == 'x'").count() == 0
+
+
+# --- ReadHostDb context (ReadHostDb.java:96-131) ----------------------------
+
+
+def test_hostdb_resolver(spark):
+    from nutch_spark.operators.stats import read_hostdb
+
+    hdb = spark.createDataFrame(
+        [
+            # host, urls, unfetched, fetched, gone, notmod, rtemp, rperm
+            ("a.com", 10, 5, 4, 0, 1, 0, 0),
+            ("b.com", 8, 8, 0, 0, 0, 0, 0),
+            ("c.com", 6, 1, 2, 1, 0, 1, 1),
+        ],
+        "host string, n_urls long, n_db_unfetched long, n_db_fetched long, "
+        "n_db_gone long, n_db_notmodified long, n_db_redir_temp long, "
+        "n_db_redir_perm long",
+    )
+    def hosts(expr):
+        return sorted(r["host"] for r in read_hostdb(hdb, jexl=expr).collect())
+
+    # derived variables: ok = fetched + notModified, redirs = temp + perm
+    assert hosts("ok > 0") == ["a.com", "c.com"]
+    assert hosts("redirs == 2") == ["c.com"]
+    assert hosts("unfetched == numRecords") == ["b.com"]
+    # resolver-thread counters default to 0 when no fixture supplies them
+    assert hosts("dnsFailures == 0 && connectionFailures == 0") == [
+        "a.com", "b.com", "c.com"
+    ]
+    assert read_hostdb(hdb).count() == 3  # no expr -> pass-through
+
+
+# --- operator wiring ---------------------------------------------------------
+
+
+def test_readdb_dump_jexl(datums):
+    from nutch_spark.operators.stats import dump
+
+    out = dump(datums, jexl="status == 'db_fetched' || score gt 3.0")
+    assert sorted(r["url"] for r in out.collect()) == [
+        "http://b.example.com/2", "http://c.example.com/3"
+    ]
+
+
+def test_generate_jexl_expr(spark, datums):
+    from nutch_spark.config import NutchConfig
+    from nutch_spark.operators.generate import select_eligible
+
+    df = datums.withColumn("gen_time", F.lit(None).cast("long"))
+    cfg = NutchConfig()
+    now = 1_470_000_000_000
+    base = select_eligible(df, cfg, now)
+    assert base.count() == 1  # only the db_unfetched row is eligible
+    gated = select_eligible(df, cfg, now, jexl="score > 2.0")
+    assert gated.count() == 0  # the unfetched row has score 1.5
+    kept = select_eligible(df, cfg, now, jexl="my_tag == 'news'")
+    assert [r["url"] for r in kept.collect()] == ["http://a.example.com/1"]

@@ -139,7 +139,7 @@ def cmd_generate(args) -> int:
     cfg = NutchConfig()
     fl = generate(
         _read(spark, args.crawldb), cfg, _now(args),
-        top_n=args.top_n, num_lists=args.num_lists,
+        top_n=args.top_n, num_lists=args.num_lists, jexl=args.expr,
     )
     _write(fl, args.out)
     print(f"generate: {_read(spark, args.out).count()} urls in fetchlist")
@@ -175,7 +175,7 @@ def cmd_readdb(args) -> int:
         for r in df.collect():
             print(r["url"], r["score"])
     elif args.dump:
-        df = stats.dump(db, status=args.status, regex=args.regex)
+        df = stats.dump(db, status=args.status, regex=args.regex, jexl=args.expr)
         _write(df, args.dump)
         # count the WRITTEN parquet (metadata-only) — counting df would
         # re-run the whole filtered scan a second time
@@ -786,7 +786,9 @@ def cmd_readhostdb(args) -> int:
     spark = _spark()
     db = _read(spark, args.hostdb)
     if args.dump:
-        _write(db, args.dump)
+        from nutch_spark.operators.stats import read_hostdb
+
+        _write(read_hostdb(db, jexl=args.expr), args.dump)
         print(f"readhostdb: dumped {_read(spark, args.dump).count()} hosts")
     elif args.get:
         rows = db.filter(F.col(db.columns[0]) == args.get).collect()
@@ -892,6 +894,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("crawldb"); s.add_argument("out")
     s.add_argument("--top-n", type=int, default=50_000)
     s.add_argument("--num-lists", type=int, default=1)
+    s.add_argument("-expr", "--expr", default=None, dest="expr",
+                   help="JEXL eligibility filter (generate.expr)")
     s.set_defaults(fn=cmd_generate)
 
     s = sub.add_parser("updatedb")
@@ -907,6 +911,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", default=None)
     s.add_argument("--status", type=int, default=None)
     s.add_argument("--regex", default=None)
+    s.add_argument("-expr", "--expr", default=None, dest="expr",
+                   help="JEXL filter over the CrawlDatum context")
     s.set_defaults(fn=cmd_readdb)
 
     s = sub.add_parser("mergedb")
@@ -1040,6 +1046,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("hostdb")
     s.add_argument("-dump", default=None, dest="dump")
     s.add_argument("-get", default=None, dest="get")
+    s.add_argument("-expr", "--expr", default=None, dest="expr",
+                   help="JEXL filter (hostdb.filter.expression)")
     s.set_defaults(fn=cmd_readhostdb)
 
     s = sub.add_parser("sitemap")
