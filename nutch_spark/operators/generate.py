@@ -329,6 +329,37 @@ def politeness_partition(
     return df.repartition(num_lists, F.col("part_id")).sortWithinPartitions("url_hash")
 
 
+def hostdb_jexl_overrides(
+    hostdb: DataFrame,
+    max_count_expr: str | None = None,
+    fetch_delay_expr: str | None = None,
+) -> DataFrame:
+    """Generator's variable per-host budgets (Generator.java:431-475):
+    ``generate.max.count.expr`` / ``generate.fetch.delay.expr`` are JEXL
+    scripts evaluated over the HostDatum counters
+    (``createContext``, :350-389 — unfetched/fetched/gone/redirTemp/
+    redirPerm/notModified/dnsFailures/connectionFailures + numeric
+    metadata) whose results become the host's maxCount and fetch delay.
+    Compiles them to JVM Columns producing the ``max_count`` /
+    ``fetch_delay_ms`` columns :func:`generate` consumes; results are
+    rounded like the reference's ``Math.round((double) ...)``."""
+    from nutch_spark.jexl import hostdb_resolver, jexl_column
+
+    out = hostdb
+    res = hostdb_resolver(hostdb)
+    if max_count_expr:
+        out = out.withColumn(
+            "max_count",
+            F.round(jexl_column(max_count_expr, res).cast("double")).cast("int"),
+        )
+    if fetch_delay_expr:
+        out = out.withColumn(
+            "fetch_delay_ms",
+            F.round(jexl_column(fetch_delay_expr, res).cast("double")).cast("long"),
+        )
+    return out
+
+
 def generate(
     crawldb: DataFrame,
     cfg: NutchConfig,
@@ -342,6 +373,8 @@ def generate(
     expr: str | None = None,
     jexl: str | None = None,
     hostdb: DataFrame | None = None,
+    max_count_expr: str | None = None,
+    fetch_delay_expr: str | None = None,
     dns: DataFrame | None = None,
 ) -> DataFrame:
     """Full generate: returns the fetchlist with columns = crawldb schema
@@ -370,8 +403,12 @@ def generate(
     # a per-host fetch delay stamped into datum metadata as
     # ``_variableFetchDelay_`` (picked up by the fetch politeness clock,
     # FetchItemQueue.java:94-111). The reference evaluates JEXL over the
-    # HostDatum; callers here pre-compute the (host, max_count,
-    # fetch_delay_ms) columns with Spark SQL expressions (T14).
+    # HostDatum; pass generate.max.count.expr / generate.fetch.delay.expr
+    # via max_count_expr/fetch_delay_expr (compiled to JVM Columns by
+    # hostdb_jexl_overrides) or pre-compute the (host, max_count,
+    # fetch_delay_ms) columns directly.
+    if hostdb is not None and (max_count_expr or fetch_delay_expr):
+        hostdb = hostdb_jexl_overrides(hostdb, max_count_expr, fetch_delay_expr)
     if hostdb is not None:
         h = hostdb.select(
             F.lower(F.col("host")).alias("host_key"),

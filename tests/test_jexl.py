@@ -256,6 +256,30 @@ def test_hostdb_resolver(spark):
     assert read_hostdb(hdb).count() == 3  # no expr -> pass-through
 
 
+def test_hostdb_jexl_overrides(spark):
+    # Generator.java:431-475: generate.max.count.expr /
+    # generate.fetch.delay.expr evaluated over the HostDatum counters,
+    # Math.round'ed into the per-host budget columns
+    from nutch_spark.operators.generate import hostdb_jexl_overrides
+
+    hdb = spark.createDataFrame(
+        [("a.com", 9, 4, 0), ("b.com", 1, 0, 2)],
+        "host string, n_db_unfetched long, n_db_fetched long, n_db_gone long",
+    )
+    out = hostdb_jexl_overrides(
+        hdb,
+        max_count_expr="unfetched > 4 ? 2 : 5",
+        fetch_delay_expr="(fetched + gone) * 250 + 0.4",
+    )
+    rows = {r["host"]: r for r in out.collect()}
+    assert rows["a.com"]["max_count"] == 2
+    assert rows["b.com"]["max_count"] == 5
+    assert rows["a.com"]["fetch_delay_ms"] == 1000  # round(1000.4)
+    assert rows["b.com"]["fetch_delay_ms"] == 500
+    assert dict(out.dtypes)["max_count"] == "int"
+    assert dict(out.dtypes)["fetch_delay_ms"] == "bigint"
+
+
 # --- operator wiring ---------------------------------------------------------
 
 
