@@ -84,7 +84,12 @@ def rewrite_dates(expr: str) -> str:
     substring) with its epoch-millisecond value. A second *distinct*
     date literal is left in place — faithfully mirroring the single
     ``matcher.find()`` in JexlUtil.java:58; there it then fails JEXL
-    parsing, here it raises at tokenize time."""
+    parsing, here it raises at tokenize time.
+
+    Deviation: the date parses as UTC. The reference's pattern quotes
+    the ``'Z'`` (JexlUtil.java:62), so DateUtils parses in the JVM's
+    *default* timezone — a latent upstream quirk; the literal's own
+    ``Z`` says UTC, so UTC is what we implement."""
     m = _DATE_PATTERN.search(expr)
     if not m:
         return expr
@@ -137,7 +142,16 @@ def _tokenize(expr: str) -> list[tuple[str, object]]:
                 tokens.append(("num", int(text)))
         elif kind == "str":
             body = text[1:-1]
-            tokens.append(("str", re.sub(r"\\(.)", r"\1", body)))
+            # JEXL's StringParser unescapes the quote chars and backslash
+            # but RETAINS unknown escapes verbatim ('\d' stays '\d') — so
+            # regex patterns survive a single-quoted literal unmangled
+            unescaped = re.sub(
+                r"\\(['\"\\])|\\(.)",
+                lambda m: m.group(1) if m.group(1) is not None
+                else "\\" + m.group(2),
+                body,
+            )
+            tokens.append(("str", unescaped))
         elif kind == "ident":
             low = text  # JEXL keywords are case-sensitive
             if low in _KEYWORD_OPS:

@@ -71,11 +71,86 @@ def test_parse_errors():
         parse_jexl(None)
 
 
+def test_string_escapes_keep_regex_backslashes():
+    # JEXL's StringParser unescapes quotes/backslash but keeps unknown
+    # escapes verbatim — '\d' must reach the regex engine as \d
+    assert parse_jexl(r"url =~ '.*\d+'") == (
+        "bin", "=~", ("var", ("url",)), ("str", r".*\d+")
+    )
+    assert parse_jexl(r"x == 'don\'t'")[3] == ("str", "don't")
+    assert parse_jexl(r"x == 'a\\b'")[3] == ("str", "a\\b")
+
+
 def test_parse_dotted_and_indexed():
     assert parse_jexl("doc.lang") == ("var", ("doc", "lang"))
     assert parse_jexl("parseMeta['k']") == (
         "index", ("var", ("parseMeta",)), ("str", "k")
     )
+
+
+# --- parser round-trip property ----------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ATOMS = st.one_of(
+        st.integers(min_value=0, max_value=10**12).map(lambda n: ("num", n)),
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False)
+        .map(lambda f: ("num", float(f"{f:.6g}"))),
+        st.sampled_from(["x", "score", "fetchTime", "my_tag"])
+        .map(lambda v: ("var", (v,))),
+        st.text(alphabet="abcZ09_ .-", max_size=8).map(lambda s: ("str", s)),
+        st.booleans().map(lambda b: ("bool", b)),
+        st.just(("null",)),
+    )
+
+    def _exprs(children):
+        bin_ops = st.sampled_from(
+            ["||", "&&", "==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%"]
+        )
+        return st.one_of(
+            st.tuples(st.just("bin"), bin_ops, children, children),
+            st.tuples(st.just("unary"), st.sampled_from(["!", "-"]), children),
+            st.tuples(st.just("ternary"), children, children, children),
+            st.tuples(st.just("elvis"), children, children),
+        )
+
+    _AST = st.recursive(_ATOMS, _exprs, max_leaves=12)
+
+    def _render(node) -> str:
+        # parenthesize everything: round-trip tests the tokenizer +
+        # precedence-insensitive structural fidelity
+        tag = node[0]
+        if tag == "num":
+            return repr(node[1])
+        if tag == "str":
+            body = node[1].replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{body}'"
+        if tag == "bool":
+            return "true" if node[1] else "false"
+        if tag == "null":
+            return "null"
+        if tag == "var":
+            return ".".join(node[1])
+        if tag == "unary":
+            return f"({node[1]} {_render(node[2])})"
+        if tag == "bin":
+            return f"({_render(node[2])} {node[1]} {_render(node[3])})"
+        if tag == "ternary":
+            return (f"({_render(node[1])} ? {_render(node[2])} "
+                    f": {_render(node[3])})")
+        if tag == "elvis":
+            return f"({_render(node[1])} ?: {_render(node[2])})"
+        raise AssertionError(node)
+
+    @settings(max_examples=200, deadline=None)
+    @given(_AST)
+    def test_parser_round_trips_rendered_asts(ast):
+        rendered = _render(ast)
+        assert parse_jexl(rendered) == ast
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
 
 
 # --- compile-to-Column semantics over the CrawlDatum context ----------------
