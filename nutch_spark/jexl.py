@@ -52,7 +52,16 @@ Semantics mapping (each a documented, test-pinned choice):
   it on booleans.
 - Arithmetic is numeric-only (JEXL's string ``+`` concatenation is
   not supported; none of the reference's filter expressions build
-  strings).
+  strings), and ``/`` follows Spark's fractional division: JEXL's
+  JexlArithmetic divides two integers integrally (``3/2 == 1``), but
+  operand types aren't knowable at compile time here — write
+  ``floor(a / b)`` when integer division is meant.
+- ``a || b`` replays JEXL's left-to-right strictness: a null left
+  operand aborts the script (row dropped) even when the right side is
+  true, while a true left short-circuits before a null right can
+  (compiled as ``when(a IS NULL, NULL).otherwise(a OR b)``; ``&&``
+  and ``!`` need no wrapper — Spark's three-valued forms already
+  null out exactly when JEXL errors out).
 """
 
 from __future__ import annotations
@@ -141,17 +150,22 @@ def _tokenize(expr: str) -> list[tuple[str, object]]:
             else:
                 tokens.append(("num", int(text)))
         elif kind == "str":
-            body = text[1:-1]
-            # JEXL's StringParser unescapes the quote chars and backslash
-            # but RETAINS unknown escapes verbatim ('\d' stays '\d') — so
-            # regex patterns survive a single-quoted literal unmangled
-            unescaped = re.sub(
-                r"\\(['\"\\])|\\(.)",
-                lambda m: m.group(1) if m.group(1) is not None
-                else "\\" + m.group(2),
-                body,
+            delim, body = text[0], text[1:-1]
+            # JEXL's StringParser unescapes only the ACTIVE delimiter,
+            # backslash, and \uXXXX; unknown escapes stay verbatim
+            # ('\d' stays '\d'), so regex patterns survive unmangled
+
+            def _unescape(m: re.Match, _d=delim) -> str:
+                e = m.group(1)
+                if len(e) == 5 and e.startswith("u"):
+                    return chr(int(e[1:], 16))
+                if e in (_d, "\\"):
+                    return e
+                return "\\" + e
+
+            tokens.append(
+                ("str", re.sub(r"\\(u[0-9a-fA-F]{4}|.)", _unescape, body))
             )
-            tokens.append(("str", unescaped))
         elif kind == "ident":
             low = text  # JEXL keywords are case-sensitive
             if low in _KEYWORD_OPS:
@@ -353,7 +367,14 @@ def _compile(node, resolve: Resolver) -> Column:
         if op == "&&":
             return left & right
         if op == "||":
-            return left | right
+            # JEXL evaluates || left-to-right: toBoolean(null) on the LEFT
+            # errors the whole script (silent mode -> null -> row dropped)
+            # before the right side can rescue it; a true left
+            # short-circuits before a null right errors. Spark's plain OR
+            # would resurrect NULL||TRUE to TRUE.
+            return F.when(left.isNull(), F.lit(None).cast("boolean")).otherwise(
+                left | right
+            )
         if op == "<":
             return left < right
         if op == "<=":
@@ -451,9 +472,25 @@ def crawldatum_resolver(metadata_col: str | None = "metadata") -> Resolver:
             raise JexlError(f"jexl: unknown variable {'.'.join(path)!r}")
         name = path[0]
         meta = F.col(metadata_col)
+        # the reference registers every Text metadata key with '-'
+        # rewritten to '_' (:601) and numeric keys verbatim — replay by
+        # probing the raw key, then the dash-normalized key space (so a
+        # key mixing dashes AND underscores, e.g. 'my-tag_x', still
+        # reaches variable my_tag_x). Session mapKeyDedupPolicy=LAST_WIN
+        # resolves post-rewrite collisions like the reference's
+        # last-put-wins HashMap.
+        rewritten = F.map_from_entries(
+            F.transform(
+                F.map_entries(meta),
+                lambda e: F.struct(
+                    F.regexp_replace(e["key"], "-", "_").alias("key"),
+                    e["value"].alias("value"),
+                ),
+            )
+        )
         return F.coalesce(
             F.element_at(meta, F.lit(name)),
-            F.element_at(meta, F.lit(name.replace("_", "-"))),
+            F.element_at(rewritten, F.lit(name)),
         )
 
     return make_resolver(names, metadata_fallback)
@@ -501,9 +538,11 @@ def indexing_doc_resolver(docs: DataFrame) -> Resolver:
     """JexlIndexingFilter.filter's context (:56-102): the datum fields
     (as in :meth:`crawldatum_resolver`, when the joined row carries
     them), ``doc.<field>`` resolving to the flattened document columns,
-    and the three metadata maps when present. Fields the row does not
-    carry resolve to NULL — silent-mode JEXL's behaviour for a missing
-    variable under a row gate."""
+    and the three metadata maps when present. Any variable the row does
+    not carry — ``doc.<field>`` or bare — resolves to NULL: strict JEXL
+    errors on an undefined variable, silent mode turns that into a null
+    script result, and the row gate drops the row (never a compile-time
+    error, matching setConf which only rejects PARSE failures)."""
     from nutch_spark.operators.stats import status_name_col
 
     cols = set(docs.columns)
@@ -533,4 +572,4 @@ def indexing_doc_resolver(docs: DataFrame) -> Resolver:
         return F.col(rest[0]) if rest[0] in cols else F.lit(None)
 
     names["doc"] = doc_field
-    return make_resolver(names)
+    return make_resolver(names, fallback=lambda path: F.lit(None))

@@ -347,15 +347,21 @@ def hostdb_jexl_overrides(
 
     out = hostdb
     res = hostdb_resolver(hostdb)
+
+    def math_round(col):
+        # Java Math.round = floor(x + 0.5) (half toward +inf);
+        # F.round would take -0.5 to -1 instead of 0
+        return F.floor(col.cast("double") + F.lit(0.5))
+
     if max_count_expr:
         out = out.withColumn(
             "max_count",
-            F.round(jexl_column(max_count_expr, res).cast("double")).cast("int"),
+            math_round(jexl_column(max_count_expr, res)).cast("int"),
         )
     if fetch_delay_expr:
         out = out.withColumn(
             "fetch_delay_ms",
-            F.round(jexl_column(fetch_delay_expr, res).cast("double")).cast("long"),
+            math_round(jexl_column(fetch_delay_expr, res)).cast("long"),
         )
     return out
 

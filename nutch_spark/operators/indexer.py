@@ -164,6 +164,8 @@ def jexl_index_filter(docs: DataFrame, expr: str, dialect: str = "jexl") -> Data
         from nutch_spark.jexl import indexing_doc_resolver, jexl_filter_column
 
         return docs.filter(jexl_filter_column(expr, indexing_doc_resolver(docs)))
+    if dialect != "sql":
+        raise ValueError(f"jexl_index_filter: unknown dialect {dialect!r}")
     return docs.filter(F.expr(expr) == F.lit(True))
 
 

@@ -79,6 +79,11 @@ def test_string_escapes_keep_regex_backslashes():
     )
     assert parse_jexl(r"x == 'don\'t'")[3] == ("str", "don't")
     assert parse_jexl(r"x == 'a\\b'")[3] == ("str", "a\\b")
+    # only the ACTIVE delimiter unescapes; \uXXXX decodes
+    assert parse_jexl(r"x == 'don\"t'")[3] == ("str", 'don\\"t')
+    assert parse_jexl(r'x == "don\'t"')[3] == ("str", "don\\'t")
+    assert parse_jexl("x == '\\u0041'")[3] == ("str", "A")  # \uXXXX decodes
+    assert parse_jexl("x == '\\uzz'")[3] == ("str", "\\uzz")  # not 4 hex: kept
 
 
 def test_parse_dotted_and_indexed():
@@ -202,6 +207,26 @@ def test_date_literal_and_numeric_compare(datums):
     ]
 
 
+def test_or_replays_jexl_left_to_right_strictness(datums):
+    # JEXL strict+silent: a NULL left operand errors the script (row
+    # dropped) even when the right side is true; a true left
+    # short-circuits before a null right can error. Row a/c: signature
+    # NULL -> 'signature == "x"' is fine (null-safe ==), but
+    # 'score > signature' style null COMPARISONS make the operand null.
+    # Use the metadata map: my_tag is NULL on row b.
+    assert _urls(datums, "(my_tag == 'news') || retries == 2") == [
+        "http://a.example.com/1", "http://b.example.com/2"
+    ]
+    # NULL-left comparison || true-right: dropped (b has no my_tag)
+    assert _urls(datums, "(my_tag =~ 'n.*') || retries == 2") == [
+        "http://a.example.com/1"
+    ]
+    # true-left || NULL-right: short-circuits, row kept
+    assert _urls(datums, "retries == 2 || (my_tag =~ 'n.*')") == [
+        "http://a.example.com/1", "http://b.example.com/2"
+    ]
+
+
 def test_null_safe_equality(datums):
     # JEXL: 'x == null' is a null test; plain Spark '=' would 3VL it away
     assert _urls(datums, "signature == null") == [
@@ -247,6 +272,18 @@ def test_metadata_variables_with_dash_rewrite(datums):
     assert _urls(datums, "my_tag != null") == [
         "http://a.example.com/1", "http://c.example.com/3"
     ]
+
+
+def test_metadata_key_mixing_dash_and_underscore(spark):
+    # a key like 'my-tag_x' is exposed as variable my_tag_x — the whole
+    # key space is dash-normalized, not just two spellings
+    df = spark.createDataFrame(
+        [("u1", {"my-tag_x": "v"}), ("u2", {})],
+        "url string, metadata map<string,string>",
+    )
+    col = jexl_column("my_tag_x", crawldatum_resolver())
+    got = {r["url"]: r["v"] for r in df.select("url", col.alias("v")).collect()}
+    assert got == {"u1": "v", "u2": None}
 
 
 def test_unknown_variable_raises():
@@ -331,6 +368,19 @@ def test_hostdb_resolver(spark):
     assert read_hostdb(hdb).count() == 3  # no expr -> pass-through
 
 
+def test_indexing_context_unknown_bare_var_is_null(indexed_doc):
+    # strict JEXL errors on an undefined variable; silent mode nulls the
+    # script; the gate drops the row — never a compile-time error
+    assert jexl_index_filter(indexed_doc, "nosuchvar == 'x'").count() == 0
+    # null-safe == against null still matches
+    assert jexl_index_filter(indexed_doc, "nosuchvar == null").count() == 1
+
+
+def test_jexl_index_filter_rejects_unknown_dialect(indexed_doc):
+    with pytest.raises(ValueError):
+        jexl_index_filter(indexed_doc, "doc.lang=='en'", dialect="Jexl")
+
+
 def test_hostdb_jexl_overrides(spark):
     # Generator.java:431-475: generate.max.count.expr /
     # generate.fetch.delay.expr evaluated over the HostDatum counters,
@@ -351,6 +401,9 @@ def test_hostdb_jexl_overrides(spark):
     assert rows["b.com"]["max_count"] == 5
     assert rows["a.com"]["fetch_delay_ms"] == 1000  # round(1000.4)
     assert rows["b.com"]["fetch_delay_ms"] == 500
+    # Math.round semantics: half rounds toward +inf, so -0.5 -> 0
+    neg = hostdb_jexl_overrides(hdb, fetch_delay_expr="0 - 0.5")
+    assert {r["fetch_delay_ms"] for r in neg.collect()} == {0}
     assert dict(out.dtypes)["max_count"] == "int"
     assert dict(out.dtypes)["fetch_delay_ms"] == "bigint"
 
