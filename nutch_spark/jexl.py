@@ -120,7 +120,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?|\.\d+)
   | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>=~|!~|==|!=|<=|>=|&&|\|\||\?:|[()\[\]?:.!<>+\-*/%])
+  | (?P<op>=~|!~|==|!=|<=|>=|&&|\|\||\?:|[()\[\],?:.!<>+\-*/%])
     """,
     re.VERBOSE,
 )
@@ -285,9 +285,20 @@ class _Parser:
                 kind, val = self.next()
                 if kind != "ident":
                     raise JexlError(f"jexl: expected identifier after '.', got {val!r}")
-                if node[0] != "var":
+                if self.eat_op("("):
+                    # method call: the form exchange-jexl relies on
+                    # (doc.getFieldValue('host'), exchanges.xml.template)
+                    args: list = []
+                    if not self.eat_op(")"):
+                        args.append(self.expr())
+                        while self.eat_op(","):
+                            args.append(self.expr())
+                        self.expect_op(")")
+                    node = ("call", node, val, tuple(args))
+                elif node[0] != "var":
                     raise JexlError("jexl: property access only on identifiers")
-                node = ("var", node[1] + (val,))
+                else:
+                    node = ("var", node[1] + (val,))
             elif self.eat_op("["):
                 idx = self.expr()
                 self.expect_op("]")
@@ -342,6 +353,19 @@ def _compile(node, resolve: Resolver) -> Column:
         return resolve(node[1])
     if tag == "index":
         return F.element_at(_compile(node[1], resolve), _compile(node[2], resolve))
+    if tag == "call":
+        base, method, args = node[1], node[2], node[3]
+        # NutchDocument.getFieldValue(name): first value of the named doc
+        # field — the method exchange-jexl's canonical expression calls
+        # (JexlExchange.match sets only `doc`); resolves like doc.<name>
+        if (
+            method == "getFieldValue"
+            and base[0] == "var"
+            and len(args) == 1
+            and args[0][0] == "str"
+        ):
+            return resolve(base[1] + (args[0][1],))
+        raise JexlError(f"jexl: unsupported method call .{method}(...)")
     if tag == "unary":
         x = _compile(node[2], resolve)
         return (~x) if node[1] == "!" else (-x)

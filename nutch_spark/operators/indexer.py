@@ -123,19 +123,37 @@ def subcollections_col(url: Column, collections: list[dict]) -> Column:
     return F.filter(F.array(*names), lambda x: x.isNotNull())
 
 
-def route_documents(docs: DataFrame, routes: list[tuple[str, str]]) -> DataFrame:
+def route_documents(
+    docs: DataFrame, routes: list[tuple[str, str]], dialect: str = "jexl"
+) -> DataFrame:
     """Exchange component (``exchange/Exchanges.java`` +
     ``exchange-jexl``): route each index document to the writers whose
-    expression matches. ``routes``: [(writer_id, spark-sql boolean
-    expr over the doc columns)] — the documented engine-wide JEXL
-    substitution (SURVEY T14). Adds ``writers`` array<string>; docs
-    matching nothing get the empty array (the reference's default
-    'no exchange matched' path drops them from every writer)."""
+    expression matches. ``routes``: [(writer_id, expr)] where expr is
+    the reference's own JEXL (``JexlExchange.match``, evaluated over
+    the ``doc`` context — ``doc.getFieldValue('host')=='example.org'``
+    per exchanges.xml.template) or, with ``dialect="sql"``, a Spark-SQL
+    boolean (the earlier T14 substitution). Adds ``writers``
+    array<string>; docs matching nothing get the empty array (the
+    reference's 'no exchange matched' path drops them from every
+    writer); a match() exception counts as no-match, which the JEXL
+    gate's null handling replays."""
+    if dialect == "jexl":
+        from nutch_spark.jexl import indexing_doc_resolver, jexl_filter_column
+
+        res = None
+
+        def gate(expr):
+            nonlocal res
+            if res is None:
+                res = indexing_doc_resolver(docs)
+            return jexl_filter_column(expr, res)
+    elif dialect == "sql":
+        def gate(expr):
+            return F.expr(expr)
+    else:
+        raise ValueError(f"route_documents: unknown dialect {dialect!r}")
     names = F.array(
-        *[
-            F.when(F.expr(expr), F.lit(writer))
-            for writer, expr in routes
-        ]
+        *[F.when(gate(expr), F.lit(writer)) for writer, expr in routes]
     )
     return docs.withColumn(
         "writers", F.filter(names, lambda x: x.isNotNull())

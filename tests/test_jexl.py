@@ -91,6 +91,18 @@ def test_parse_dotted_and_indexed():
     assert parse_jexl("parseMeta['k']") == (
         "index", ("var", ("parseMeta",)), ("str", "k")
     )
+    # exchange-jexl's canonical method-call form
+    assert parse_jexl("doc.getFieldValue('host')") == (
+        "call", ("var", ("doc",)), "getFieldValue", (("str", "host"),)
+    )
+
+
+def test_get_field_value_resolves_like_doc_field(indexed_doc):
+    assert jexl_index_filter(
+        indexed_doc, "doc.getFieldValue('lang')=='en'"
+    ).count() == 1
+    with pytest.raises(JexlError):
+        jexl_index_filter(indexed_doc, "doc.someOtherMethod('x')").count()
 
 
 # --- parser round-trip property ----------------------------------------------

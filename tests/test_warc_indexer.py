@@ -158,14 +158,22 @@ def test_route_documents_by_expression(spark):
         "url string, boost double, lang string",
     )
     routes = [
-        ("high_boost", "boost >= 1.0"),
-        ("german", "lang = 'de'"),
+        # JexlExchange.match's context has ONLY `doc` (a bare variable
+        # resolves NULL -> no match); both doc.<field> and the canonical
+        # doc.getFieldValue form (exchanges.xml.template) work
+        ("high_boost", "doc.boost >= 1.0"),
+        ("german", "doc.getFieldValue('lang')=='de'"),
     ]
     out = {r["url"]: r["writers"] for r in
            route_documents(docs, routes).collect()}
     assert out["http://a/"] == ["high_boost"]
     assert out["http://b/"] == ["german"]
     assert out["http://c/"] == ["high_boost", "german"]
+    # the earlier T14 SQL substitution stays behind dialect="sql"
+    out = {r["url"]: r["writers"] for r in
+           route_documents(docs, [("german", "lang = 'de'")],
+                           dialect="sql").collect()}
+    assert out["http://b/"] == ["german"]
 
 
 def test_index_documents_parser_title_and_nutch_1004(spark):
