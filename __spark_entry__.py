@@ -1387,6 +1387,31 @@ def q_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exchange_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 exchange routing (exchange/Exchanges.java + exchange-jexl
+    JexlExchange.match:53-66): per-document writer selection by JEXL
+    over the ``doc`` context — including the canonical
+    ``doc.getFieldValue(...)`` method-call form from
+    exchanges.xml.template — compiled to JVM Columns."""
+    from nutch_spark.operators.indexer import index_documents, route_documents
+
+    db = _crawldb(_docs(spark, sf_dir))
+    ptext = _docs(spark, sf_dir).select(_url_col().alias("url"), F.col("text"))
+    docs = index_documents(db, ptext, CFG)
+    routed = route_documents(
+        docs,
+        [
+            ("high_boost", "doc.boost >= 8.0"),
+            ("host_teens",
+             "doc.getFieldValue('host') =~ 'host1[0-9].example.com'"),
+            ("untitled", "doc.title == null"),
+        ],
+    )
+    return routed.select(
+        "url", F.array_join("writers", " ").alias("writers")
+    )
+
+
 def q_index_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The indexing-filter battery (operators/index_filters): index-more
     type/length/date, index-anchor dedup, index-metadata db+parse keys,
@@ -2480,6 +2505,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "parse_meta_effects": q_parse_meta_effects,
         "warc_export": q_warc_export,
         "index_docs": q_index_docs,
+        "exchange_routes": q_exchange_routes,
         "index_filters": q_index_filters,
         "urlfilter_validator": q_urlfilter_validator,
         "orphan_scoring": q_orphan_scoring,
@@ -4519,6 +4545,22 @@ SELECT url,
     CASE WHEN url LIKE '%host5.example.com%' OR url LIKE '%host15.%'
          THEN 'host-five' END
   ], x -> x IS NOT NULL), ' '), '') AS subcollection
+FROM crawldb WHERE status IN (2, 6)
+""",
+        # ---- S9 exchange routing (JEXL over the doc context) ----------------
+        # 'high_boost': boost(=score) >= 8.0; 'host_teens': anchored
+        # String.matches on host; 'untitled': null-safe == null on title
+        "exchange_routes": f"""
+WITH {_CRAWLDB_CTE}
+SELECT url,
+  COALESCE(array_to_string(list_filter([
+    CASE WHEN score >= 8.0 THEN 'high_boost' END,
+    CASE WHEN regexp_matches(
+      'host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com',
+      '^(?:host1[0-9].example.com)$') THEN 'host_teens' END,
+    CASE WHEN NULLIF(regexp_replace(substr(text, 1, 100),
+      '[\\x00-\\x1f\\x7f]', ' ', 'g'), '') IS NULL THEN 'untitled' END
+  ], x -> x IS NOT NULL), ' '), '') AS writers
 FROM crawldb WHERE status IN (2, 6)
 """,
         # ---- T7 404 purge -------------------------------------------------
