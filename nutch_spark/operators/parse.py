@@ -149,17 +149,27 @@ def parse(
     ``content`` columns: url, score, fetch_time, gen_time, spans,
     is_canonical (from fetchsim.fetched_content).
 
-    ``persist_handles``: pass a list to ``persist()`` the extracted
-    outlink table (the expensive part: the normalize Arrow pass + the
-    within-page dedup shuffle) and receive the handle for later
-    unpersist — every downstream product (crawl_parse, parse_data, the
-    outlinks slice) is built FROM that one frame, so a caller consuming
-    the dict more than once (the outlink-follow fetch: once for the
-    follow fold, once in the segment commit) pays extraction once.
+    ``persist_handles``: pass a list to ``persist()`` (a) the annotated
+    content frame ``c`` (content + signature + meta directives) that
+    every per-doc product branch scans — when ``content`` is itself a
+    join (fetchsim.fetched_content: crawl_fetch x docs), the four
+    product branches would otherwise re-execute that join and the
+    directive extraction each — and (b) the extracted outlink table
+    (the expensive part: the normalize Arrow pass + the within-page
+    dedup shuffle); the handles are appended for later unpersist. Every
+    downstream product (crawl_parse, parse_data, the outlinks slice) is
+    built FROM those frames, so a caller consuming the dict more than
+    once (the outlink-follow fetch: once for the follow fold, once in
+    the segment commit) pays the join/extraction once. The content
+    frame is topN-bounded per segment (the generator's own cap), so
+    MEMORY_AND_DISK residency is bounded at any corpus scale.
     """
     c = content.withColumn("signature", span_signature(F.col("spans"))).withColumn(
         "_md", meta_directives(F.col("spans"), F.col("url"))
     )
+    if persist_handles is not None:
+        c = c.persist()
+        persist_handles.append(c)
 
     # noindex -> text/title extraction skipped entirely
     # (HtmlParser.java:208-221); the doc still parses, signs, and emits

@@ -127,7 +127,10 @@ class Crawler:
             crawl_fetch, redirect_links = fetch(fl, self.robots, self.outcomes, self.cfg, now_ms)
             crawl_fetch = crawl_fetch.persist()
             content = fetched_content(crawl_fetch, self.docs)
-            parsed = parse(content, self.cfg, url_filter_rules=self.url_filter_rules)
+            parsed = parse(
+                content, self.cfg, url_filter_rules=self.url_filter_rules,
+                persist_handles=wave_handles,
+            )
 
         datum_cols = [
             "url", "status", "fetch_time", "retries", "fetch_interval", "score",
