@@ -1813,6 +1813,17 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_doubled_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_simhash64_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dups — the at-scale path (four 16-bit bands,
+    256x fewer bucket-join candidates than the 32-bit/8-bit twin),
+    ml/dedup.py simhash64_near_duplicates; fingerprints are held as two
+    32-bit halves so the DuckDB oracle replays them without BIGINT
+    overflow."""
+    from nutch_spark.ml.dedup import simhash64_near_duplicates
+
+    return simhash64_near_duplicates(_doubled_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: sign-LSH bucketing + exact re-rank,
     ml/similarity.py. The hyperplanes are deterministic (splitmix of
@@ -2515,6 +2526,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "index_csv": q_index_csv,
         "minhash_near_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
+        "simhash64_near_dups": q_simhash64_dups,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2675,6 +2687,77 @@ bands AS (
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _simhash64_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of ml/dedup.py simhash64_near_duplicates: per-token
+    64-bit md5 hash as two 32-bit halves (hex chars 1-8 / 9-16 — no
+    BIGINT overflow on either engine), per-bit majority vote, four
+    16-bit pigeonhole bands, Hamming verify summed over the halves."""
+    ones = ",\n    ".join(
+        [
+            f"SUM(CASE WHEN (hlo & {1 << b}) <> 0 THEN 1 ELSE 0 END) AS o{b}"
+            for b in range(32)
+        ]
+        + [
+            f"SUM(CASE WHEN (hhi & {1 << b}) <> 0 THEN 1 ELSE 0 END) AS o{b + 32}"
+            for b in range(32)
+        ]
+    )
+    lo_sum = " + ".join(
+        f"CASE WHEN 2 * o{b} > n THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    hi_sum = " + ".join(
+        f"CASE WHEN 2 * o{b + 32} > n THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    return f"""
+WITH dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g') AS nt FROM dd
+),
+w AS (SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS ws FROM norm),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+th AS (
+  SELECT doc_id,
+    {_hexfold("substr(md5(tok), 1, 8)")} AS hlo,
+    {_hexfold("substr(md5(tok), 9, 8)")} AS hhi
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, COUNT(*) AS n,
+    {ones}
+  FROM th GROUP BY doc_id
+),
+shv AS (
+  SELECT doc_id, CAST({lo_sum} AS BIGINT) AS sh_lo, CAST({hi_sum} AS BIGINT) AS sh_hi
+  FROM bits
+),
+allsh AS (
+  SELECT w.doc_id, COALESCE(s.sh_lo, 0) AS sh_lo, COALESCE(s.sh_hi, 0) AS sh_hi
+  FROM w LEFT JOIN shv s ON w.doc_id = s.doc_id
+),
+bx AS (SELECT doc_id, sh_lo, sh_hi, unnest(generate_series(0, 3)) AS band_idx FROM allsh),
+bands AS (
+  SELECT doc_id, sh_lo, sh_hi, band_idx,
+    CASE band_idx
+      WHEN 0 THEN sh_lo & 65535
+      WHEN 1 THEN (sh_lo >> 16) & 65535
+      WHEN 2 THEN sh_hi & 65535
+      ELSE (sh_hi >> 16) & 65535
+    END AS band_val
+  FROM bx
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS INTEGER) AS hamming
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
@@ -3367,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["updatedb_incremental"] = oracles["updatedb_states"]
     oracles["minhash_near_dups"] = _minhash_oracle()
     oracles["simhash_near_dups"] = _simhash_oracle()
+    oracles["simhash64_near_dups"] = _simhash64_oracle()
     oracles["multimodal_features"] = _MULTIMODAL_ORACLE
     oracles["fetch_politeness"] = _FETCH_POLITENESS_ORACLE
     oracles["fetch_politeness_byip"] = _FETCH_POLITENESS_BYIP_ORACLE

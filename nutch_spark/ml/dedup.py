@@ -17,9 +17,18 @@ Scale shapes (100 TB corpus):
   problem into groupBy(band_value) joins, each band a separate shuffle
   key space; candidate verification re-checks true Jaccard on the
   shingle sets of candidate pairs only;
-- simhash: map-side 32-bit fingerprint; near-dup = bucket join on
-  rotated prefixes (here: verification by Hamming distance on pairs
-  from the same LSH band of the fingerprint's nibbles).
+- simhash: map-side 64-bit fingerprint (two 32-bit halves so neither
+  Spark nor the DuckDB oracle ever overflows a signed long), banded
+  into four 16-bit chunks (pigeonhole: a hamming<=3 pair agrees on at
+  least one whole band); near-dup = bucket join per band + Hamming
+  verify. Expected candidate volume under uniform bucketing is
+  bands * C(n,2) / 2^w ~= 4 * n^2/2 / 65536 — at n = 10^9 docs that is
+  ~3e13 verify pairs vs ~8e15 for the 8-bit/32-bit variant (256x); at
+  n >= 10^10 widen further (e.g. 6 bands of 21 bits from a 128-bit
+  fingerprint covers hamming<=5, Manku et al., WWW'07) and/or set
+  ``bucket_cap`` to bound any adversarial single-bucket blowup
+  (dropped docs are counted and logged — never silently).
+  simhash32/simhash_near_duplicates remain as the narrow parity twin.
 """
 
 from __future__ import annotations
@@ -334,9 +343,15 @@ def hamming32(a: Column, b: Column) -> Column:
 
 
 def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dups by SimHash: band the 32-bit fingerprint into 4 bytes
+    """Near-dups by 32-bit SimHash: band the fingerprint into 4 bytes
     (pigeonhole: hamming<=3 pairs share at least one exact byte),
-    bucket-join, verify Hamming distance."""
+    bucket-join, verify Hamming distance.
+
+    **Parity twin only — do not use at scale.** 8-bit bands give 256
+    buckets per band, so the bucket self-join goes quadratic at >=10^8
+    docs (~n^2/128 verify pairs). The production path is
+    ``simhash64_near_duplicates`` (four 16-bit bands, 256x fewer
+    candidates, optional bucket cap)."""
     documents = _widen_small_scan(documents)
     sh = documents.select("doc_id", simhash32(F.col("text")).alias("sh"))
     bands = sh.select(
@@ -359,6 +374,149 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming32(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# SimHash64 — the at-scale path (reference parity: lib-nsf/TextMD5Signature
+# has no simhash; this is the training-data extension, Manku et al. WWW'07)
+# ---------------------------------------------------------------------------
+
+
+def _token_h64(tok: Column) -> Column:
+    """64-bit token hash as two 32-bit halves [lo, hi] from one md5
+    (hex chars 1-8 / 9-16). Two longs instead of one 64-bit value so
+    neither Spark nor the DuckDB oracle can overflow a signed BIGINT
+    (conv of 16 hex digits would)."""
+    h = F.md5(tok)
+    return F.array(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long"),
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash as struct(sh_lo, sh_hi): bit b of each half is 1
+    iff the per-token majority vote for that bit is positive. Same
+    single-fold shape as simhash32 — accumulator is 64 one-counts plus
+    the token count; the finish lambda assembles both halves from the
+    bound accumulator. Empty/blank text yields (0, 0)."""
+    words = F.filter(F.split(normalized_text(text), " "), lambda w: w != "")
+    hashes = F.transform(words, _token_h64)
+    init = F.array_repeat(F.lit(0), 65)
+
+    def merge(acc: Column, h: Column) -> Column:
+        lo = F.element_at(h, 1)
+        hi = F.element_at(h, 2)
+        votes = F.array(
+            *[
+                F.when(lo.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0)
+                for b in range(32)
+            ],
+            *[
+                F.when(hi.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0)
+                for b in range(32)
+            ],
+            F.lit(1),
+        )
+        return F.zip_with(acc, votes, lambda a, v: a + v)
+
+    def finish(acc: Column) -> Column:
+        n = F.element_at(acc, 65)
+
+        def half(off: int) -> Column:
+            out = F.lit(0).cast("long")
+            for b in range(32):
+                out = out + F.when(
+                    F.element_at(acc, off + b + 1) * 2 > n,
+                    F.lit(1 << b).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            return out
+
+        return F.struct(half(0).alias("sh_lo"), half(32).alias("sh_hi"))
+
+    return F.aggregate(hashes, init, merge, finish)
+
+
+def hamming64(a_lo: Column, a_hi: Column, b_lo: Column, b_hi: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints held as 32-bit
+    halves: xor+popcount per half, summed."""
+    return F.bit_count(a_lo.bitwiseXOR(b_lo)) + F.bit_count(a_hi.bitwiseXOR(b_hi))
+
+
+def simhash64_near_duplicates(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dups by 64-bit SimHash: four 16-bit bands (pigeonhole —
+    any hamming<=3 pair leaves at least one of the four bands
+    untouched, so it collides on that band's exact value), bucket join
+    per band, Hamming verify on the survivors.
+
+    Scale bound (uniform buckets): expected verify pairs ~=
+    bands * n^2/2 / 2^16. At n=10^9 that is ~3e13 — tractable as a
+    shuffle-partitioned join; the 8-bit/32-bit twin would produce
+    ~8e15. For n >= 10^10 widen the fingerprint/bands further or set
+    ``bucket_cap``.
+
+    ``bucket_cap``: optional per-(band, value) bucket size cap for
+    adversarial/degenerate corpora (e.g. millions of empty docs all
+    fingerprinting to 0). Buckets larger than the cap keep the
+    ``bucket_cap`` smallest doc_ids (deterministic) and the number of
+    dropped (doc, band) memberships is counted and logged — a capped
+    bucket can miss pairs, never silently: the count is in the log and
+    the cap is the caller's explicit opt-in.
+    """
+    documents = _widen_small_scan(documents)
+    sh = documents.select("doc_id", simhash64(F.col("text")).alias("s")).select(
+        "doc_id", F.col("s.sh_lo").alias("sh_lo"), F.col("s.sh_hi").alias("sh_hi")
+    )
+    chunks = [
+        F.shiftright(F.col("sh_lo"), 0).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sh_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sh_hi"), 0).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sh_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
+    bands = sh.select(
+        "doc_id",
+        "sh_lo",
+        "sh_hi",
+        F.posexplode(F.array(*chunks)).alias("band_idx", "band_val"),
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
+        ranked = bands.withColumn("_rn", F.row_number().over(w))
+        dropped = ranked.filter(F.col("_rn") > bucket_cap).count()
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash64_near_duplicates: bucket_cap=%d dropped %d "
+                "(doc, band) memberships — pairs inside oversized buckets "
+                "beyond the cap are NOT compared",
+                bucket_cap,
+                dropped,
+            )
+        bands = ranked.filter(F.col("_rn") <= bucket_cap).drop("_rn")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(
+                F.col("a.sh_lo"), F.col("a.sh_hi"), F.col("b.sh_lo"), F.col("b.sh_hi")
+            ).alias("hamming"),
         )
         .distinct()
     )

@@ -125,6 +125,62 @@ def test_simhash(spark):
     assert (0, 1) in got
 
 
+def test_simhash64(spark):
+    from nutch_spark.ml.dedup import simhash64, simhash64_near_duplicates
+
+    near = BASE + " extra"
+    d = docs(spark, [BASE, near, "totally different words about nothing relevant"])
+    rows = d.select("doc_id", simhash64(F.col("text")).alias("s")).collect()
+    sh = {r["doc_id"]: (r["s"]["sh_lo"], r["s"]["sh_hi"]) for r in rows}
+    for lo, hi in sh.values():  # halves are 32-bit non-negative
+        assert 0 <= lo < 2**32 and 0 <= hi < 2**32
+    ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+    dups = simhash64_near_duplicates(d, max_hamming=max(ham(sh[0], sh[1]), 1))
+    got = {(r["doc_a"], r["doc_b"]) for r in dups.collect()}
+    assert (0, 1) in got
+    # empty/blank text fingerprints to (0, 0)
+    z = docs(spark, [""]).select(simhash64(F.col("text")).alias("s")).collect()[0]["s"]
+    assert (z["sh_lo"], z["sh_hi"]) == (0, 0)
+
+
+def test_simhash64_matches_simhash32_low_half(spark):
+    """The low half of simhash64 uses the same md5-prefix token hash as
+    simhash32, so the two must agree bit-for-bit — the documented
+    parity-twin relationship."""
+    from nutch_spark.ml.dedup import simhash64
+
+    d = docs(spark, [BASE, "short words", ""])
+    rows = d.select(
+        simhash32(F.col("text")).alias("s32"), simhash64(F.col("text")).alias("s64")
+    ).collect()
+    for r in rows:
+        assert r["s32"] == r["s64"]["sh_lo"]
+
+
+def test_simhash64_bucket_cap_bounds_adversarial_bucket(spark, caplog):
+    """An adversarial corpus where every doc lands in one bucket (all
+    empty -> fingerprint 0) must not go quadratic when bucket_cap is
+    set: candidate pairs are bounded by bands * C(cap, 2), and the
+    dropped memberships are logged, not silent."""
+    import logging
+
+    from nutch_spark.ml.dedup import simhash64_near_duplicates
+
+    d = docs(spark, [""] * 30)
+    with caplog.at_level(logging.WARNING, logger="nutch_spark.ml.dedup"):
+        capped = simhash64_near_duplicates(d, max_hamming=3, bucket_cap=5)
+        n_capped = capped.count()
+    assert n_capped == 5 * 4 // 2  # C(5,2) pairs, identical across 4 bands
+    assert any(
+        "dropped" in rec.getMessage()
+        for rec in caplog.records
+        if rec.name == "nutch_spark.ml.dedup"
+    )
+    uncapped = simhash64_near_duplicates(d, max_hamming=3)
+    assert uncapped.count() == 30 * 29 // 2
+
+
 def test_shingles(spark):
     d = docs(spark, ["a b c d", "a b"])
     rows = d.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()
