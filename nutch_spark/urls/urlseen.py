@@ -195,17 +195,24 @@ class CuckooFilter:
     partitioning the key space, the standard scale-out for cuckoo
     tables); each sub-table is built in one Arrow batch inside
     ``applyInPandas`` (numpy eviction loop, O(1) amortized per insert,
-    table doubled and rebuilt on the rare eviction-chain failure). The
-    driver only ever receives the packed uint16 tables — the same bytes
-    it must broadcast for probing anyway — never per-key rows.
+    table doubled and rebuilt on the rare eviction-chain failure).
 
-    Probe is a vectorized numpy ``pandas_udf`` over the JVM-computed
-    ``xxhash64(url)``; every derived quantity (partition, fingerprint,
-    bucket, alternate bucket) comes from that single 64-bit hash with
-    identical numpy arithmetic on both build and probe sides, so the
-    two can never disagree. A 64-bit xxhash collision behaves exactly
-    like a filter false positive (the row takes the exact downstream
-    path) — the same no-false-negative contract as FingerprintSet and
+    **The packed tables never reside on the driver**: the build output
+    stays a persisted ``(part, m, table array<int>)`` DataFrame on the
+    executors, and ``split`` probes it with a broadcast equi-join on
+    the key partition — the broadcast exchange ships executor→executor.
+    At a 10^10-URL frontier the tables total ~24 GB cluster-wide
+    (~2.4 bytes/key), which persists fine distributed but must never be
+    ``collect()``ed. Only the opt-in Arrow-fallback probe
+    (``might_contain_udf``) materializes tables driver-side, behind an
+    asserted slot cap.
+
+    Probe fingerprint / bucket / alternate-bucket arithmetic derives
+    from the single JVM ``xxhash64(url)`` with identical semantics on
+    both build (numpy) and probe (column expr) sides, so the two can
+    never disagree. A 64-bit xxhash collision behaves exactly like a
+    filter false positive (the row takes the exact downstream path) —
+    the same no-false-negative contract as FingerprintSet and
     BloomBitmap, so ``updatedb_incremental`` stays row-identical to the
     full merge.
     """
@@ -236,9 +243,9 @@ class CuckooFilter:
         )
         out_schema = T.StructType(
             [
-                T.StructField("part", T.IntegerType()),
-                T.StructField("m", T.LongType()),
-                T.StructField("table", T.BinaryType()),
+                T.StructField("_ck_part", T.IntegerType()),
+                T.StructField("_ck_m", T.LongType()),
+                T.StructField("_ck_tbl", T.ArrayType(T.IntegerType())),
             ]
         )
 
@@ -283,63 +290,54 @@ class CuckooFilter:
                 if ok:
                     return pd.DataFrame(
                         {
-                            "part": [int(key[0])],
-                            "m": [m],
-                            "table": [table.tobytes()],
+                            "_ck_part": [int(key[0])],
+                            "_ck_m": [m],
+                            "_ck_tbl": [table.astype(np.int32)],
                         }
                     )
                 m *= 2
 
-        rows = (
-            hashes.groupBy("part").applyInPandas(build, out_schema).collect()
-            if self.partitions
-            else []
-        )
-        self._tables = {
-            int(r["part"]): (int(r["m"]), np.frombuffer(r["table"], dtype=np.uint16))
-            for r in rows
-        }
-        self._tdf = None  # lazily-built (part, m, array<int>) probe table
+        # The tables stay a DataFrame on the executors (persisted so the
+        # eviction-loop build runs once, not per action); never collected
+        # to the driver — split() broadcasts it executor->executor.
+        self._tdf = hashes.groupBy("part").applyInPandas(build, out_schema).persist()
+        self._tables = None  # driver-side copy exists only for the fallback UDF
 
-    def _tables_df(self, spark) -> DataFrame:
-        """Per-partition (part, m, packed-table array<int>) probe frame.
+    def unpersist(self) -> None:
+        """Release the persisted sub-tables (e.g. between crawl cycles)."""
+        self._tdf.unpersist()
 
-        Plan built ONCE per filter and reused: the flat (part, i, v)
-        entries travel executor-ward Arrow-batched (createDataFrame on
-        one numpy-backed pandas frame) and each partition's positional
-        array is assembled JVM-side — never a boxed Python int list per
-        split() call (at 10^8 urls the tables total ~1.2*10^8 slots).
-        Not persist()ed, same reasoning as BloomBitmap._words_df."""
-        if self._tdf is None:
-            flat = pd.concat(
-                [
-                    pd.DataFrame(
-                        {
-                            "_ck_part": np.full(len(table), p, dtype=np.int32),
-                            "_ck_m": np.full(len(table), m, dtype=np.int64),
-                            "i": np.arange(len(table), dtype=np.int64),
-                            "v": table.astype(np.int32),
-                        }
-                    )
-                    for p, (m, table) in self._tables.items()
-                ],
-                ignore_index=True,
+    def _collect_tables(self, max_slots: int = 50_000_000) -> dict:
+        """Driver-side table copy for the Arrow-fallback probe ONLY.
+
+        Asserts a hard slot cap (default 50M slots = 100 MB) — the
+        production split() path never calls this; at frontier scale the
+        tables are tens of GB and must stay distributed."""
+        if self._tables is None:
+            total = self._tdf.agg(
+                F.coalesce(F.sum(F.size("_ck_tbl")), F.lit(0)).alias("s")
+            ).collect()[0]["s"]
+            assert total <= max_slots, (
+                f"CuckooFilter fallback probe would collect {total} slots to "
+                f"the driver (cap {max_slots}); use split() — the broadcast-"
+                "join probe keeps tables distributed"
             )
-            self._tdf = (
-                spark.createDataFrame(flat)
-                .groupBy("_ck_part")
-                .agg(
-                    F.first("_ck_m").alias("_ck_m"),
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "v"))),
-                        lambda s: s["v"],
-                    ).alias("_ck_tbl"),
+            self._tables = {
+                int(r["_ck_part"]): (
+                    int(r["_ck_m"]),
+                    np.array(r["_ck_tbl"], dtype=np.uint16),
                 )
-            )
-        return self._tdf
+                for r in self._tdf.collect()
+            }
+        return self._tables
 
     def might_contain_udf(self):
-        tables, P, slots_, mix = self._tables, self.partitions, self.slots, self._MIX
+        tables, P, slots_, mix = (
+            self._collect_tables(),
+            self.partitions,
+            self.slots,
+            self._MIX,
+        )
 
         @F.pandas_udf("boolean")
         def _mc(hs: pd.Series) -> pd.Series:
@@ -374,14 +372,12 @@ class CuckooFilter:
         expressions — arithmetic '>>' equals the build side's uint64
         logical shift for every bit below the mask width, and fp*MIX
         (< 2^47) cannot overflow under ANSI. An unmatched partition
-        (no keys hashed there) left-joins null tables; element_at(null)
-        is null and coalesce(false) lands the row in not_member, the
-        numpy probe's zeros-initialized behavior. might_contain_udf
-        remains as the Arrow fallback."""
-        if not self._tables:
-            return big.filter(F.lit(False)), big
-        spark = big.sparkSession
-        tdf = self._tables_df(spark)
+        (no keys hashed there, or an empty build side) left-joins null
+        tables; element_at(null) is null and coalesce(false) lands the
+        row in not_member, the numpy probe's zeros-initialized
+        behavior. might_contain_udf remains as the Arrow fallback
+        (driver-resident, capped — see _collect_tables)."""
+        tdf = self._tdf
         part = F.pmod(F.xxhash64(F.col(url_col)), F.lit(self.partitions)).cast("int")
         j = big.join(F.broadcast(tdf), part == F.col("_ck_part"), "left")
         h = f"xxhash64(`{url_col}`)"

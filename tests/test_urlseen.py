@@ -166,3 +166,22 @@ def test_jvm_probes_match_numpy_probes(spark):
     assert {r["url"] for r in jvm_n.collect()} == (
         {r["url"] for r in big.collect()} - arrow_m
     )
+
+
+def test_cuckoo_tables_stay_off_driver(spark):
+    """The production probe path must never collect tables to the
+    driver (VERDICT r02: O(frontier) driver residency); only the
+    opt-in fallback UDF materializes them, behind an asserted cap."""
+    import pytest
+
+    from nutch_spark.urls.urlseen import CuckooFilter
+
+    small = _urls(spark, 2000)
+    ck = CuckooFilter(small, partitions=2)
+    assert ck._tables is None  # build did not collect
+    maybe, not_in = ck.split(_urls(spark, 3000))
+    assert maybe.count() == 2000 and ck._tables is None  # probe did not collect
+    with pytest.raises(AssertionError, match="cap"):
+        ck._collect_tables(max_slots=1)
+    assert ck._collect_tables() is not None  # capped fallback still works
+    ck.unpersist()
