@@ -59,9 +59,12 @@ Semantics mapping (each a documented, test-pinned choice):
 - ``a || b`` replays JEXL's left-to-right strictness: a null left
   operand aborts the script (row dropped) even when the right side is
   true, while a true left short-circuits before a null right can
-  (compiled as ``when(a IS NULL, NULL).otherwise(a OR b)``; ``&&``
-  and ``!`` need no wrapper — Spark's three-valued forms already
-  null out exactly when JEXL errors out).
+  (compiled as ``when(a IS NULL, NULL).otherwise(a OR b)``). ``&&``
+  gets the symmetric wrapper: Spark's three-valued AND turns
+  ``NULL && FALSE`` into FALSE where strict JEXL errors the script to
+  null — indistinguishable under the ``IS TRUE`` row gate but
+  observable when ``&&`` feeds a ternary condition or value context
+  (e.g. hostdb JEXL overrides). ``!`` needs no wrapper.
 """
 
 from __future__ import annotations
@@ -103,9 +106,16 @@ def rewrite_dates(expr: str) -> str:
     if not m:
         return expr
     date = m.group()
-    parsed = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ").replace(
-        tzinfo=timezone.utc
-    )
+    try:
+        parsed = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError as exc:
+        # Pattern-valid but calendar-invalid (e.g. 2023-02-30...) must
+        # surface as JexlError like every other unparsable input, so
+        # callers that catch JexlError for clean parse-failure
+        # reporting aren't bypassed by a bare ValueError.
+        raise JexlError(f"invalid date literal in JEXL expression: {date}") from exc
     millis = int(parsed.timestamp() * 1000)
     return expr.replace(date, str(millis))
 
@@ -372,9 +382,21 @@ def _compile(node, resolve: Resolver) -> Column:
     if tag == "elvis":
         return F.coalesce(_compile(node[1], resolve), _compile(node[2], resolve))
     if tag == "ternary":
-        return F.when(
-            _compile(node[1], resolve), _compile(node[2], resolve)
-        ).otherwise(_compile(node[3], resolve))
+        # A NULL condition here means an operand error inside the
+        # condition (strict JEXL toBoolean(null) aborts the script ->
+        # silent null), so it must propagate as NULL rather than fall
+        # to the else-branch. Documented deviation: a *bare null
+        # variable* as the condition (`my_tag ? a : b`) is value-null in
+        # JEXL (ASTTernaryNode null-checks before toBoolean and takes
+        # the else-branch without error); we cannot distinguish the two
+        # in a compiled Column, and the reference's expressions always
+        # use comparisons as conditions, where null == error.
+        cond = _compile(node[1], resolve)
+        return (
+            F.when(cond.isNull(), F.lit(None))
+            .when(cond, _compile(node[2], resolve))
+            .otherwise(_compile(node[3], resolve))
+        )
     if tag == "bin":
         op = node[1]
         if op in ("=~", "!~"):
@@ -389,7 +411,16 @@ def _compile(node, resolve: Resolver) -> Column:
         if op == "!=":
             return ~left.eqNullSafe(right)
         if op == "&&":
-            return left & right
+            # JEXL && is strict left-to-right like ||: toBoolean(null)
+            # on the LEFT errors the script (silent mode -> null) even
+            # when the right side is false, while a false left
+            # short-circuits before a null right can error. Spark's
+            # three-valued AND resurrects NULL && FALSE to FALSE —
+            # identical under the IS TRUE row gate, but observable when
+            # && feeds a ternary condition or value context.
+            return F.when(left.isNull(), F.lit(None).cast("boolean")).otherwise(
+                F.when(~left, F.lit(False)).otherwise(right)
+            )
         if op == "||":
             # JEXL evaluates || left-to-right: toBoolean(null) on the LEFT
             # errors the whole script (silent mode -> null -> row dropped)

@@ -147,7 +147,16 @@ def domain_stats(crawldb: DataFrame, mode: str = "domain") -> DataFrame:
     """CrawlCompletionStats / DomainStatistics (A5): fetched/unfetched
     counts per host, domain, public suffix, or top-level domain
     (DomainStatistics.java:190-199 MODE_HOST/DOMAIN/SUFFIX/TLD —
-    suffix = URLUtil.getDomainSuffix, tld = its last label)."""
+    suffix = URLUtil.getDomainSuffix, tld = its last label).
+
+    Documented deviation (suffix/tld modes): hosts whose suffix is not
+    in the public-suffix table are counted under their last label, and
+    bare-IP hosts under a NULL key. The reference's
+    DomainStatistics.map calls URLUtil.getDomainSuffix(url).getDomain()
+    which NPEs for those hosts; the swallowed exception silently DROPS
+    the row, so reference output omits them entirely. Counting them is
+    this repo's pre-existing get_tld/tld_expr fallback convention —
+    dropping data silently is the bug we choose not to replicate."""
     url = F.col("url")
     if mode == "host":
         key = host_col(url)

@@ -239,6 +239,39 @@ def test_or_replays_jexl_left_to_right_strictness(datums):
     ]
 
 
+def test_and_replays_jexl_strictness_in_value_context(datums):
+    # Spark's three-valued AND resurrects NULL && FALSE to FALSE; strict
+    # JEXL errors the script to null. Identical under the IS TRUE row
+    # gate, observable when && feeds a ternary. Row b has no my_tag, so
+    # the =~ operand is NULL while 'retries == 99' is plain false:
+    # JEXL nulls the whole script -> v must be NULL, not the else-branch.
+    col = jexl_column(
+        "((my_tag =~ 'n.*') && retries == 99) ? 1 : 2",
+        crawldatum_resolver(),
+    )
+    vals = {r["url"]: r["v"] for r in datums.select("url", col.alias("v")).collect()}
+    assert vals["http://b.example.com/2"] is None
+    assert vals["http://a.example.com/1"] == 2  # true-left, false-right
+    # false-left short-circuits before a null right can error
+    col2 = jexl_column(
+        "(retries == 99 && (my_tag =~ 'n.*')) ? 1 : 2", crawldatum_resolver()
+    )
+    vals2 = {r["url"]: r["v"] for r in datums.select("url", col2.alias("v")).collect()}
+    assert vals2["http://b.example.com/2"] == 2
+    # true-left, null-right errors (JEXL evaluates the right, gets null)
+    col3 = jexl_column(
+        "(retries == 2 && (my_tag =~ 'n.*')) ? 1 : 2", crawldatum_resolver()
+    )
+    vals3 = {r["url"]: r["v"] for r in datums.select("url", col3.alias("v")).collect()}
+    assert vals3["http://b.example.com/2"] is None
+
+
+def test_date_rewrite_invalid_calendar_date_is_jexl_error():
+    # pattern-valid but calendar-invalid: must be JexlError, not ValueError
+    with pytest.raises(JexlError):
+        rewrite_dates("fetchTime < 2023-02-30T00:00:00Z")
+
+
 def test_null_safe_equality(datums):
     # JEXL: 'x == null' is a null test; plain Spark '=' would 3VL it away
     assert _urls(datums, "signature == null") == [
