@@ -718,6 +718,54 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# messy language strings for the lang_detect fixture (subset of the
+# TestHTMLLanguageParser.testParseLanguage vectors; one non-mapping entry)
+_LANG_RAW = [
+    "sv-FI", "EN_US, SV, EN, EN_UK", "English, swedish", "Other (Svenska)",
+    "SWE", "deu", "dut", "POR; charset=iso-8859-1", "zh_CN",
+    "torp, stuga, uthyres", "fin", "ita",
+]
+
+
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language detection from markup signals (ml/langid.py —
+    language-identifier plugin parity): synthesize per-doc markup
+    carrying a messy language string in the html lang attribute /
+    dc.language meta / http-equiv meta (or none), run the
+    detect path (regex signal extraction + parseLanguage alias
+    normalization) and the LanguageIndexingFilter 'unknown' default."""
+    from nutch_spark.ml.langid import detect_language, language_indexing_filter
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    raw = F.element_at(
+        F.array(*[F.lit(s) for s in _LANG_RAW]),
+        (F.col("doc_id") % len(_LANG_RAW) + 1).cast("int"),
+    )
+    mod4 = F.col("doc_id") % 4
+    html = (
+        F.when(mod4 == 0, F.concat(F.lit('<html lang="'), raw, F.lit('"><body>t</body></html>')))
+        .when(mod4 == 1, F.concat(F.lit('<html><head><meta name="dc.language" content="'), raw, F.lit('"></head></html>')))
+        .when(mod4 == 2, F.concat(F.lit('<html><head><meta http-equiv="content-language" content="'), raw, F.lit('"></head></html>')))
+        .otherwise(F.lit("<html><body>no signal</body></html>"))
+    )
+    out = detect_language(d.withColumn("html", html))
+    out = language_indexing_filter(out, lang_col="lang_detected", out_col="lang")
+    return out.select("doc_id", "lang")
+
+
+def q_lang_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language ID (ml/langid.py): char-trigram profile
+    scoring (Arrow-batched pandas UDF, zero shuffle) with the
+    indexing filter's 'unknown' default."""
+    from nutch_spark.ml.langid import identify_language
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = identify_language(d)
+    return out.select(
+        "doc_id", F.coalesce("lang_pred", F.lit("unknown")).alias("lang_pred")
+    )
+
+
 def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
@@ -2544,6 +2592,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "segment_fetch_merge": q_segment_fetch_merge,
         "index_actions": q_index_actions,
         "reverse_url": q_reverse_url,
+        "lang_detect": q_lang_detect,
+        "lang_identify": q_lang_identify,
     }
 
 
@@ -3436,6 +3486,90 @@ LEFT JOIN ins ON ins.url = m.url
 """
 
 
+def _lang_detect_oracle() -> str:
+    """DuckDB twin of q_lang_detect: same markup synthesis, same
+    signal-extraction regexes, same alias-map normalization
+    (ml/langid.parse_language_sql generates the map fragment)."""
+    from nutch_spark.ml.langid import (
+        _DC_META_CN,
+        _DC_META_NC,
+        _EQUIV_CN,
+        _EQUIV_NC,
+        _LANG_ATTR,
+        parse_language_sql,
+    )
+
+    def first(*pats: str) -> str:
+        parts = [
+            "nullif(regexp_extract(html, '{}', 1), '')".format(p.replace("'", "''"))
+            for p in pats
+        ]
+        return "coalesce(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+    raws = ", ".join("'{}'".format(s.replace("'", "''")) for s in _LANG_RAW)
+    return f"""
+WITH base AS (
+  SELECT doc_id, ([{raws}])[CAST(doc_id % {len(_LANG_RAW)} AS INTEGER) + 1] AS raw
+  FROM documents
+),
+hdoc AS (
+  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN '<html lang="' || raw || '"><body>t</body></html>'
+    WHEN 1 THEN '<html><head><meta name="dc.language" content="' || raw || '"></head></html>'
+    WHEN 2 THEN '<html><head><meta http-equiv="content-language" content="' || raw || '"></head></html>'
+    ELSE '<html><body>no signal</body></html>' END AS html
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+    {first(_LANG_ATTR)} AS lang_attr,
+    {first(_DC_META_NC, _DC_META_CN)} AS dc_language,
+    {first(_EQUIV_NC, _EQUIV_CN)} AS http_equiv_lang
+  FROM hdoc
+)
+SELECT doc_id,
+  coalesce({parse_language_sql('lang_attr')},
+           {parse_language_sql('dc_language')},
+           {parse_language_sql('http_equiv_lang')},
+           'unknown') AS lang
+FROM sig
+"""
+
+
+def _lang_identify_oracle() -> str:
+    """DuckDB twin of q_lang_identify: identical normalization
+    (letters-only, collapsed, space-padded), char trigrams, dot product
+    against the shipped L2-normalized profiles (inlined as VALUES),
+    scores rounded to 9 decimals before the argmax, ties to the
+    ascending language code — lockstep with ml/langid.identify_text."""
+    from nutch_spark.ml.langid import profile_sql_values
+
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+    ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS nt
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, substr(nt, CAST(i AS INTEGER), 3) AS gram
+  FROM norm, unnest(range(1, length(nt) - 1)) AS t(i)
+  WHERE length(nt) >= 3
+),
+scores AS (
+  SELECT g.doc_id, p.lang, round(SUM(p.w), 9) AS score
+  FROM grams g JOIN {profile_sql_values('p')} ON p.gram = g.gram
+  GROUP BY g.doc_id, p.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scores WHERE score > 0
+)
+SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_best = "GREATEST(" + ", ".join(f"c_{g}" for g in _LANGS) + ")"
     lang_case = "CASE WHEN " + lang_best + " <= 0 THEN 'und' " + " ".join(
@@ -3467,6 +3601,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["gopher_repetition"] = _GOPHER_REP_ORACLE
     oracles["index_filters"] = _index_filters_oracle(lang_case, lang_counts)
     oracles["urlfilter_validator"] = _URLFILTER_VALIDATOR_ORACLE
+    oracles["lang_detect"] = _lang_detect_oracle()
+    oracles["lang_identify"] = _lang_identify_oracle()
     oracles["orphan_scoring"] = _orphan_oracle()
     oracles["similarity_score"] = _similarity_oracle()
     # scoring-metadata + scoring-link replay: boosts are dyadic-exact
