@@ -766,6 +766,60 @@ def q_lang_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARC ingestion round-trip (operators/arc.py — ArcSegmentCreator
+    parity): docs become gzip-member ARC files (10 files, one filedesc
+    block each, every 9th record a .png), the reader walks exact member
+    boundaries, and arc_segment normalizes + url-filters (the default
+    rules drop the .png records, as the reference's URLFilters do) into
+    content rows. Verified on url/mime/archive-date/payload-md5."""
+    import gzip as _gzip
+    import io as _io
+
+    from nutch_spark.operators.arc import arc_records, arc_segment
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = d.withColumn("file_id", (F.col("doc_id") % 10).cast("int"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+
+        def gz(b: bytes) -> bytes:
+            buf = _io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+                f.write(b)
+            return buf.getvalue()
+
+        parts = [
+            gz(f"filedesc://arc{fid}.arc 0.0.0.0 20260101000000 text/plain 0\n".encode())
+        ]
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            body = ("" if text is None else str(text)).encode("utf-8")
+            if did % 9 == 0:
+                url = f"http://host{did % 40}.example.com/img/{did}.png"
+                mime = "image/png"
+            else:
+                url = f"http://host{did % 40}.example.com/doc/{did}"
+                mime = "text/html"
+            header = (
+                f"{url} 10.0.{did % 250}.1 {20260101000000 + did} {mime} {len(body)}\n"
+            ).encode()
+            parts.append(gz(header + body))
+        return pd.DataFrame({"path": [f"arc{fid}.arc.gz"], "content": [b"".join(parts)]})
+
+    files = d.groupBy("file_id").applyInPandas(build, schema="path string, content binary")
+    seg = arc_segment(arc_records(files), now_ms=1_760_000_000_000)
+    return seg["content"].select(
+        "url",
+        "mime",
+        "archive_date",
+        F.md5("content").alias("content_md5"),
+        F.length("content").alias("n_bytes"),
+    )
+
+
 def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
@@ -2594,6 +2648,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "reverse_url": q_reverse_url,
         "lang_detect": q_lang_detect,
         "lang_identify": q_lang_identify,
+        "arc_ingest": q_arc_ingest,
     }
 
 
@@ -3603,6 +3658,20 @@ def oracle_sql() -> dict[str, str]:
     oracles["urlfilter_validator"] = _URLFILTER_VALIDATOR_ORACLE
     oracles["lang_detect"] = _lang_detect_oracle()
     oracles["lang_identify"] = _lang_identify_oracle()
+    # ARC round-trip: the reader/extractor must hand back exactly the
+    # bytes that went in; the .png records exercise the default
+    # url-filter drop (image-extension rule), so they never surface
+    oracles["arc_ingest"] = """
+SELECT
+  'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  'text/html' AS mime,
+  CAST(20260101000000 + doc_id AS VARCHAR) AS archive_date,
+  md5(coalesce(text, '')) AS content_md5,
+  CAST(strlen(coalesce(text, '')) AS INTEGER) AS n_bytes
+FROM documents
+WHERE doc_id % 9 <> 0
+"""
     oracles["orphan_scoring"] = _orphan_oracle()
     oracles["similarity_score"] = _similarity_oracle()
     # scoring-metadata + scoring-link replay: boosts are dyadic-exact

@@ -417,3 +417,24 @@ def test_mergesegs_and_mergelinkdb(spark, tmp_path, capsys):
     assert nutch_cli.main(["mergelinkdb", ml, l1, l2]) == 0
     assert "1 targets" in capsys.readouterr().out
     assert len(spark.read.parquet(ml).first()["inlinks"]) == 2
+
+
+def test_arc_segment_creator_cli(spark, tmp_path, capsys):
+    # ArcSegmentCreator: ARC archives -> segment dirs (crawl_fetch + content)
+    from test_arc import _arc_file
+
+    arc_dir = tmp_path / "arcs"
+    arc_dir.mkdir()
+    (arc_dir / "t.arc.gz").write_bytes(_arc_file())
+    segs = str(tmp_path / "segments")
+    assert nutch_cli.main(
+        ["arc", str(arc_dir), segs, "--segment-name", "20260101000000"]
+    ) == 0
+    assert "2 records" in capsys.readouterr().out
+    seg = os.path.join(segs, "20260101000000")
+    fetched = spark.read.parquet(os.path.join(seg, "crawl_fetch"))
+    assert fetched.count() == 2
+    content = spark.read.parquet(os.path.join(seg, "content"))
+    assert {r["url"] for r in content.collect()} == {
+        "http://a.example.com/1", "http://b.example.com/2"
+    }

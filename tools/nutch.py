@@ -26,6 +26,7 @@ a reference user can run their existing playbook verbatim:
     python tools/nutch.py clean    crawldb/ deletes/
     python tools/nutch.py dump     seg_parse_text/ files/
     python tools/nutch.py commoncrawldump pages/ out/
+    python tools/nutch.py arc     arcs/ segments/
     python tools/nutch.py warc     seg_content/ out/
     python tools/nutch.py domainstats crawldb/ [--mode host|domain|suffix|tld]
     python tools/nutch.py protocolstats crawldb/
@@ -690,6 +691,28 @@ def cmd_warc(args) -> int:
     return 0
 
 
+def cmd_arc(args) -> int:
+    """ArcSegmentCreator: ARC archives -> a segment (crawl_fetch datums
+    + content rows), tools/arc/ArcSegmentCreator.java:368-409."""
+    import time
+
+    from nutch_spark.operators.arc import arc_segment, read_arc
+
+    spark = _spark()
+    seg_name = args.segment_name or time.strftime("%Y%m%d%H%M%S")
+    seg = arc_segment(
+        read_arc(spark, args.arc_files),
+        now_ms=int(time.time() * 1000),
+        segment_name=seg_name,
+    )
+    out = os.path.join(args.segments_out, seg_name)
+    _write(seg["crawl_fetch"], os.path.join(out, "crawl_fetch"))
+    _write(seg["content"], os.path.join(out, "content"))
+    n = seg["crawl_fetch"].count()
+    print(f"arc: wrote segment {seg_name} ({n} records) to {out}")
+    return 0
+
+
 def cmd_domainstats(args) -> int:
     from nutch_spark.operators.stats import domain_stats
 
@@ -999,6 +1022,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("warc")
     s.add_argument("content"); s.add_argument("out")
     s.set_defaults(fn=cmd_warc)
+
+    s = sub.add_parser("arc")
+    s.add_argument("arc_files"); s.add_argument("segments_out")
+    s.add_argument("--segment-name", default=None)
+    s.set_defaults(fn=cmd_arc)
 
     s = sub.add_parser("domainstats")
     s.add_argument("crawldb")
