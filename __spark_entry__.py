@@ -1041,10 +1041,12 @@ def q_depth_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k over the embeddings table
-    (ml/similarity.py); double-precision, sequential fold — exactly
+    """Cosine top-k over the embeddings table via the
+    ``similarity_topk`` dispatcher (ml/similarity.py): 8 queries is
+    under the documented Q bound, so this resolves to the exact
+    brute-force plan; double-precision, sequential fold — exactly
     mirrored by the list_reduce oracle."""
-    from nutch_spark.ml.similarity import brute_force_topk
+    from nutch_spark.ml.similarity import similarity_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
@@ -1053,7 +1055,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(e, q, k=10)
+    return similarity_topk(e, q, k=10, n_queries=8)
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

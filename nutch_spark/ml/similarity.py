@@ -17,8 +17,56 @@ bit count trading recall for cost. Both avoid Python entirely.
 
 from __future__ import annotations
 
+import logging
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def recommended_n_bits(corpus_size: int, target_bucket: int = 4096) -> int:
+    """Sizing rule for the sign-LSH paths: expected bucket size is
+    ~N / 2^n_bits (random hyperplanes on roughly-centered data), so
+    pick n_bits = ceil(log2(N / target_bucket)). The default n_bits=8
+    (256 buckets) is calibrated to the contract's 10^3..10^5 corpora;
+    at 10^9 vectors use ~18 bits (and at 10^10, ~21) or the per-bucket
+    self-join goes quadratic. Same rule sizes IVF: n_centroids ~
+    N / target_bucket, switching ivf_assign to the broadcast-join form
+    above ~256 centroids (see its docstring)."""
+    if corpus_size <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(corpus_size / target_bucket)))
+
+
+def _cap_bucket_members(
+    bucketed: DataFrame,
+    keys: list[str],
+    order_col: str,
+    bucket_cap: int,
+    what: str,
+) -> DataFrame:
+    """Skew guard: keep at most ``bucket_cap`` members per bucket,
+    chosen by a deterministic md5 shuffle of the member id (so the
+    survivors are an unbiased sample, not a prefix of the id space).
+    The count of dropped members is computed eagerly and logged — the
+    no-silent-caps rule: a capped bucket means recall loss, and the
+    operator says so. The window partitions by the same keys the
+    candidate join shuffles on, so it rides the same exchange."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.md5(F.col(order_col).cast("string")), F.col(order_col)
+    )
+    ranked = bucketed.withColumn("_brank", F.row_number().over(w))
+    dropped = ranked.filter(F.col("_brank") > bucket_cap).count()
+    if dropped:
+        log.warning(
+            "%s: bucket_cap=%d dropped %d bucket members (recall loss on "
+            "skewed buckets; raise n_bits per recommended_n_bits to shrink "
+            "buckets instead of capping harder)",
+            what, bucket_cap, dropped,
+        )
+    return ranked.filter(F.col("_brank") <= bucket_cap).drop("_brank")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -52,6 +100,13 @@ def brute_force_topk(
 
     ``queries``: (query_id, embedding). Returns (query_id, vec_id,
     cosine_sim, rank). Self-matches (same id) are excluded.
+
+    Q bound: this is an O(N*Q) broadcast crossJoin — the RIGHT plan
+    only while the query set is small (rule of thumb Q <= ~64 at 10^9
+    corpus rows: one corpus scan evaluating Q dot products per row; the
+    broadcast itself caps Q at driver/executor memory). Above that,
+    route through :func:`similarity_topk`, which dispatches to
+    :func:`lsh_bucket_topk` (or call the LSH/IVF paths directly).
     """
     q = queries.select(
         F.col("query_id"), F.col("embedding").alias("q_emb")
@@ -94,6 +149,7 @@ def embedding_near_duplicates(
     dim: int = 16,
     n_bits: int = 8,
     tables: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs — the vector-space member of the
     dedup family (ml/dedup.py): candidates are corpus pairs sharing a
@@ -104,7 +160,13 @@ def embedding_near_duplicates(
     Scale: the all-pairs O(n^2) problem becomes per-bucket self-joins
     (each bucket a separate shuffle key); near-identical vectors always
     share every bucket, so recall loss only affects borderline pairs —
-    the standard prune-then-verify shape, all JVM."""
+    the standard prune-then-verify shape, all JVM. Size ``n_bits`` with
+    :func:`recommended_n_bits` (the default 8 fits ~10^5-row corpora,
+    NOT 10^9 — see that docstring). ``bucket_cap`` is the skew guard
+    for adversarial/degenerate buckets (e.g. the zero vector, scraper
+    boilerplate): at most that many members per (table, bucket) enter
+    the self-join, a deterministic md5-shuffled sample, and the dropped
+    count is logged — never silently."""
     c = embeddings.select("vec_id", F.col("embedding").alias("emb"))
     b = c.select(
         "vec_id",
@@ -113,6 +175,10 @@ def embedding_near_duplicates(
             F.array(*[lsh_sign_bucket(F.col("emb"), dim, t, n_bits) for t in range(tables)])
         ).alias("table", "bucket"),
     )
+    if bucket_cap is not None:
+        b = _cap_bucket_members(
+            b, ["table", "bucket"], "vec_id", bucket_cap, "embedding_near_duplicates"
+        )
     a_ = b.alias("a")
     b_ = b.alias("b")
     cand = (
@@ -143,9 +209,13 @@ def lsh_bucket_topk(
     dim: int = 16,
     n_bits: int = 8,
     tables: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in any of the
-    hash tables; exact cosine re-rank on candidates."""
+    hash tables; exact cosine re-rank on candidates. Size ``n_bits``
+    with :func:`recommended_n_bits`; ``bucket_cap`` caps corpus members
+    per (table, bucket) with a logged drop count (skew guard — see
+    :func:`embedding_near_duplicates`)."""
     c = embeddings.select("vec_id", F.col("embedding").alias("c_emb"))
     q = queries.select("query_id", F.col("embedding").alias("q_emb"))
     c_b = c.select(
@@ -155,6 +225,10 @@ def lsh_bucket_topk(
             F.array(*[lsh_sign_bucket(F.col("c_emb"), dim, t, n_bits) for t in range(tables)])
         ).alias("table", "bucket"),
     )
+    if bucket_cap is not None:
+        c_b = _cap_bucket_members(
+            c_b, ["table", "bucket"], "vec_id", bucket_cap, "lsh_bucket_topk"
+        )
     q_b = q.select(
         "query_id",
         "q_emb",
@@ -175,6 +249,26 @@ def lsh_bucket_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def similarity_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    q_threshold: int = 64,
+    n_queries: int | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Top-k dispatch (the entry point callers should use): exact
+    brute force while the query set is small enough that the O(N*Q)
+    broadcast crossJoin is the best plan, sign-LSH bucketing above the
+    threshold. Pass ``n_queries`` when the caller already knows |Q|
+    (avoids the count job); ``lsh_kwargs`` forward dim/n_bits/tables/
+    bucket_cap to :func:`lsh_bucket_topk`."""
+    q_count = queries.count() if n_queries is None else n_queries
+    if q_count <= q_threshold:
+        return brute_force_topk(embeddings, queries, k=k)
+    return lsh_bucket_topk(embeddings, queries, k=k, **lsh_kwargs)
 
 
 def _centroid_seeds(embeddings: DataFrame, n_centroids: int) -> list:

@@ -180,3 +180,78 @@ def test_cosine_nan_embedding_scores_zero(spark):
             df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
     assert vals[0] == 0.0
     assert abs(vals[1] - 1.0) < 1e-9
+
+
+def test_recommended_n_bits_scaling():
+    from nutch_spark.ml.similarity import recommended_n_bits
+
+    # expected bucket ~ N / 2^bits <= target
+    assert recommended_n_bits(1000) == 1  # under target: no split needed
+    assert recommended_n_bits(10**6, target_bucket=4096) == 8
+    assert recommended_n_bits(10**9, target_bucket=4096) == 18
+    assert recommended_n_bits(10**10, target_bucket=4096) == 22
+    for n in (10**6, 10**9):
+        bits = recommended_n_bits(n)
+        assert n / 2**bits <= 4096
+
+
+def test_similarity_topk_dispatch_plan_shape(spark):
+    from nutch_spark.ml.similarity import similarity_topk
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(30, DIM)
+    emb = embeddings(spark, vecs)
+    q = embeddings(spark, vecs[:3]).withColumnRenamed("vec_id", "query_id")
+    # small Q: exact brute force — the broadcast nested-loop crossJoin
+    small = similarity_topk(emb, q, k=3, n_queries=3)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" in plan or "CartesianProduct" in plan
+    # above the threshold: LSH bucket join, no nested-loop product
+    big = similarity_topk(
+        emb, q, k=3, n_queries=999, q_threshold=64, dim=DIM, n_bits=4, tables=6
+    )
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan_big
+    assert "CartesianProduct" not in plan_big
+    # both plans produce the planted ranking for an easy query set
+    assert {r["query_id"] for r in small.collect()} == {0, 1, 2}
+    assert {r["query_id"] for r in big.collect()} == {0, 1, 2}
+
+
+def test_bucket_cap_bounds_adversarial_single_bucket(spark, caplog):
+    import logging as _logging
+
+    from nutch_spark.ml.similarity import embedding_near_duplicates
+
+    # adversarial corpus: 60 identical vectors — every LSH table puts
+    # them all in ONE bucket, so the uncapped self-join is 60*59/2
+    # pairs per table; the cap bounds members per (table, bucket)
+    vecs = [[1.0] * DIM for _ in range(60)]
+    emb = embeddings(spark, vecs)
+    with caplog.at_level(_logging.WARNING, logger="nutch_spark.ml.similarity"):
+        out = embedding_near_duplicates(
+            emb, threshold=0.9, dim=DIM, n_bits=4, tables=2, bucket_cap=10
+        ).collect()
+    # at most C(10,2) distinct pairs can survive per table; with
+    # identical members both tables pick the same md5-ordered sample
+    assert 0 < len(out) <= 2 * 45
+    assert any("dropped" in r.message for r in caplog.records)
+    # uncapped: the full quadratic pair set comes back
+    full = embedding_near_duplicates(
+        emb, threshold=0.9, dim=DIM, n_bits=4, tables=2
+    ).count()
+    assert full == 60 * 59 // 2
+
+
+def test_bucket_cap_no_drop_no_log(spark, caplog):
+    import logging as _logging
+
+    from nutch_spark.ml.similarity import embedding_near_duplicates
+
+    rng = np.random.RandomState(3)
+    emb = embeddings(spark, rng.randn(20, DIM))
+    with caplog.at_level(_logging.WARNING, logger="nutch_spark.ml.similarity"):
+        embedding_near_duplicates(
+            emb, threshold=0.99, dim=DIM, n_bits=4, tables=2, bucket_cap=1000
+        ).collect()
+    assert not [r for r in caplog.records if "dropped" in r.message]
