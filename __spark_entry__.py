@@ -690,6 +690,32 @@ def q_linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", F.round("score", 6).alias("score"))
 
 
+def q_link_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinkDumper (scoring/webgraph/LinkDumper.java via
+    operators/webgraph.link_dumper): the url -> inlink-node-detail db
+    over the linkrank fixture graph, with the per-url inlink cap set to
+    2 so the deterministic cap refinement (ascending from_url) is
+    oracle-checked; arrays exploded to flat rows for the hash gate."""
+    from nutch_spark.operators.webgraph import build_webgraph, link_dumper, linkrank
+
+    docs = _docs(spark, sf_dir)
+    n = _n_docs(docs, sf_dir)
+    ks = docs.select("doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"))
+    tid = (F.col("doc_id") * 7 + F.col("k") * 13 + 1) % n
+    outlinks = ks.select(_url_col().alias("url"), _url_col(tid).alias("to_url"))
+    g = build_webgraph(outlinks)
+    scores = linkrank(g, iterations=2, limit_domains=False)
+    dump = link_dumper(g, scores=scores, max_inlinks=2)
+    return dump.select("url", F.explode("inlinks").alias("ln")).select(
+        "url",
+        F.col("ln.from_url").alias("from_url"),
+        F.col("ln.num_inlinks").alias("num_inlinks"),
+        F.col("ln.num_outlinks").alias("num_outlinks"),
+        F.round(F.col("ln.inlink_score"), 6).alias("inlink_score"),
+        F.round(F.col("ln.outlink_score"), 6).alias("outlink_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings / events)
 # ---------------------------------------------------------------------------
@@ -2594,6 +2620,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "free_generate": q_free_generate,
         "text_profile_sig": q_text_profile_sig,
         "linkrank": q_linkrank,
+        "link_dump": q_link_dump,
         "text_analysis": q_text_analysis,
         "quality_score": q_quality,
         "exact_dup_groups": q_exact_dups,
@@ -5010,6 +5037,67 @@ s2 AS (
   FROM nodes n CROSS JOIN params p LEFT JOIN t2 ON t2.dst = n.url
 )
 SELECT url, round(score, 6) AS score FROM s2
+""",
+        # ---- linkdumper inlink detail ---------------------------------------
+        "link_dump": """
+WITH links AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+        || CAST(doc_id AS VARCHAR) AS src,
+      'http://host' || CAST(tid % 40 AS VARCHAR) || '.example.com/doc/'
+        || CAST(tid AS VARCHAR) AS dst
+    FROM (SELECT doc_id, (doc_id * 7 + k * 13 + 1) % (SELECT COUNT(*) FROM documents) AS tid
+          FROM documents, (SELECT unnest([0, 1, 2]) AS k))
+  ) WHERE src <> dst
+),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM links GROUP BY src),
+nodes AS (SELECT DISTINCT url FROM
+          (SELECT src AS url FROM links UNION ALL SELECT dst FROM links)),
+params AS (SELECT 1.0 / COUNT(*) AS rank_one FROM nodes),
+s0 AS (SELECT url, 1.0 AS score FROM nodes),
+t1 AS (
+  SELECT l.dst, round(SUM(s.score / od.outdeg), 9) AS tot
+  FROM links l JOIN s0 s ON s.url = l.src JOIN outdeg od ON od.src = l.src
+  GROUP BY l.dst
+),
+s1 AS (
+  SELECT n.url, round((1.0 - 0.85) + 0.85 * (p.rank_one + COALESCE(t1.tot, 0.0)), 9) AS score
+  FROM nodes n CROSS JOIN params p LEFT JOIN t1 ON t1.dst = n.url
+),
+t2 AS (
+  SELECT l.dst, round(SUM(s.score / od.outdeg), 9) AS tot
+  FROM links l JOIN s1 s ON s.url = l.src JOIN outdeg od ON od.src = l.src
+  GROUP BY l.dst
+),
+s2 AS (
+  SELECT n.url, round((1.0 - 0.85) + 0.85 * (p.rank_one + COALESCE(t2.tot, 0.0)), 9) AS score
+  FROM nodes n CROSS JOIN params p LEFT JOIN t2 ON t2.dst = n.url
+),
+indeg AS (SELECT dst AS url, COUNT(*) AS num_inlinks FROM links GROUP BY dst),
+node AS (
+  SELECT n.url,
+         COALESCE(i.num_inlinks, 0) AS num_inlinks,
+         COALESCE(o.outdeg, 0) AS num_outlinks,
+         s.score
+  FROM nodes n
+  LEFT JOIN indeg i ON i.url = n.url
+  LEFT JOIN outdeg o ON o.src = n.url
+  JOIN s2 s ON s.url = n.url
+),
+inv AS (
+  SELECT l.dst AS url, l.src AS from_url,
+         n.num_inlinks, n.num_outlinks,
+         round(n.score, 6) AS inlink_score,
+         round(CASE WHEN n.num_outlinks > 0
+               THEN round(n.score / n.num_outlinks, 9) ELSE 0.0 END, 6) AS outlink_score,
+         row_number() OVER (PARTITION BY l.dst ORDER BY l.src ASC) AS rn
+  FROM links l JOIN node n ON n.url = l.src
+)
+SELECT url, from_url,
+  CAST(num_inlinks AS BIGINT) AS num_inlinks,
+  CAST(num_outlinks AS BIGINT) AS num_outlinks,
+  inlink_score, outlink_score
+FROM inv WHERE rn <= 2
 """,
         # ---- text analysis ------------------------------------------------
         "text_analysis": f"""

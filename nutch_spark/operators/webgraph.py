@@ -110,6 +110,97 @@ def linkrank(
     return scores
 
 
+def link_dumper(
+    links: DataFrame,
+    scores: DataFrame | None = None,
+    max_inlinks: int = 50000,
+    initial_score: float = 1.0,
+) -> DataFrame:
+    """LinkDumper (``scoring/webgraph/LinkDumper.java:209-315``): the
+    url -> inlink-detail database behind ``LinkDumper$Reader`` — for
+    each url, every inlink with its SOURCE node's full scoring state
+    (num in/outlinks, inlink score, outlink score = score/numOutlinks,
+    ``Node.java:67-69``), so "why does this url rank this way" is one
+    lookup. ``scores`` is the LinkRank output (absent -> every node at
+    the initial score, like a pre-analysis nodeDb).
+
+    The reference caps at 50000 inlinks per url in reducer iteration
+    order (nondeterministic under MR; :300-309) — we keep the first
+    ``max_inlinks`` by ascending from_url, a deterministic refinement.
+
+    Scale: node stats are two aggregations over the persisted links
+    table; the invert join shuffles on src, the final group on dst —
+    the same two exchanges the LinkRank iteration already pays, with
+    the per-url cap bounding mega-hub rows (the array for a url with
+    10^7 inlinks is capped, not materialized)."""
+    indeg = links.groupBy(F.col("dst").alias("url")).agg(
+        F.count("*").alias("num_inlinks")
+    )
+    # links already carries outdeg per src (build_webgraph)
+    node = (
+        links.select(F.col("src").alias("url"), "outdeg").distinct()
+        .join(indeg, "url", "full_outer")
+        .select(
+            "url",
+            F.coalesce("num_inlinks", F.lit(0)).alias("num_inlinks"),
+            F.coalesce("outdeg", F.lit(0)).alias("num_outlinks"),
+        )
+    )
+    if scores is not None:
+        node = node.join(scores.select("url", "score"), "url", "left").withColumn(
+            "score", F.coalesce("score", F.lit(float(initial_score)))
+        )
+    else:
+        node = node.withColumn("score", F.lit(float(initial_score)))
+    node = node.withColumn(
+        "outlink_score",
+        F.when(
+            F.col("num_outlinks") > 0,
+            F.round(F.col("score") / F.col("num_outlinks"), 9),
+        ).otherwise(F.lit(0.0)),
+    )
+    # Inverter (:213-277): attach the SOURCE node to each link, keyed by
+    # the target (numOutlinks > 0 always holds for a link's src here)
+    inv = links.select("src", "dst").join(
+        node.select(
+            F.col("url").alias("src"),
+            F.struct(
+                F.col("src").alias("from_url"),
+                "num_inlinks",
+                "num_outlinks",
+                F.col("score").alias("inlink_score"),
+                "outlink_score",
+            ).alias("ln"),
+        ),
+        "src",
+    )
+    # Merger (:281-315): one array per url, capped
+    return (
+        inv.groupBy(F.col("dst").alias("url"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("ln")), 1, max_inlinks
+            ).alias("inlinks")
+        )
+    )
+
+
+def link_dump_lines(dump: DataFrame, url: str) -> list[str]:
+    """LinkDumper$Reader (:79-112): the printable inlink detail for one
+    url, one line per inlink in the reference's format."""
+    row = dump.filter(F.col("url") == url).collect()
+    lines = [f"{url}:"]
+    if row:
+        for ln in row[0]["inlinks"]:
+            lines.append(
+                f"  {ln['from_url']} - num inlinks: {ln['num_inlinks']},"
+                f" num outlinks: {ln['num_outlinks']},"
+                f" inlink score: {ln['inlink_score']},"
+                f" outlink score: {ln['outlink_score']}, metadata: {{}}"
+            )
+    return lines
+
+
 def score_updater(crawldb: DataFrame, scores: DataFrame, clear_score: float = 0.0) -> DataFrame:
     """ScoreUpdater: push LinkRank scores into the CrawlDb
     (ScoreUpdater.java:115-132)."""

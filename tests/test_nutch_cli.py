@@ -438,3 +438,44 @@ def test_arc_segment_creator_cli(spark, tmp_path, capsys):
     assert {r["url"] for r in content.collect()} == {
         "http://a.example.com/1", "http://b.example.com/2"
     }
+
+
+def test_linkdumper_cli(spark, tmp_path, capsys):
+    outlinks = str(tmp_path / "ol")
+    spark.createDataFrame(
+        [("http://a.example.com/", "http://t.example.com/"),
+         ("http://b.example.com/", "http://t.example.com/")],
+        "url string, to_url string",
+    ).write.parquet(outlinks)
+    graph = str(tmp_path / "graph")
+    assert nutch_cli.main(["webgraph", outlinks, graph]) == 0
+    capsys.readouterr()
+    dumpdir = str(tmp_path / "linkdump")
+    assert nutch_cli.main(
+        ["linkdumper", graph, "--out", dumpdir, "--url", "http://t.example.com/"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "http://t.example.com/:" in out
+    assert "  http://a.example.com/ - num inlinks: 0, num outlinks: 1," in out
+    assert spark.read.parquet(dumpdir).count() == 1
+
+
+def test_filedump_and_resolveurls_cli(spark, tmp_path, capsys):
+    content = str(tmp_path / "content")
+    spark.createDataFrame(
+        [("http://a.example.com/p.html", b"<html>x</html>", "text/html")],
+        "url string, content binary, mime string",
+    ).write.parquet(content)
+    out = str(tmp_path / "files")
+    assert nutch_cli.main(["filedump", content, out]) == 0
+    assert "wrote 1 files" in capsys.readouterr().out
+    assert nutch_cli.main(["filedump", content, "--mime-stats"]) == 0
+    assert "text/html\t1" in capsys.readouterr().out
+
+    urls = tmp_path / "urls.txt"
+    urls.write_text("http://a.example.com/x\nhttp://dead.example.com/\n")
+    hosts = str(tmp_path / "hosts")
+    spark.createDataFrame([("a.example.com", "10.0.0.1")],
+                          "host string, ip string").write.parquet(hosts)
+    assert nutch_cli.main(["resolveurls", str(urls), "--hosts", hosts]) == 0
+    assert "total: 2, resolved: 1, errored: 1" in capsys.readouterr().out

@@ -145,3 +145,50 @@ def test_merge_segments_tie_break_by_segment_order(spark):
     # merging the merged output with itself changes nothing
     again = merge_segments([m, m])
     assert [(r["url"], r["status"]) for r in again.collect()] == [("a", 2)]
+
+
+def test_link_dumper_inlink_detail(spark):
+    from nutch_spark.operators.webgraph import link_dump_lines, link_dumper
+
+    # a -> hub, b -> hub, hub -> a ; a also -> c
+    g = build_webgraph(
+        links_df(spark, [("a", "hub"), ("b", "hub"), ("hub", "a"), ("a", "c")])
+    )
+    scores = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.0), ("hub", 4.0), ("c", 0.5)], "url string, score double"
+    )
+    dump = {r["url"]: r["inlinks"] for r in link_dumper(g, scores=scores).collect()}
+    # hub's inlinks carry each SOURCE node's full state
+    hub = {ln["from_url"]: ln for ln in dump["hub"]}
+    assert set(hub) == {"a", "b"}
+    # a: 1 inlink (from hub), 2 outlinks (hub, c), score 2.0 -> outlink 1.0
+    assert hub["a"]["num_inlinks"] == 1
+    assert hub["a"]["num_outlinks"] == 2
+    assert hub["a"]["inlink_score"] == 2.0
+    assert hub["a"]["outlink_score"] == 1.0
+    # b: 0 inlinks, 1 outlink, score 1.0 -> outlink 1.0
+    assert hub["b"]["num_inlinks"] == 0
+    assert hub["b"]["outlink_score"] == 1.0
+    # c has one inlink from a
+    assert [ln["from_url"] for ln in dump["c"]] == ["a"]
+    # without scores, every node sits at the initial 1.0
+    dump0 = {r["url"]: r["inlinks"] for r in link_dumper(g).collect()}
+    assert {ln["inlink_score"] for ln in dump0["hub"]} == {1.0}
+    # reader formatting (LinkDumper$Reader)
+    lines = link_dump_lines(link_dumper(g, scores=scores), "c")
+    assert lines[0] == "c:"
+    assert lines[1] == ("  a - num inlinks: 1, num outlinks: 2, "
+                        "inlink score: 2.0, outlink score: 1.0, metadata: {}")
+
+
+def test_link_dumper_cap_is_deterministic(spark):
+    from nutch_spark.operators.webgraph import link_dumper
+
+    pairs = [(f"s{i:03d}", "t") for i in range(20)]
+    g = build_webgraph(links_df(spark, pairs))
+    dump = link_dumper(g, max_inlinks=5).filter("url = 't'").collect()[0]
+    # first max_inlinks by ascending from_url (documented refinement of
+    # the reference's nondeterministic reducer-order cap)
+    assert [ln["from_url"] for ln in dump["inlinks"]] == [
+        "s000", "s001", "s002", "s003", "s004"
+    ]

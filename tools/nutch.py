@@ -691,6 +691,60 @@ def cmd_warc(args) -> int:
     return 0
 
 
+def cmd_filedump(args) -> int:
+    """FileDumper (tools/FileDumper.java): stored content -> one local
+    file per record (md5-fanout naming), or -mimeStats counts only."""
+    from nutch_spark.operators.filedump import file_dumper
+
+    spark = _spark()
+    stats = file_dumper(
+        _read(spark, args.content),
+        None if args.mime_stats else args.out,
+        mime_types=args.mime_type or None,
+        flat=args.flat,
+        mime_type_stats=args.mime_stats,
+        reverse_url_dirs=args.reverse_url_dirs,
+    )
+    for mime, n in sorted(stats["typeCounts"].items()):
+        kept = stats["filteredCounts"].get(mime, 0)
+        print(f"{mime}\t{n}\t{kept}")
+    print(f"filedump: wrote {stats['files']} files")
+    return 0
+
+
+def cmd_resolveurls(args) -> int:
+    """ResolveUrls (tools/ResolveUrls.java): host resolution check over
+    a urls file; --hosts supplies a (host, ip) table (no network here)."""
+    from nutch_spark.operators.filedump import resolve_urls, resolve_urls_summary
+
+    spark = _spark()
+    urls = spark.read.text(args.urls).withColumnRenamed("value", "url")
+    resolver = _read(spark, args.hosts) if args.hosts else None
+    out = resolve_urls(urls, resolver=resolver)
+    s = resolve_urls_summary(out)
+    print(f"total: {s['total']}, resolved: {s['resolved']}, errored: {s['errored']}")
+    return 0
+
+
+def cmd_linkdumper(args) -> int:
+    """LinkDumper (scoring/webgraph/LinkDumper.java): build the
+    url -> inlink-node-detail db; --url prints one url's detail like
+    LinkDumper$Reader."""
+    from nutch_spark.operators.webgraph import link_dump_lines, link_dumper
+
+    spark = _spark()
+    links = _read(spark, args.webgraph)
+    scores = _read(spark, args.scores) if args.scores else None
+    dump = link_dumper(links, scores=scores, max_inlinks=args.max_inlinks)
+    if args.out:
+        _write(dump, args.out)
+        print(f"linkdumper: {_read(spark, args.out).count()} urls")
+    if args.url:
+        for line in link_dump_lines(dump, args.url):
+            print(line)
+    return 0
+
+
 def cmd_arc(args) -> int:
     """ArcSegmentCreator: ARC archives -> a segment (crawl_fetch datums
     + content rows), tools/arc/ArcSegmentCreator.java:368-409."""
@@ -1022,6 +1076,27 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("warc")
     s.add_argument("content"); s.add_argument("out")
     s.set_defaults(fn=cmd_warc)
+
+    s = sub.add_parser("filedump")
+    s.add_argument("content"); s.add_argument("out", nargs="?", default=None)
+    s.add_argument("--mime-type", action="append", default=None)
+    s.add_argument("--flat", action="store_true")
+    s.add_argument("--mime-stats", action="store_true")
+    s.add_argument("--reverse-url-dirs", action="store_true")
+    s.set_defaults(fn=cmd_filedump)
+
+    s = sub.add_parser("resolveurls")
+    s.add_argument("urls")
+    s.add_argument("--hosts", default=None)
+    s.set_defaults(fn=cmd_resolveurls)
+
+    s = sub.add_parser("linkdumper")
+    s.add_argument("webgraph")
+    s.add_argument("--scores", default=None)
+    s.add_argument("--out", default=None)
+    s.add_argument("--url", default=None)
+    s.add_argument("--max-inlinks", type=int, default=50000)
+    s.set_defaults(fn=cmd_linkdumper)
 
     s = sub.add_parser("arc")
     s.add_argument("arc_files"); s.add_argument("segments_out")
