@@ -1280,6 +1280,47 @@ def q_fetch_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_fetch.select("url", "status", "fetch_time")
 
 
+def q_bandwidth_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 bandwidth auto-scaling controller (Fetcher.java:263-412)
+    over the politeness fetch: target 150 kbps, checks every N=2 ticks
+    (period N+1 = 3 s — the reference's counter-ladder off-by-one),
+    bytes = latency*120. The 20-host first-item burst overshoots the
+    target (halt 3 of 4 threads), the second window is silent (bps 0 ->
+    avg 0 -> no action), and the slow crawl-delay hosts' tail undershoots
+    with queue headroom (spawn). The oracle replays the sequential
+    thread state with a recursive CTE over the same per-check
+    aggregates; actuation is N/A on Spark (stage parallelism is fixed
+    at submit — SURVEY §2.6), so the trajectory IS the operator's
+    output, exactly like the reference's monitor-thread decisions."""
+    from nutch_spark.operators.bandwidth import bandwidth_controller
+    from nutch_spark.operators.fetchsim import fetch
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject_full
+
+    cfg = replace(
+        CFG,
+        fetch_partitions=1,
+        fetcher_server_delay=11.0,
+        fetcher_bandwidth_target_kbps=150,
+        fetcher_bandwidth_check_every_secs=2,
+        fetcher_threads_fetch=4,
+        fetcher_max_num_threads=12,
+    )
+    docs, robots, outcomes, seeds = _web(spark, sf_dir)
+    db = inject_full(spark, None, seeds, cfg, GEN_NOW)
+    fl = generate(db, cfg, GEN_NOW, top_n=200, num_lists=1)
+    crawl_fetch, _ = fetch(fl, robots, outcomes, cfg, GEN_NOW)
+    comp = crawl_fetch.join(outcomes.select("url", "latency_ms"), "url").select(
+        "host",
+        (F.col("fetch_time") + F.col("latency_ms")).cast("long").alias("end_ms"),
+        (F.col("latency_ms") * 120).cast("long").alias("bytes"),
+    )
+    return bandwidth_controller(comp, cfg, GEN_NOW).select(
+        "check_idx", "check_ms", "bytes_total", "bps", "avg_bps_per_thread",
+        "queue_count", "threads_before", "delta_threads", "threads_after",
+    )
+
+
 def _web_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, _, _, _ = _web(spark, sf_dir)
     return docs.select(
@@ -2639,6 +2680,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fetch_politeness": q_fetch_politeness,
         "fetch_politeness_byip": q_fetch_politeness_byip,
         "fetch_throughput": q_fetch_throughput,
+        "bandwidth_trajectory": q_bandwidth_trajectory,
         "fetch_depth_follow": q_fetch_depth_follow,
         "fetch_statuses": q_fetch_statuses,
         "parse_outlinks": q_parse_outlinks,
@@ -3172,6 +3214,89 @@ FROM ends, kill
 WHERE kill.kill_sec IS NULL OR pfx < (kill.kill_sec + 1) * 1000
 """
 
+# F11 controller replay (q_bandwidth_trajectory): the politeness clock
+# with server delay 11 s (robots crawl-delay 8 s for host%11=0), then
+# the sequential thread state as a recursive CTE — check k sees the
+# cumulative bytes of completions with end <= k*3000 and the count of
+# queues whose last item is still pending; bps/avg/spawn/halt use
+# truncating integer division exactly like Fetcher.java:345-404
+# (target 150_000 bits/s, threads0 4, maxNum 12, maxThreadsPerQueue 1).
+_BANDWIDTH_ORACLE = f"""
+WITH RECURSIVE
+f AS (
+  SELECT doc_id AS did, doc_id % 20 AS host_id,
+    'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
+      || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 40
+),
+h AS (
+  SELECT url, host_id, {_URLHASH_SQL} AS url_hash,
+    50 + did % 100 AS latency,
+    CASE WHEN host_id % 11 = 0 THEN 8000 ELSE 11000 END AS delay_ms
+  FROM f
+),
+comp AS (
+  SELECT host_id, latency * 120 AS bytes,
+    COALESCE(SUM(latency + delay_ms) OVER (
+      PARTITION BY host_id ORDER BY url_hash, url
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + latency AS end_off
+  FROM h
+),
+ks AS (
+  SELECT CAST(g.k AS BIGINT) AS k
+  FROM (SELECT unnest(generate_series(1, 1000)) AS k) g, (SELECT MAX(end_off) AS max_end FROM comp) me
+  WHERE g.k * 3000 < me.max_end
+),
+cumb AS (
+  SELECT ks.k, COALESCE(SUM(c2.bytes), 0) AS cum
+  FROM ks LEFT JOIN comp c2 ON c2.end_off <= ks.k * 3000 GROUP BY ks.k
+),
+qact AS (
+  SELECT ks.k, COUNT(q.host_id) AS qcount
+  FROM ks LEFT JOIN (
+    SELECT host_id, MAX(end_off) AS qend FROM comp GROUP BY host_id
+  ) q ON q.qend > ks.k * 3000
+  GROUP BY ks.k
+),
+checks AS (SELECT cumb.k, cumb.cum, qact.qcount FROM cumb JOIN qact ON cumb.k = qact.k),
+state AS (
+  SELECT CAST(0 AS BIGINT) AS k, CAST(4 AS BIGINT) AS threads, CAST(0 AS BIGINT) AS cum
+  UNION ALL
+  SELECT c.k,
+    s.threads + CASE
+      WHEN ((c.cum - s.cum) * 8) // 2 < 150000
+           AND (((c.cum - s.cum) * 8) // 2) // s.threads > 0
+           AND c.qcount > s.threads
+        THEN LEAST(
+          (150000 - ((c.cum - s.cum) * 8) // 2)
+            // ((((c.cum - s.cum) * 8) // 2) // s.threads),
+          12 - s.threads)
+      WHEN ((c.cum - s.cum) * 8) // 2 > 150000
+           AND (((c.cum - s.cum) * 8) // 2) // s.threads > 0
+        THEN -(CASE
+          WHEN (((c.cum - s.cum) * 8) // 2 - 150000)
+                 // ((((c.cum - s.cum) * 8) // 2) // s.threads) >= s.threads
+          THEN 0
+          ELSE (((c.cum - s.cum) * 8) // 2 - 150000)
+                 // ((((c.cum - s.cum) * 8) // 2) // s.threads) END)
+      ELSE 0 END,
+    c.cum
+  FROM state s JOIN checks c ON c.k = s.k + 1
+)
+SELECT CAST(c.k AS INTEGER) AS check_idx,
+  CAST({GEN_NOW} + c.k * 3000 AS BIGINT) AS check_ms,
+  CAST(c.cum AS BIGINT) AS bytes_total,
+  CAST(((c.cum - s0.cum) * 8) // 2 AS BIGINT) AS bps,
+  CAST((((c.cum - s0.cum) * 8) // 2) // s0.threads AS BIGINT) AS avg_bps_per_thread,
+  CAST(c.qcount AS INTEGER) AS queue_count,
+  CAST(s0.threads AS INTEGER) AS threads_before,
+  CAST(s1.threads - s0.threads AS INTEGER) AS delta_threads,
+  CAST(s1.threads AS INTEGER) AS threads_after
+FROM checks c
+JOIN state s0 ON s0.k = c.k - 1
+JOIN state s1 ON s1.k = c.k
+"""
+
 
 # Two-cycle crawl replay (q_crawl_cycle) over integer doc ids. The
 # output drops fetch_time, so the politeness clock is irrelevant here;
@@ -3675,6 +3800,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["fetch_depth_follow"] = _FETCH_DEPTH_FOLLOW_ORACLE
     oracles["warc_export"] = _WARC_ORACLE
     oracles["fetch_throughput"] = _FETCH_THROUGHPUT_ORACLE
+    oracles["bandwidth_trajectory"] = _BANDWIDTH_ORACLE
     oracles["crawl_cycle"] = _CRAWL_CYCLE_ORACLE
     oracles["lsh_topk"] = _lsh_oracle()
     oracles["ivf_topk"] = _IVF_TOPK_ORACLE

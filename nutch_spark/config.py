@@ -77,6 +77,13 @@ class NutchConfig:
     fetcher_throughput_threshold_pages: int = -1  # fetcher.throughput.threshold.pages
     fetcher_throughput_threshold_retries: int = 5  # fetcher.throughput.threshold.retries
     fetcher_throughput_check_after_mins: int = 5  # fetcher.throughput.threshold.check.after
+    # bandwidth auto-scaling controller (F11, Fetcher.java:263-412):
+    # every check the 1 Hz monitor compares bits/sec since the last
+    # check against the target and adds/halts fetcher threads
+    fetcher_threads_fetch: int = 10  # fetcher.threads.fetch
+    fetcher_bandwidth_target_kbps: int = -1  # fetcher.bandwidth.target (kbit/s)
+    fetcher_bandwidth_check_every_secs: int = 30  # fetcher.bandwidth.target.check.everyNSecs
+    fetcher_max_num_threads: int = -1  # fetcher.maxNum.threads (< threads => threads)
     http_redirect_max: int = 0  # http.redirect.max (0 = record as linked)
 
     # in-fetch outlink following (F9, FetcherThread.java:840-886):
