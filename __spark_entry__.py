@@ -846,6 +846,61 @@ def q_arc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_detect_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection (data/encoding.py — util/EncodingDetector.java
+    parity): per doc, synthesize a content-type + HTTP header (5-way
+    header rotation incl. quoted charset, mislabelled ISO-8859-1, and
+    charset-free/NULL headers), UTF-8 content bytes, then run the
+    clue-walk column twin at min_confidence=50: a multibyte-valid UTF-8
+    body in a detectable mime wins by confidence; ASCII bodies fall
+    through to the (alias-resolved) header charset; no clue -> the
+    windows-1252 default."""
+    from nutch_spark.data.encoding import detect_charset_col, header_charset_col
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    header = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("text/html; charset=UTF-16"))
+        .when(F.col("doc_id") % 5 == 1, F.lit('text/plain; charset="windows-1254"'))
+        .when(F.col("doc_id") % 5 == 2, F.lit("application/pdf"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.lit("text/html; charset=ISO-8859-1"))
+    )
+    ct = F.when(F.col("doc_id") % 2 == 0, F.lit("text/plain")).otherwise(
+        F.lit("image/png")
+    )
+    # the synthetic docs are pure ASCII — give every 3rd doc a multibyte
+    # suffix so the confident-UTF-8 detect branch is actually exercised
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" é")).otherwise(F.lit("")),
+    )
+    content = F.encode(body, "UTF-8")
+    return d.select(
+        "doc_id",
+        header_charset_col(header).alias("header_charset"),
+        detect_charset_col(
+            content, ct, header, default="windows-1252", min_confidence=50
+        ).alias("charset"),
+    )
+
+
+def q_http_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP date round-trip (data/httpdate.py — net/protocols/
+    HttpDateFormat.java parity): format each order timestamp to the
+    RFC 1123 GMT form JVM-side, parse it back through the GMT fast
+    path, and surface both; parsed_ms must equal the source epoch."""
+    from nutch_spark.data.httpdate import http_date_col, parse_http_date_col
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    millis = (F.unix_timestamp(F.col("o_orderdate")) * 1000).cast("long")
+    http = http_date_col(millis)
+    return o.select(
+        "o_orderkey",
+        http.alias("http_date"),
+        parse_http_date_col(http).alias("parsed_ms"),
+    )
+
+
 def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
@@ -2720,6 +2775,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_detect": q_lang_detect,
         "lang_identify": q_lang_identify,
         "arc_ingest": q_arc_ingest,
+        "detect_encoding": q_detect_encoding,
+        "http_dates": q_http_dates,
     }
 
 
@@ -3826,6 +3883,36 @@ SELECT
   CAST(strlen(coalesce(text, '')) AS INTEGER) AS n_bytes
 FROM documents
 WHERE doc_id % 9 <> 0
+"""
+    # EncodingDetector clue-walk: the detect clue (valid multibyte
+    # UTF-8 in a detectable mime, confidence 80 >= 50) wins; ASCII
+    # bodies (confidence 10) fall through to the alias-resolved header
+    # charset (ISO-8859-1 corrected to windows-1252); else the default
+    oracles["detect_encoding"] = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN 'utf-16'
+         WHEN doc_id % 5 = 1 THEN 'windows-1254'
+         WHEN doc_id % 5 = 4 THEN 'windows-1252'
+         END AS header_charset,
+    doc_id % 2 = 0 AS detectable,
+    octet_length(encode(coalesce(text, '')
+      || CASE WHEN doc_id % 3 = 0 THEN ' é' ELSE '' END)) AS blen,
+    length(coalesce(text, '')
+      || CASE WHEN doc_id % 3 = 0 THEN ' é' ELSE '' END) AS clen
+  FROM documents)
+SELECT doc_id, header_charset,
+  CASE WHEN detectable AND blen > 4 AND blen > clen THEN 'utf-8'
+       ELSE coalesce(header_charset, 'windows-1252') END AS charset
+FROM t
+"""
+    # HttpDateFormat round-trip: DuckDB strftime's C-locale %a/%b match
+    # Spark's Locale.US EEE/MMM names; parse-back is the identity
+    oracles["http_dates"] = """
+SELECT o_orderkey,
+  strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S GMT') AS http_date,
+  epoch_ms(o_orderdate) AS parsed_ms
+FROM orders
 """
     oracles["orphan_scoring"] = _orphan_oracle()
     oracles["similarity_score"] = _similarity_oracle()

@@ -35,7 +35,6 @@ Scale: both paths are partition-parallel over a shared filesystem
 from __future__ import annotations
 
 import os
-from email.utils import formatdate
 from typing import Iterator
 
 import pandas as pd
@@ -43,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nutch_spark.data.httpdate import to_string as _http_date_str
 from nutch_spark.operators.index_filters import detect_mime_by_url
 
 _OUT_SCHEMA = (
@@ -57,7 +57,8 @@ _OUTCOMES = {200: "success", 304: "notmodified", 401: "access_denied",
 
 
 def _http_date(mtime: float) -> str:
-    return formatdate(mtime, usegmt=True)
+    # HttpDateFormat.FORMAT via the shared util (net/protocols parity)
+    return _http_date_str(int(mtime * 1000))
 
 
 def _list2html(path: str, include_dotdot: bool) -> bytes:

@@ -184,20 +184,45 @@ def arc_segment(
     return {"crawl_fetch": crawl_fetch, "content": content}
 
 
-def arc_text_spans(content: DataFrame, text_mimes: tuple[str, ...] = ("text/",)) -> DataFrame:
+def arc_text_spans(
+    content: DataFrame,
+    text_mimes: tuple[str, ...] = ("text/",),
+    detect_charset: bool = False,
+    min_confidence: int = 50,
+) -> DataFrame:
     """Bridge ARC content rows into the engine's interleaved-span
     document model (input_hint): text/* payloads become a single text
     span; other mimes become a media span referencing the record url —
     so ARC-ingested pages flow through the regular parse/signature/
-    index pipeline unchanged."""
+    index pipeline unchanged.
+
+    ``detect_charset=True`` runs the EncodingDetector column twin
+    (``data/encoding.py`` — parity with util/EncodingDetector.java,
+    which the reference's parse path applies to exactly this kind of
+    archived content) and decodes each payload under its detected
+    charset instead of assuming UTF-8; detection and the dominant
+    decodes stay JVM-side."""
     is_text = F.coalesce(F.col("mime"), F.lit(""))
     text_cond = None
     for m in text_mimes:
         c = is_text.startswith(m)
         text_cond = c if text_cond is None else (text_cond | c)
+    if detect_charset:
+        from nutch_spark.data.encoding import decode_with_charset_col, detect_charset_col
+
+        # the DETECTABLES gate wants the bare mime (no ;charset=...);
+        # the raw header doubles as the header-charset clue source
+        bare_mime = F.trim(F.element_at(F.split(is_text, ";"), 1))
+        cs = detect_charset_col(
+            F.col("content"), bare_mime, is_text,
+            default="utf-8", min_confidence=min_confidence,
+        )
+        decoded = decode_with_charset_col(F.col("content"), cs)
+    else:
+        decoded = F.col("content").cast("string")
     text_span = F.struct(
         F.lit("text").alias("kind"),
-        F.col("content").cast("string").alias("text"),
+        decoded.alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(0).alias("offset"),
     )

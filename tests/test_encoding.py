@@ -1,0 +1,107 @@
+"""EncodingDetector parity tests.
+
+Golden vectors ported from
+``reference/src/test/org/apache/nutch/util/TestEncodingDetector.java``
+(:41-89, testGuessing) — the four-scenario clue-walk matrix — plus
+parseCharacterEncoding / resolveEncodingAlias units and the JVM column
+twin checked against the driver-side class on the same rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.data.encoding import (
+    EncodingDetector,
+    detect_charset_col,
+    header_charset_col,
+    parse_character_encoding,
+    resolve_encoding_alias,
+    sniff_charset,
+)
+
+CONTENT = "çñôöøДЛжҶ".encode("utf-8")  # TestEncodingDetector.java:35
+
+
+def _detect(min_confidence, header_ct, extra_clue=None):
+    d = EncodingDetector(min_confidence=min_confidence)
+    d.auto_detect_clues(CONTENT, "text/plain", header_ct)
+    if extra_clue:
+        d.add_clue(*extra_clue)
+    return d.guess_encoding("windows-1252")
+
+
+def test_guessing_matrix():
+    # 1) no clues at all -> default (TestEncodingDetector.java:52-58)
+    assert _detect(-1, None) == "windows-1252"
+    # 2) header charset wins with detection disabled (:60-67)
+    assert _detect(-1, "text/plain; charset=UTF-16") == "utf-16"
+    # 3) a sniffed clue added first... actually added AFTER the header
+    #    clue slot (header is absent here) wins as best try (:69-76)
+    assert _detect(-1, None, extra_clue=("windows-1254", "sniffed")) == "windows-1254"
+    # 4) autodetection on: the confident utf-8 detect clue beats both
+    #    the utf-16 header and the sniffed utf-32 (:78-88)
+    assert _detect(50, "text/plain; charset=UTF-16",
+                   extra_clue=("utf-32", "sniffed")) == "utf-8"
+
+
+def test_parse_character_encoding():
+    assert parse_character_encoding("text/html; charset=UTF-8") == "UTF-8"
+    assert parse_character_encoding('text/html; charset="utf-16"; x=1') == "utf-16"
+    assert parse_character_encoding("text/html") is None
+    assert parse_character_encoding(None) is None
+    assert parse_character_encoding("charset=  latin1  ") == "latin1"
+
+
+def test_resolve_encoding_alias():
+    # canonicalization + the mislabel-correction map (EncodingDetector.java:141-147)
+    assert resolve_encoding_alias("ISO-8859-1") == "windows-1252"
+    assert resolve_encoding_alias("latin1") == "windows-1252"
+    assert resolve_encoding_alias("UTF8") == "UTF-8"
+    assert resolve_encoding_alias("GBK") == "GB18030"
+    assert resolve_encoding_alias("no-such-charset") is None
+    assert resolve_encoding_alias(None) is None
+    assert resolve_encoding_alias("") is None
+
+
+def test_sniffer():
+    assert sniff_charset(b"\xef\xbb\xbfabc") == ("UTF-8", 100)
+    assert sniff_charset("héllo wörld".encode("utf-8")) == ("UTF-8", 80)
+    assert sniff_charset(b"plain ascii text") == ("UTF-8", 10)
+    assert sniff_charset(b"caf\xe9 au lait") == ("windows-1252", 30)
+    assert sniff_charset(b"ab") is None  # below MIN_LENGTH
+    assert sniff_charset("héllo".encode("utf-16"))[0] == "UTF-16"  # BOM
+
+
+@pytest.mark.parametrize("min_confidence", [-1, 50])
+def test_column_twin_matches_class(spark, min_confidence):
+    rows = [
+        (CONTENT, "text/plain", None),
+        (CONTENT, "text/plain", "text/plain; charset=UTF-16"),
+        (b"plain ascii body", "text/plain", "text/html; charset=ISO-8859-1"),
+        (b"plain ascii body", "text/plain", None),
+        (b"caf\xe9 au lait!!", "text/plain", None),
+        ("héllo wörld".encode("utf-8"), "application/pdf", "x; charset=gbk"),
+        (b"ab", "text/plain", "text/plain; charset=utf-8"),
+        (b"\xef\xbb\xbfbom body", "text/html", "text/html; charset=UTF-16"),
+    ]
+    df = spark.createDataFrame(rows, "content binary, ct string, header string")
+    got = df.select(
+        detect_charset_col(
+            F.col("content"), F.col("ct"), F.col("header"),
+            default="windows-1252", min_confidence=min_confidence,
+        ).alias("cs")
+    ).collect()
+    for (content, ct, header), r in zip(rows, got):
+        d = EncodingDetector(min_confidence=min_confidence)
+        d.auto_detect_clues(content, ct, header)
+        assert r["cs"] == d.guess_encoding("windows-1252"), (content, ct, header)
+
+
+def test_header_charset_col(spark):
+    df = spark.createDataFrame(
+        [("text/html; charset=ISO-8859-1",), ("text/html",), (None,),
+         ('a; charset="CP1254"',)],
+        "ct string",
+    )
+    got = [r["h"] for r in df.select(header_charset_col(F.col("ct")).alias("h")).collect()]
+    assert got == ["windows-1252", None, None, "windows-1254"]

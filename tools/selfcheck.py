@@ -3,7 +3,10 @@
 at the given sf dir, compare row count, column names, and an
 order-insensitive value hash. Usage:
 
-    python tools/selfcheck.py [sf_dir] [query ...]
+    python tools/selfcheck.py [sf_dir] [query ...] [--json OUT.json]
+
+``--json`` additionally writes one machine-readable record per query
+(rows/cols/hash verdicts) — the committed SELFCHECK_r{N}.json artifact.
 """
 
 from __future__ import annotations
@@ -43,8 +46,15 @@ def value_hash(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records = []
 
     import __spark_entry__ as E
     from nutch_spark.session import get_spark
@@ -65,6 +75,7 @@ def main():
     for unknown in sorted(only - qs.keys()):
         print(f"FAIL  {unknown}: no such query in queries()")
         failures.append(unknown)
+        records.append({"query": unknown, "status": "fail", "error": "unknown query"})
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,11 +87,13 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            records.append({"query": name, "status": "fail", "error": f"spark: {e}"})
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if len(srows) == 0 and name != "noop":
                 print(f"      WARNING: {name} returned 0 rows")
+            records.append({"query": name, "status": "rows_only", "rows": len(srows)})
             continue
         try:
             cur = con.execute(oracles[name])
@@ -89,6 +102,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            records.append({"query": name, "status": "fail", "error": f"duckdb: {e}"})
             continue
         ok_rows = len(srows) == len(drows)
         ok_cols = sorted(scols) == sorted(dcols)
@@ -100,6 +114,13 @@ def main():
             f"{status} {name}: rows {len(srows)}/{len(drows)} cols={ok_cols} "
             f"hash={'match' if ok_hash else 'MISMATCH'} ({time.time()-t0:.1f}s)"
         )
+        records.append({
+            "query": name,
+            "status": "pass" if (ok_rows and ok_cols and ok_hash) else "fail",
+            "rows_spark": len(srows), "rows_oracle": len(drows),
+            "cols_match": ok_cols, "hash_match": ok_hash,
+            "sec": round(time.time() - t0, 1),
+        })
         if not (ok_rows and ok_cols and ok_hash):
             failures.append(name)
             if not ok_cols:
@@ -112,6 +133,18 @@ def main():
                 print(f"      spark-only sample: {so}")
                 print(f"      duck-only  sample: {do}")
     print("FAILURES:", failures if failures else "none")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({
+                "sf_dir": sf_dir,
+                "total": len(records),
+                "pass": sum(r["status"] == "pass" for r in records),
+                "rows_only": sum(r["status"] == "rows_only" for r in records),
+                "fail": sorted(failures),
+                "records": records,
+            }, f, indent=1)
     return 1 if failures else 0
 
 
