@@ -134,7 +134,10 @@ def run_bench(master: str | None = None) -> dict:
         t0 = time.time()
         content = fetched_content(crawl_fetch, docs)
         handles: list = []
-        parsed = parse(content, cfg, persist_handles=handles)
+        # A/B knob: NUTCH_BENCH_NO_PERSIST=1 recomputes the annotated
+        # content frame per product branch instead of caching it
+        no_persist = os.environ.get("NUTCH_BENCH_NO_PERSIST") == "1"
+        parsed = parse(content, cfg, persist_handles=None if no_persist else handles)
         seg = _swap(
             crawl_fetch.select(*datum_cols)
             .unionByName(parsed["crawl_parse"].select(*datum_cols))
