@@ -138,6 +138,9 @@ def run_bench(master: str | None = None) -> dict:
         # content frame per product branch instead of caching it
         no_persist = os.environ.get("NUTCH_BENCH_NO_PERSIST") == "1"
         parsed = parse(content, cfg, persist_handles=None if no_persist else handles)
+        from nutch_spark.operators.parse import materialize_parse_caches
+
+        materialize_parse_caches(handles)
         seg = _swap(
             crawl_fetch.select(*datum_cols)
             .unionByName(parsed["crawl_parse"].select(*datum_cols))

@@ -134,6 +134,26 @@ def _filter_normalize(
     return df
 
 
+def materialize_parse_caches(handles: list) -> None:
+    """Force-fill the parse() persist handles, in dependency order,
+    BEFORE the first job that fans out over them.
+
+    Why: the segment commit is ONE job whose union branches (outlink
+    datums, signature datums, non-canonical datums, refresh datums)
+    all scan the same cached frame. On a cold cache the branches race:
+    concurrent tasks hit the same uncomputed partition and serialize on
+    the block manager's per-block write lock (or recompute it), so the
+    *parallel* run degrades while a single-core run — whose first scan
+    fills the cache sequentially — sees the full benefit. Measured at
+    20M URLs / topN=2M / local[4] (BENCH/MEASUREMENT_LOG.md r3c):
+    cold-cache fan-out parse 104.2s vs 58.8s with no cache at all;
+    pre-filled it drops below both. One count() per handle pays only
+    the compute the consuming job needed anyway, one handle at a time,
+    with every core on the same fill."""
+    for h in handles:
+        h.count()
+
+
 def parse(
     content: DataFrame,
     cfg: NutchConfig,

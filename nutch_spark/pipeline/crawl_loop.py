@@ -131,6 +131,11 @@ class Crawler:
                 content, self.cfg, url_filter_rules=self.url_filter_rules,
                 persist_handles=wave_handles,
             )
+            # fill the caches before the multi-branch segment commit
+            # fans out over them (see materialize_parse_caches)
+            from nutch_spark.operators.parse import materialize_parse_caches
+
+            materialize_parse_caches(wave_handles)
 
         datum_cols = [
             "url", "status", "fetch_time", "retries", "fetch_interval", "score",
