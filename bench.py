@@ -279,9 +279,21 @@ def run_scaling() -> None:
             # a real cluster gives each executor adequate memory — a low
             # cap turns high-core phases into a GC benchmark instead)
             env.setdefault("NUTCH_SPARK_DRIVER_MEM", "48g")
+            cmd = [sys.executable, __file__]
+            if os.environ.get("NUTCH_BENCH_PIN") == "1":
+                # Pin the WHOLE process tree (JVM + pyspark.daemon
+                # workers) to exactly `cores` CPUs. local[N] alone caps
+                # task slots, not CPUs: at local[1] the Arrow-UDF Python
+                # workers, JVM GC/JIT threads and shuffle IO threads all
+                # run on the box's idle cores, so the "1-core" baseline
+                # silently uses 2-3 CPUs and the measured N->4N
+                # efficiency under-reads the engine. A real cluster's
+                # executor is cgroup-capped at its core count; taskset
+                # is the single-box stand-in for that cap.
+                cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
             try:
                 out = subprocess.run(
-                    [sys.executable, __file__], env=env, capture_output=True,
+                    cmd, env=env, capture_output=True,
                     text=True, check=True, timeout=phase_timeout,
                 )
                 line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]

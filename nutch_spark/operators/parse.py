@@ -184,21 +184,8 @@ def parse(
     frame is topN-bounded per segment (the generator's own cap), so
     MEMORY_AND_DISK residency is bounded at any corpus scale.
     """
-    c = content.withColumn("signature", span_signature(F.col("spans"))).withColumn(
+    c0 = content.withColumn("signature", span_signature(F.col("spans"))).withColumn(
         "_md", meta_directives(F.col("spans"), F.col("url"))
-    )
-    if persist_handles is not None:
-        c = c.persist()
-        persist_handles.append(c)
-
-    # noindex -> text/title extraction skipped entirely
-    # (HtmlParser.java:208-221); the doc still parses, signs, and emits
-    # its outlinks/signature rows
-    parse_text = c.select(
-        "url",
-        F.when(F.col("_md.no_index"), F.lit(""))
-        .otherwise(parse_text_col(F.col("spans")))
-        .alias("text"),
     )
 
     # ---- outlink extraction: media_ref spans in span order, capped at
@@ -217,15 +204,49 @@ def parse(
         link_spans = all_links
     else:
         link_spans = F.slice(all_links, 1, cfg.db_max_outlinks_per_page)
+
+    # The cached per-doc frame is NARROW on purpose: everything any
+    # product branch ever reads again — signature, directives, the
+    # extracted text, the capped link list — is computed in THIS one
+    # pass over `spans`, and `spans` itself is NOT retained. The 1->4
+    # scaling pairs (BENCH/MEASUREMENT_LOG.md r3b/r3c) localized parse's
+    # sub-linear speedup to the cache fill + branch rescans; dropping
+    # the span arrays from the cached columnar batches cuts both the
+    # fill's serialization traffic and every branch's decompress cost.
+    # noindex -> text extraction skipped entirely (HtmlParser.java:
+    # 208-221); the doc still parses, signs, and emits outlinks.
+    c = c0.select(
+        "url",
+        "score",
+        "fetch_time",
+        "is_canonical",
+        "signature",
+        "_md",
+        F.when(F.col("_md.no_index"), F.lit(""))
+        .otherwise(parse_text_col(F.col("spans")))
+        .alias("_text"),
+        F.transform(
+            link_spans,
+            lambda s: F.struct(
+                s["media_ref"].alias("media_ref"), s["text"].alias("anchor")
+            ),
+        ).alias("_links"),
+    )
+    if persist_handles is not None:
+        c = c.persist()
+        persist_handles.append(c)
+
+    parse_text = c.select("url", F.col("_text").alias("text"))
+
     exploded = (
-        c.select("url", "score", "fetch_time", F.posexplode(link_spans).alias("pos", "span"))
+        c.select("url", "score", "fetch_time", F.posexplode("_links").alias("pos", "span"))
         .select(
             "url",
             "score",
             "fetch_time",
             "pos",
             F.col("span.media_ref").alias("to_url_raw"),
-            F.col("span.text").alias("anchor"),
+            F.col("span.anchor").alias("anchor"),
         )
         .filter(F.length("to_url_raw") <= cfg.db_max_outlink_length)
     )
@@ -233,6 +254,15 @@ def parse(
         exploded, "url", "to_url_raw", "outlink", cfg,
         url_filter_rules, exemption_rules, normalize_outlinks,
     )
+    # ONE exchange for both windows below: hash-partitioning on `url`
+    # alone satisfies the dedup window's ClusteredDistribution(url,
+    # to_url) AND the OPIC window's (url), and the dedup sort's
+    # (url, to_url, pos) ordering prefixes the OPIC window's (url) —
+    # without this, Catalyst plans two back-to-back full shuffles of
+    # the exploded outlink table (hash(url,to_url) then hash(url)),
+    # the largest table in the stage. No skew risk: url is the
+    # high-cardinality key (<= db.max.outlinks.per.page rows each).
+    exploded = exploded.repartition("url")
     src_host = host_col(F.col("url"))
     dst_host = host_col(F.col("to_url"))
 
