@@ -26,6 +26,16 @@ class NutchConfig:
     db_update_additions_allowed: bool = True  # db.update.additions.allowed
     db_update_purge_404: bool = False  # db.update.purge.404
     db_update_purge_orphans: bool = False  # db.update.purge.orphans
+    # membership="auto" split threshold for updatedb_incremental: use the
+    # fingerprint-split bypass only when segment rows < this fraction of
+    # crawldb rows. Measured on the 20M-frontier scaling fixture
+    # (BENCH/MEASUREMENT_LOG.md round-3f): at touched fraction 0.31 the
+    # plain full merge beats the split at local[4] (55.3s vs 64.2s) and
+    # scales better (3.10x vs 2.30x 1->4) because the split's broadcast
+    # hash-relation builds are driver-serial; at the true frontier
+    # regime (topN << frontier, e.g. 10^7 touched of 10^10) the split's
+    # bypass of the untouched 99.9% dominates everything else.
+    db_update_incremental_max_touched: float = 0.15
     db_injector_overwrite: bool = False  # db.injector.overwrite
     db_injector_update: bool = False  # db.injector.update
     db_score_injected: float = 1.0  # db.score.injected

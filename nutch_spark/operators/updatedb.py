@@ -444,7 +444,7 @@ def updatedb_incremental(
     cfg: NutchConfig,
     now_ms: int,
     *,
-    membership: str = "fingerprint",
+    membership: str = "auto",
     bloom_fpp: float = 0.01,
     **kw,
 ) -> DataFrame:
@@ -464,11 +464,33 @@ def updatedb_incremental(
       :func:`updatedb` state machine; a false positive has no segment
       rows, lands in keep_old_only, and comes out unchanged.
 
-    Result is row-identical to ``updatedb(crawldb, segment_rows, ...)``.
+    ``membership="auto"`` (default) dispatches on the measured
+    crossover: the split pays a driver-serial broadcast build plus a
+    second CrawlDb scan, which only amortizes when the untouched bypass
+    skips most of the merge shuffle. When the segment is a large
+    fraction of the CrawlDb (row-count ratio ≥
+    ``cfg.db_update_incremental_max_touched``; segment rows
+    over-count touched URLs, so the test is conservative toward the
+    full merge) the plain single-shuffle merge is used instead —
+    measured faster AND better-scaling there
+    (BENCH/MEASUREMENT_LOG.md round-3f: 20M frontier, 31% touched,
+    local[4] full 55.3s vs split 64.2s; 1->4 speedup 3.10x vs 2.30x).
+    The two counts it spends are column-pruned scans, negligible next
+    to either merge plan.
+
+    Result is row-identical to ``updatedb(crawldb, segment_rows, ...)``
+    on every path.
     """
     if crawldb is None:
         return updatedb(None, segment_rows, cfg, now_ms, **kw)
     from nutch_spark.urls.urlseen import BloomBitmap, CuckooFilter, FingerprintSet
+
+    if membership == "auto":
+        max_touched = getattr(cfg, "db_update_incremental_max_touched", 0.15)
+        db_n = crawldb.count()
+        if db_n == 0 or segment_rows.count() >= max_touched * db_n:
+            return updatedb(crawldb, segment_rows, cfg, now_ms, **kw)
+        membership = "fingerprint"
 
     seg_urls = segment_rows.select("url")
     if membership == "bloom":
