@@ -70,6 +70,53 @@ def test_updatedb_incremental_equals_exact(spark):
         assert snap(updatedb_incremental(old, seg, cfg, 9000, membership=kind)) == exact
 
 
+def test_updatedb_auto_dispatch(spark, monkeypatch):
+    """membership="auto" uses the split only below the touched-ratio
+    threshold (BENCH/MEASUREMENT_LOG.md round-3f crossover), and is
+    result-identical to the exact merge on both sides of it."""
+    import nutch_spark.urls.urlseen as urlseen
+
+    built = []
+    real_fps = urlseen.FingerprintSet
+
+    class SpyFps(real_fps):
+        def __init__(self, *a, **kw):
+            built.append(1)
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(urlseen, "FingerprintSet", SpyFps)
+    cfg = NutchConfig()
+    cols = (
+        "url string, status int, fetch_time long, retries int, fetch_interval int,"
+        " score float, signature string, modified_time long,"
+        " metadata map<string,string>, gen_time long, repr_url string"
+    )
+    old = spark.createDataFrame(
+        [(f"u{i}", 1, 1000, 0, 3600, 1.0, None, 0, {}, None, None) for i in range(200)],
+        cols,
+    )
+    seg_small = spark.createDataFrame(
+        [("u1", 0x21, 5000, 0, 3600, 1.0, "new", 0, {}, None, None)], cols
+    )
+    seg_big = old.withColumn("status", F.lit(0x21)).withColumn(
+        "fetch_time", F.lit(5000).cast("long")
+    )
+
+    def snap(df):
+        return sorted((r["url"], r["status"], r["fetch_time"]) for r in df.collect())
+
+    # ratio 1/200 < 0.15 -> split path (FingerprintSet built)
+    assert snap(updatedb_incremental(old, seg_small, cfg, 9000)) == snap(
+        updatedb(old, seg_small, cfg, 9000)
+    )
+    assert built == [1]
+    # ratio 200/200 >= 0.15 -> full merge, no membership structure
+    assert snap(updatedb_incremental(old, seg_big, cfg, 9000)) == snap(
+        updatedb(old, seg_big, cfg, 9000)
+    )
+    assert built == [1]
+
+
 def test_cuckoo_split_no_false_negatives(spark):
     from nutch_spark.urls.urlseen import CuckooFilter
 
