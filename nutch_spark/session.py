@@ -46,6 +46,14 @@ def get_spark(
         # (metadata merge semantics, CrawlDbReducer.java:182-189)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
+    # env-supplied conf overrides (JSON object) — lets bench/probe child
+    # processes A/B optimizer settings without code edits
+    env_conf = os.environ.get("NUTCH_SPARK_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
