@@ -464,19 +464,25 @@ def updatedb_incremental(
       :func:`updatedb` state machine; a false positive has no segment
       rows, lands in keep_old_only, and comes out unchanged.
 
-    ``membership="auto"`` (default) dispatches on the measured
-    crossover: the split pays a driver-serial broadcast build plus a
-    second CrawlDb scan, which only amortizes when the untouched bypass
-    skips most of the merge shuffle. When the segment is a large
-    fraction of the CrawlDb (row-count ratio ≥
-    ``cfg.db_update_incremental_max_touched``; segment rows
-    over-count touched URLs, so the test is conservative toward the
-    full merge) the plain single-shuffle merge is used instead —
-    measured faster AND better-scaling there
-    (BENCH/MEASUREMENT_LOG.md round-3f: 20M frontier, 31% touched,
-    local[4] full 55.3s vs split 64.2s; 1->4 speedup 3.10x vs 2.30x).
-    The two counts it spends are column-pruned scans, negligible next
-    to either merge plan.
+    ``membership="auto"`` (default) dispatches on input shape: when the
+    segment is a large fraction of the CrawlDb (row-count ratio ≥
+    ``cfg.db_update_incremental_max_touched``; segment rows over-count
+    touched URLs, so the test is conservative toward the full merge)
+    the plain single-shuffle merge is used. The threshold is set for
+    CLUSTER economics, not single-box wall time: the split broadcasts
+    one fingerprint per distinct segment URL to EVERY executor, so its
+    cost grows as (touched x executors) while the shuffle it avoids
+    shrinks with the untouched fraction — at 10^3 executors and a
+    dense (>15%) touch ratio the replicated broadcast dwarfs the
+    saved shuffle, while in the true frontier regime (10^7 touched of
+    10^10) the bypass of the untouched 99.9% dominates at any cluster
+    size. A single-JVM probe reads the opposite at dense ratios
+    precisely because local mode materializes the broadcast ONCE
+    (BENCH/MEASUREMENT_LOG.md round-3i: fair per-variant probe at 31%
+    touched, local[4] split 62.8s vs full 90.8s — both dispatches are
+    measured, the constant chooses the cluster-honest one). The two
+    counts auto spends are column-pruned scans, negligible next to
+    either merge plan.
 
     Result is row-identical to ``updatedb(crawldb, segment_rows, ...)``
     on every path.

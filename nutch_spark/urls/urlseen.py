@@ -44,6 +44,12 @@ class FingerprintSet:
     """Broadcast 64-bit fingerprint membership (exact split on hashes)."""
 
     def __init__(self, small: DataFrame, url_col: str = "url"):
+        # Both split() joins share this frame; under AQE the distinct
+        # shuffle AND the broadcast exchange are materialized ONCE and
+        # the second join plans a ReusedExchange (verify on the FINAL
+        # adaptive plan — the pre-adaptive executedPlan() string shows
+        # two BroadcastExchange nodes and no Reused*, which is how the
+        # round-3f log misread this as a double build).
         self._fp = (
             small.select(F.xxhash64(url_col).alias("_fp")).distinct()
         )

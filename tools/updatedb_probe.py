@@ -1,20 +1,28 @@
-"""Updatedb-stage scaling probe: sub-step timings at one parallelism level.
+"""Updatedb-stage scaling probe: per-variant timings at one parallelism level.
 
-The round-3e 1->4 pair (BENCH/MEASUREMENT_LOG.md) shows updatedb as the
-last stage under 3x speedup (2.82x vs ~3.4x siblings). This probe
-reproduces bench.py's updatedb timed region — updatedb_incremental over
-the staged crawldb_0 + cycle-1 segment, written to parquet — with
-sub-step timers and a full-merge A/B, so the non-scaling component can
-be localized.
+Round-3e showed updatedb as the last stage under 3x 1->4 speedup; the
+round-3f version of this probe ran all variants in ONE child JVM in a
+fixed order, which page-cache-warmed the later variants — its full-merge
+local[4] number (55.3s, run last/warmest) contradicted the in-bench
+cross-window evidence (split 47.1s in r3e vs merge 57-59s in r3g/r3h)
+and drove the max_touched=0.15 dispatch the wrong way. This version
+eliminates the order bias: staging runs ONCE (local[32], untimed), then
+EVERY (master, variant) pair gets a fresh pinned child JVM that times
+exactly bench.py's updatedb region for that one variant.
 
-Staging (inject -> generate -> fetch -> parse -> segment) runs ONCE in
-the parent at local[32] unpinned into a shared temp dir; each probe
-level then runs in a fresh pinned child JVM over the identical files.
+Variants:
+  full   — plain single-shuffle merge (updatedb)
+  fp     — fingerprint split (broadcast 64-bit hash set; its exchange IS
+           reused under AQE — the round-3f "built twice" reading came
+           from the pre-adaptive plan, isFinalPlan=false)
+  bloom  — bloom-bitmap split (distributed bit_or build, ~MB broadcast
+           row, pure-JVM k-hash probe; ~fpp of the untouched rows leak
+           into the exact merge, result-identical)
 
 Usage:
     NUTCH_BENCH_DOCS=20000000 NUTCH_BENCH_TOPN=2000000 \
     NUTCH_BENCH_SHUFFLE=128 NUTCH_BENCH_PIN=1 \
-    python tools/updatedb_probe.py local[1] local[4]
+    python tools/updatedb_probe.py local[1] local[4] -- full fp bloom
 """
 
 from __future__ import annotations
@@ -101,68 +109,54 @@ def stage(tmp: str) -> None:
     spark.stop()
 
 
-def run_one(master: str, tmp: str) -> None:
-    from pyspark.sql import functions as F
-
+def run_one(master: str, variant: str, tmp: str) -> None:
     from nutch_spark.operators.updatedb import updatedb, updatedb_incremental
-    from nutch_spark.urls.urlseen import FingerprintSet
 
-    spark, cfg, parts = _cfg_and_session(master, "updatedb_probe")
+    spark, cfg, parts = _cfg_and_session(master, f"updatedb_probe_{variant}")
     db = spark.read.parquet(f"{tmp}/crawldb_0")
     seg = spark.read.parquet(f"{tmp}/segment")
     now2 = 1_704_000_000_000 + 3_600_000
-    sub: dict[str, float] = {}
-
-    # -- sub-step: the membership build alone (distinct is the parallel
-    # part; the broadcast hash-relation build is driver-serial and only
-    # shows up inside the split jobs — approximate it by forcing one
-    # broadcast join action over a 1-row probe frame)
-    t0 = time.time()
-    fset = FingerprintSet(seg.select("url"))
-    fset._fp.write.format("noop").mode("overwrite").save()
-    sub["fp_distinct"] = time.time() - t0
 
     t0 = time.time()
-    touched, untouched = fset.split(db)
-    touched.write.format("noop").mode("overwrite").save()
-    sub["split_semi_noop"] = time.time() - t0
-
-    # -- the bench's timed region, exactly (fresh lineage)
-    t0 = time.time()
-    out = updatedb_incremental(db, seg, cfg, now2)
-    out.write.mode("overwrite").parquet(f"{tmp}/crawldb_out_{parts}")
-    sub["incremental_write"] = time.time() - t0
-
-    # -- A/B: plain full merge, no split/broadcast
-    t0 = time.time()
-    out2 = updatedb(db, seg, cfg, now2)
-    out2.write.mode("overwrite").parquet(f"{tmp}/crawldb_out_full_{parts}")
-    sub["full_write"] = time.time() - t0
+    if variant == "full":
+        out = updatedb(db, seg, cfg, now2)
+    else:
+        membership = {"fp": "fingerprint", "bloom": "bloom"}[variant]
+        out = updatedb_incremental(db, seg, cfg, now2, membership=membership)
+    out.write.mode("overwrite").parquet(f"{tmp}/crawldb_out_{variant}_{parts}")
+    dt = time.time() - t0
 
     print(json.dumps({
-        "master": master,
-        "parts": parts,
-        "sub": {k: round(v, 2) for k, v in sub.items()},
+        "master": master, "variant": variant, "parts": parts,
+        "sec": round(dt, 2),
     }), flush=True)
     spark.stop()
 
 
 if __name__ == "__main__":
-    masters = sys.argv[1:] or ["local[4]"]
+    argv = sys.argv[1:]
     if os.environ.get("_PROBE_CHILD"):
-        run_one(masters[0], os.environ["_PROBE_TMP"])
+        run_one(argv[0], argv[1], os.environ["_PROBE_TMP"])
         sys.exit(0)
-    tmp = tempfile.mkdtemp(prefix="updatedb_probe_")
+    if "--" in argv:
+        i = argv.index("--")
+        masters, variants = argv[:i], argv[i + 1:]
+    else:
+        masters, variants = argv or ["local[4]"], ["full", "fp", "bloom"]
+    tmp = os.environ.get("_PROBE_TMP_KEEP") or tempfile.mkdtemp(prefix="updatedb_probe_")
     try:
-        stage(tmp)
+        if not os.path.exists(f"{tmp}/segment"):
+            stage(tmp)
         for m in masters:
-            env = dict(os.environ, _PROBE_CHILD="1", _PROBE_TMP=tmp)
-            cmd = [sys.executable, __file__, m]
-            if os.environ.get("NUTCH_BENCH_PIN") == "1":
-                from nutch_spark.session import _parse_local_cores
+            for v in variants:
+                env = dict(os.environ, _PROBE_CHILD="1", _PROBE_TMP=tmp)
+                cmd = [sys.executable, __file__, m, v]
+                if os.environ.get("NUTCH_BENCH_PIN") == "1":
+                    from nutch_spark.session import _parse_local_cores
 
-                n = _parse_local_cores(m) or 4
-                cmd = ["taskset", "-c", f"0-{n - 1}" if n > 1 else "0"] + cmd
-            subprocess.run(cmd, env=env, check=True)
+                    n = _parse_local_cores(m) or 4
+                    cmd = ["taskset", "-c", f"0-{n - 1}" if n > 1 else "0"] + cmd
+                subprocess.run(cmd, env=env, check=True)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.environ.get("_PROBE_TMP_KEEP"):
+            shutil.rmtree(tmp, ignore_errors=True)
