@@ -72,25 +72,34 @@ def crawl_filter() -> RegexURLFilter:
 
 
 class PrefixURLFilter:
-    """urlfilter-prefix: accept iff url starts with any listed prefix."""
+    """urlfilter-prefix: accept iff url starts with any listed prefix.
+
+    Backed by the ported ``PrefixStringMatcher`` trie (urls/trie.py) —
+    the reference plugin's own structure (PrefixURLFilter.java:62) —
+    so accept() is O(len(url)) regardless of list size."""
 
     def __init__(self, prefixes: Iterable[str]):
-        self._prefixes = tuple(prefixes)
+        from nutch_spark.urls.trie import PrefixStringMatcher
+
+        self._matcher = PrefixStringMatcher(list(prefixes))
 
     def accept(self, url: str | None) -> bool:
-        return url is not None and url.startswith(self._prefixes)
+        return url is not None and self._matcher.matches(url)
 
 
 class SuffixURLFilter:
     """urlfilter-suffix: *reject* iff url ends with any listed suffix
     (case-insensitive — suffixes are lowercased to match the lowercased
-    URL, else an entry like '.GIF' could never fire)."""
+    URL, else an entry like '.GIF' could never fire). Backed by the
+    ported ``SuffixStringMatcher`` trie (SuffixURLFilter.java:100)."""
 
     def __init__(self, suffixes: Iterable[str]):
-        self._suffixes = tuple(s.lower() for s in suffixes)
+        from nutch_spark.urls.trie import SuffixStringMatcher
+
+        self._matcher = SuffixStringMatcher([s.lower() for s in suffixes])
 
     def accept(self, url: str | None) -> bool:
-        return url is not None and not url.lower().endswith(self._suffixes)
+        return url is not None and not self._matcher.matches(url.lower())
 
 
 def url_filter_udf(rules: Sequence[str] | None = None):
