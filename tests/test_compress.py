@@ -132,3 +132,39 @@ def test_decode_content_cond(spark):
     assert got["identity"] == SHORT
     assert got["empty"] == b""
     assert got["corrupt"] is None  # header-invalid gzip -> failed fetch
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure driver-side, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_prop_gzip_roundtrip(data):
+    assert unzip(zip_bytes(data)) == data
+    assert unzip_best_effort(zip_bytes(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=2048), st.integers(0, 3000))
+def test_prop_gzip_truncation_is_none_or_prefix(data, cut):
+    compressed = zip_bytes(data)
+    trunc = unzip_best_effort(compressed[:cut])
+    assert trunc is None or data.startswith(trunc)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=2048), st.integers(0, 4096))
+def test_prop_gzip_limit_is_exact_prefix(data, limit):
+    got = unzip_best_effort(zip_bytes(data), limit)
+    assert got == data[: min(limit, len(data))]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_prop_deflate_roundtrip(data):
+    assert inflate(deflate(data)) == data
