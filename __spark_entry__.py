@@ -884,6 +884,70 @@ def q_detect_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# raw-header rotation for q_header_spellcheck: canonical / misspelled /
+# non-vocabulary / fuzzy-typo cases (TestSpellCheckedMetadata vectors)
+_HEADER_ROTATION = [
+    "Content-Type", "contentype", "CoNtEntType", "contntype",
+    "ETag", "X-Custom-Header", "last-modified", "contentlenght",
+]
+
+
+def q_header_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-name spell-checking (data/metadata.py —
+    metadata/SpellCheckedMetadata.java parity): an 8-way rotation of
+    raw header names (canonical, four misspellings of Content-Type,
+    two non-vocabulary names, one fuzzy Content-Length typo) pushed
+    through the JVM column twin; the oracle re-implements the
+    normalize -> exact/levenshtein-threshold lookup in SQL."""
+    from nutch_spark.data.metadata import spell_checked_header
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    raw = F.element_at(
+        F.array(*[F.lit(x) for x in _HEADER_ROTATION]),
+        (F.col("doc_id") % 8).cast("int") + 1,
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw_header"),
+        spell_checked_header(raw).alias("header"),
+    )
+
+
+def q_trie_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trie prefix/suffix gates (urls/trie.py —
+    util/PrefixStringMatcher/SuffixStringMatcher.java parity): urls
+    over 40 hosts with a 4-way extension rotation; the 80-entry prefix
+    list (hosts 0-19, two schemes) exceeds JVM_LITERAL_CAP so the
+    prefix gate runs the broadcast-trie pandas path, while the 2-entry
+    suffix denylist stays on the JVM endswith chain. The oracle
+    replays the construction structurally (host index < 20; extension
+    in the denylist, case-insensitive)."""
+    from nutch_spark.urls.trie import prefix_match_cond, suffix_match_cond
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("http://host"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.element_at(
+            F.array(F.lit(".html"), F.lit(".pdf"), F.lit(".PDF"), F.lit("")),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        ),
+    )
+    prefixes = [
+        f"{scheme}://host{i}.example.com/"
+        for scheme in ("http", "https")
+        for i in range(20)
+    ] + [f"http://mirror{i}.example.org/" for i in range(40)]
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        prefix_match_cond(url, prefixes).alias("prefix_hit"),
+        suffix_match_cond(url, [".pdf", ".exe"]).alias("suffix_hit"),
+    )
+
+
 def q_http_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP date round-trip (data/httpdate.py — net/protocols/
     HttpDateFormat.java parity): format each order timestamp to the
@@ -2777,6 +2841,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "arc_ingest": q_arc_ingest,
         "detect_encoding": q_detect_encoding,
         "http_dates": q_http_dates,
+        "header_spellcheck": q_header_spellcheck,
+        "trie_url_gate": q_trie_url_gate,
     }
 
 
@@ -3913,6 +3979,64 @@ SELECT o_orderkey,
   strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S GMT') AS http_date,
   epoch_ms(o_orderdate) AS parsed_ms
 FROM orders
+"""
+    # SpellCheckedMetadata: normalize (letters-only, lowered) -> best
+    # vocabulary hit by min (levenshtein, canonical) — encoded as a
+    # zero-padded "ddCanon" string so MIN() gives the same tie-break as
+    # the Spark twin's array_min over struct(d, name) — gated by the
+    # reference's strict min(3, len//3) threshold (exact hits have d=0,
+    # which always passes: every vocabulary entry is >= 8 letters, so
+    # the threshold at an exact match is >= 2)
+    oracles["header_spellcheck"] = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 8 AS INT)
+      WHEN 0 THEN 'Content-Type'  WHEN 1 THEN 'contentype'
+      WHEN 2 THEN 'CoNtEntType'   WHEN 3 THEN 'contntype'
+      WHEN 4 THEN 'ETag'          WHEN 5 THEN 'X-Custom-Header'
+      WHEN 6 THEN 'last-modified' WHEN 7 THEN 'contentlenght'
+    END AS raw_header
+  FROM documents),
+n AS (
+  SELECT doc_id, raw_header,
+    lower(regexp_replace(raw_header, '[^a-zA-Z]', '', 'g')) AS norm
+  FROM raw),
+v(nv, canon) AS (VALUES
+  ('transferencoding', 'Transfer-Encoding'),
+  ('clienttransferencoding', 'Client-Transfer-Encoding'),
+  ('contentencoding', 'Content-Encoding'),
+  ('contentlanguage', 'Content-Language'),
+  ('contentlength', 'Content-Length'),
+  ('contentlocation', 'Content-Location'),
+  ('contentdisposition', 'Content-Disposition'),
+  ('contentmd', 'Content-MD5'),
+  ('contenttype', 'Content-Type'),
+  ('lastmodified', 'Last-Modified'),
+  ('location', 'Location'),
+  ('ifmodifiedsince', 'If-Modified-Since'),
+  ('useragent', 'User-Agent')),
+best AS (
+  SELECT n.doc_id, n.raw_header, n.norm,
+    min(lpad(CAST(levenshtein(n.norm, v.nv) AS VARCHAR), 2, '0') || v.canon) AS b
+  FROM n CROSS JOIN v GROUP BY 1, 2, 3)
+SELECT doc_id, raw_header,
+  CASE WHEN CAST(substr(b, 1, 2) AS INT) < LEAST(3, length(norm) // 3)
+       THEN substr(b, 3) ELSE raw_header END AS header
+FROM best
+"""
+    # trie url gate: structural replay of the synthetic construction —
+    # the 80-prefix accept list covers host indices 0-19 (both schemes,
+    # plus 40 never-matching mirror hosts), the suffix denylist is
+    # .pdf/.exe case-insensitive
+    oracles["trie_url_gate"] = """
+SELECT doc_id,
+  'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.html' WHEN 1 THEN '.pdf'
+            WHEN 2 THEN '.PDF' ELSE '' END AS url,
+  (doc_id % 40) < 20 AS prefix_hit,
+  CAST(doc_id % 4 AS INT) IN (1, 2) AS suffix_hit
+FROM documents
 """
     oracles["orphan_scoring"] = _orphan_oracle()
     oracles["similarity_score"] = _similarity_oracle()
