@@ -73,27 +73,44 @@ def _gzip_header_end(data: bytes) -> int | None:
 
 def _best_effort(data: bytes, wbits: int, size_limit: int | None) -> bytes:
     """The reference's read loop: accumulate until EOF, error (keep
-    what we have), or the output limit (cut exactly at the limit)."""
+    what we have), or the output limit (cut exactly at the limit).
+
+    Concatenated gzip members: GZIPInputStream keeps reading across
+    back-to-back members (JDK readTrailer restarts the inflater when
+    the trailing bytes start a valid member header), so the gzip arm
+    (wbits=31) does the same; raw deflate has no member framing and
+    stops at stream end like InflaterInputStream."""
     if size_limit is not None and size_limit <= 0:
         return b""  # Java: (written + size) > 0 on the first read -> cut to 0
-    d = zlib.decompressobj(wbits=wbits)
     out = bytearray()
-    for i in range(0, len(data), _FEED_CHUNK):
-        chunk = data[i : i + _FEED_CHUNK]
-        try:
-            if size_limit is not None:
-                # zlib treats max_length=0 as unlimited; the remaining
-                # budget is >=1 here (the cut-and-break below keeps it so)
-                out += d.decompress(chunk, size_limit - len(out))
-                if len(out) >= size_limit:
-                    break
-            else:
-                out += d.decompress(chunk)
-        except zlib.error:
-            break
-        if d.eof:
-            break
-    return bytes(out)
+    buf = data
+    while True:
+        d = zlib.decompressobj(wbits=wbits)
+        member_end = None  # feed offset past the chunk where d.eof hit
+        for i in range(0, len(buf), _FEED_CHUNK):
+            chunk = buf[i : i + _FEED_CHUNK]
+            try:
+                if size_limit is not None:
+                    # zlib treats max_length=0 as unlimited; the remaining
+                    # budget is >=1 here (the cut-and-return keeps it so)
+                    out += d.decompress(chunk, size_limit - len(out))
+                    if len(out) >= size_limit:
+                        return bytes(out)
+                else:
+                    out += d.decompress(chunk)
+            except zlib.error:
+                return bytes(out)
+            if d.eof:
+                member_end = i + _FEED_CHUNK
+                break
+        if member_end is None:
+            return bytes(out)  # input exhausted mid-stream (truncated)
+        rest = d.unused_data + buf[member_end:]
+        if wbits != 31 or not rest or _gzip_header_end(rest) is None:
+            # trailing garbage after a complete member is silently
+            # ignored, as GZIPInputStream's readTrailer does
+            return bytes(out)
+        buf = rest
 
 
 def unzip_best_effort(data: bytes | None, size_limit: int | None = None) -> bytes | None:
@@ -115,16 +132,22 @@ def inflate_best_effort(data: bytes | None, size_limit: int | None = None) -> by
 
 def unzip(data: bytes) -> bytes:
     """Strict ``GZIPUtils.unzip`` (:86-100): raises ``zlib.error`` /
-    ``ValueError`` on corruption. Handles concatenated members the way
-    GZIPInputStream does."""
+    ``ValueError`` on corruption of the (first) stream. Handles
+    concatenated members the way GZIPInputStream does, including its
+    readTrailer behavior of treating trailing bytes that are NOT a
+    valid member header as end-of-stream rather than an error."""
     out = bytearray()
     buf = data
+    first = True
     while buf:
+        if not first and _gzip_header_end(buf) is None:
+            break  # invalid trailer -> silent EOF (GZIPInputStream)
         d = zlib.decompressobj(wbits=31)
         out += d.decompress(buf)
         if not d.eof:
             raise ValueError("truncated gzip stream")
         buf = d.unused_data
+        first = False
     return bytes(out)
 
 
@@ -139,14 +162,19 @@ def inflate(data: bytes) -> bytes:
 
 
 def zip_bytes(data: bytes) -> bytes:
-    """``GZIPUtils.zip`` (:107-131) — deterministic: mtime pinned to 0
-    (the Java path leaves mtime 0 too, so byte output is stable)."""
+    """``GZIPUtils.zip`` (:107-131) — deterministic (mtime pinned to 0)
+    and round-trip-exact, but NOT byte-identical to reference-produced
+    archives: we compress at level 9 where GZIPOutputStream defaults to
+    6, and zlib's OS header byte differs from the JDK's. Only
+    round-trip equality and run-to-run determinism are guaranteed."""
     c = zlib.compressobj(9, zlib.DEFLATED, 31)
     return c.compress(data) + c.flush()
 
 
 def deflate(data: bytes) -> bytes:
-    """``DeflateUtils.deflate`` (:102-115) — zlib-wrapped."""
+    """``DeflateUtils.deflate`` (:102-115) — zlib-wrapped. Same caveat
+    as ``zip_bytes``: round-trip + determinism guaranteed, byte-parity
+    with Deflater(level 6) output not."""
     c = zlib.compressobj(9, zlib.DEFLATED, 15)
     return c.compress(data) + c.flush()
 
@@ -158,7 +186,11 @@ def decode_content_cond(
     vectorized column: gzip/x-gzip -> unzip_best_effort, deflate ->
     inflate_best_effort, anything else passes through. Empty bodies
     pass through (redirections, :669-672); a failed decode yields NULL
-    (the reference throws, failing the fetch)."""
+    (the reference throws, failing the fetch). ``max_content`` follows
+    the ``http.content.limit`` convention: negative means unlimited
+    (the reference's -1 sentinel), 0 truncates to empty."""
+    if max_content is not None and max_content < 0:
+        max_content = None  # http.content.limit = -1 -> unlimited
 
     @F.pandas_udf("binary")
     def _decode(cols: pd.DataFrame) -> pd.Series:

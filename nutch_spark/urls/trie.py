@@ -201,8 +201,11 @@ def suffix_match_cond(
 
     @F.pandas_udf("boolean")
     def _mask(urls: pd.Series) -> pd.Series:
-        if case_insensitive:
-            urls = urls.str.lower()
-        return urls.map(lambda u: u is not None and matcher.matches(u))
+        # Lowercase per-element: .str.lower() maps NULLs to NaN on some
+        # pandas versions, which would slip past an `is not None` check.
+        lower = case_insensitive
+        return urls.map(
+            lambda u: isinstance(u, str) and matcher.matches(u.lower() if lower else u)
+        )
 
     return _mask(url)

@@ -168,3 +168,61 @@ def test_prop_gzip_limit_is_exact_prefix(data, limit):
 @given(st.binary(min_size=0, max_size=4096))
 def test_prop_deflate_roundtrip(data):
     assert inflate(deflate(data)) == data
+
+
+# ---------------------------------------------------------------------------
+# concatenated members + trailer garbage (GZIPInputStream semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_concatenated_members_best_effort():
+    """GZIPInputStream decompresses back-to-back gzip members as one
+    stream; best-effort must do the same."""
+    blob = zip_bytes(SHORT) + zip_bytes(LONGER) + zip_bytes(WEBPAGE)
+    assert unzip_best_effort(blob) == SHORT + LONGER + WEBPAGE
+
+
+def test_concatenated_members_strict():
+    blob = zip_bytes(SHORT) + zip_bytes(LONGER)
+    assert unzip(blob) == SHORT + LONGER
+
+
+def test_trailing_garbage_after_member_is_ignored():
+    """Bytes after a complete member that are not a valid gzip header
+    are treated as end-of-stream (readTrailer swallows the error), in
+    both strict and best-effort modes."""
+    blob = zip_bytes(SHORT) + b"\x00\x01not-gzip-garbage"
+    assert unzip_best_effort(blob) == SHORT
+    assert unzip(blob) == SHORT
+
+
+def test_concatenated_members_respect_limit():
+    blob = zip_bytes(SHORT) + zip_bytes(LONGER)
+    limit = len(SHORT) + 5
+    assert unzip_best_effort(blob, limit) == (SHORT + LONGER)[:limit]
+
+
+def test_truncated_second_member_recovers_first():
+    second = zip_bytes(LONGER)
+    blob = zip_bytes(SHORT) + second[: len(second) // 2]
+    got = unzip_best_effort(blob)
+    assert got is not None
+    assert got.startswith(SHORT)
+    assert (SHORT + LONGER).startswith(got)
+
+
+def test_negative_max_content_means_unlimited(spark):
+    """http.content.limit = -1 is the reference's unlimited sentinel;
+    decode_content_cond must not truncate to empty on it."""
+    df = spark.createDataFrame(
+        [("g", zip_bytes(LONGER), "gzip"), ("d", deflate(LONGER)[2:-4], "deflate")],
+        "k string, body binary, enc string",
+    )
+    out = {
+        r["k"]: bytes(r["dec"])
+        for r in df.select(
+            "k", decode_content_cond(F.col("body"), F.col("enc"), -1).alias("dec")
+        ).collect()
+    }
+    assert out["g"] == LONGER
+    assert out["d"] == LONGER
