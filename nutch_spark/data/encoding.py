@@ -9,13 +9,19 @@ the DETECTABLES mime gate at :122-130 and MIN_LENGTH=4 at :119.
 Golden vectors ported from ``TestEncodingDetector.java:41-89``.
 
 The reference's statistical detector is ICU4J's CharsetDetector; that
-library is not in this container, so the ``detect`` clue source is a
-deterministic mini-detector (``sniff_charset``): BOM marks (confidence
-100), strict-UTF-8 multibyte decode (80), pure ASCII (10 — real ICU
-also scores ASCII text too low to clear typical thresholds), else a
-windows-1252 guess (30).  The clue-walk, ordering, thresholds, alias
-resolution and defaulting are exact ports; only the statistical inner
-model is substituted, and it is pluggable (pass ``sniffer=``).
+library is not in this container, so two sniffers ship behind the
+pluggable ``sniffer=`` hook. The default, ``sniff_charset``, is a
+deterministic mini-detector with a JVM column twin: BOM marks
+(confidence 100), strict-UTF-8 multibyte decode (80), pure ASCII (10 —
+real ICU also scores ASCII text too low to clear typical thresholds),
+else a windows-1252 guess (30). The full ICU-equivalent is
+``charset_sniffer.sniff_charset_statistical`` — byte-bigram profiles
+trained per (charset, language) like the language identifier, covering
+windows-125x / iso-8859-x / koi8-r / Shift_JIS / EUC-JP / EUC-KR /
+GB18030 / Big5 / ISO-2022 / BOM-less UTF-16 — pass it (or any
+``detectAll``-shaped list-returning callable) as ``sniffer=``.  The
+clue-walk, ordering, thresholds, alias resolution and defaulting are
+exact ports; only the statistical inner model is substituted.
 
 Two surfaces:
 
@@ -95,6 +101,11 @@ def resolve_encoding_alias(encoding: str | None) -> str | None:
     try:
         py_name = codecs.lookup(encoding).name
     except (LookupError, TypeError):
+        # correction-target names the JDK knows but python codecs does
+        # not (x-windows-949): already canonical, pass through — a
+        # corrected clue must survive re-resolution in guessEncoding
+        if encoding in _MISLABEL_CORRECTIONS.values():
+            return encoding
         return None
     canonical = _JAVA_CANONICAL.get(py_name, py_name)
     return _MISLABEL_CORRECTIONS.get(canonical, canonical)
@@ -189,7 +200,13 @@ class EncodingDetector:
         ):
             match = self._sniffer(data)
             if match is not None:
-                self.add_clue(match[0], "detect", match[1])
+                # ICU's detectAll yields a ranked match LIST and the
+                # reference adds every one as a clue (:185-189); the
+                # simple sniffer yields a single (name, conf) pair —
+                # accept both shapes
+                matches = match if isinstance(match, list) else [match]
+                for m in matches:
+                    self.add_clue(m[0], "detect", m[1])
         self.add_clue(parse_character_encoding(header_content_type), "header")
 
     def guess_encoding(self, default_value: str) -> str:
