@@ -242,11 +242,46 @@ def minhash_band_values(text: Column, num_hashes: int, bands: int, k: int = 3) -
     )
 
 
+def _cap_band_buckets(
+    bands: DataFrame, bucket_cap: int, op_name: str
+) -> DataFrame:
+    """Per-(band, value) bucket size cap shared by every banded-LSH
+    path: keep the ``bucket_cap`` smallest doc_ids (deterministic) and
+    log the count of dropped (doc, band) memberships — a capped bucket
+    can miss pairs, never silently. One window over the same
+    (band_idx, band_val) keys the bucket join shuffles on anyway."""
+    w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
+    ranked = bands.withColumn("_rn", F.row_number().over(w))
+    dropped = ranked.filter(F.col("_rn") > bucket_cap).count()
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: bucket_cap=%d dropped %d (doc, band) memberships — "
+            "pairs inside oversized buckets beyond the cap are NOT "
+            "compared",
+            op_name,
+            bucket_cap,
+            dropped,
+        )
+    return ranked.filter(F.col("_rn") <= bucket_cap).drop("_rn")
+
+
 def minhash_lsh_candidates(
-    documents: DataFrame, num_hashes: int = 16, bands: int = 4, k: int = 3
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    bands*rows == num_hashes; collision prob ≈ 1-(1-j^rows)^bands."""
+    bands*rows == num_hashes; collision prob ≈ 1-(1-j^rows)^bands.
+
+    ``bucket_cap``: optional per-(band, value) bucket size cap with
+    logged drops — same contract as ``simhash64_near_duplicates``.
+    A boilerplate-heavy corpus (thousands of near-identical docs
+    surviving exact dedup into one band bucket) otherwise goes
+    quadratic inside that bucket."""
     documents = _widen_small_scan(documents)
     banded = documents.select(
         "doc_id",
@@ -254,6 +289,8 @@ def minhash_lsh_candidates(
             minhash_band_values(F.col("text"), num_hashes, bands, k)
         ).alias("band_idx", "band_val"),
     )
+    if bucket_cap is not None:
+        banded = _cap_band_buckets(banded, bucket_cap, "minhash_lsh_candidates")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -276,11 +313,13 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by true Jaccard on shingle sets — the
-    standard two-phase near-dup pipeline (prune then verify)."""
+    standard two-phase near-dup pipeline (prune then verify).
+    ``bucket_cap`` threads through to the candidate stage."""
     documents = _widen_small_scan(documents)
-    cands = minhash_lsh_candidates(documents, num_hashes, bands, k)
+    cands = minhash_lsh_candidates(documents, num_hashes, bands, k, bucket_cap)
     sh = documents.select("doc_id", word_shingles(F.col("text"), k).alias("shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -342,7 +381,9 @@ def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_duplicates(
+    documents: DataFrame, max_hamming: int = 3, bucket_cap: int | None = None
+) -> DataFrame:
     """Near-dups by 32-bit SimHash: band the fingerprint into 4 bytes
     (pigeonhole: hamming<=3 pairs share at least one exact byte),
     bucket-join, verify Hamming distance.
@@ -351,7 +392,7 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
     buckets per band, so the bucket self-join goes quadratic at >=10^8
     docs (~n^2/128 verify pairs). The production path is
     ``simhash64_near_duplicates`` (four 16-bit bands, 256x fewer
-    candidates, optional bucket cap)."""
+    candidates). ``bucket_cap`` has the same logged-drops contract."""
     documents = _widen_small_scan(documents)
     sh = documents.select("doc_id", simhash32(F.col("text")).alias("sh"))
     bands = sh.select(
@@ -361,6 +402,8 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
             F.array(*[F.shiftright(F.col("sh"), 8 * i).bitwiseAND(F.lit(0xFF)) for i in range(4)])
         ).alias("band_idx", "band_val"),
     )
+    if bucket_cap is not None:
+        bands = _cap_band_buckets(bands, bucket_cap, "simhash_near_duplicates")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -488,20 +531,7 @@ def simhash64_near_duplicates(
         F.posexplode(F.array(*chunks)).alias("band_idx", "band_val"),
     )
     if bucket_cap is not None:
-        w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
-        ranked = bands.withColumn("_rn", F.row_number().over(w))
-        dropped = ranked.filter(F.col("_rn") > bucket_cap).count()
-        if dropped:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "simhash64_near_duplicates: bucket_cap=%d dropped %d "
-                "(doc, band) memberships — pairs inside oversized buckets "
-                "beyond the cap are NOT compared",
-                bucket_cap,
-                dropped,
-            )
-        bands = ranked.filter(F.col("_rn") <= bucket_cap).drop("_rn")
+        bands = _cap_band_buckets(bands, bucket_cap, "simhash64_near_duplicates")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

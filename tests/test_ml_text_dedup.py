@@ -181,6 +181,47 @@ def test_simhash64_bucket_cap_bounds_adversarial_bucket(spark, caplog):
     assert uncapped.count() == 30 * 29 // 2
 
 
+def test_minhash_bucket_cap_bounds_adversarial_bucket(spark, caplog):
+    """Cap parity with simhash64: a corpus of identical docs (all bands
+    collide) must stay bounded under bucket_cap, with logged drops; and
+    capping must not lose pairs in ordinary buckets below the cap."""
+    import logging
+
+    d = docs(spark, ["same text every time"] * 30)
+    with caplog.at_level(logging.WARNING, logger="nutch_spark.ml.dedup"):
+        capped = minhash_lsh_candidates(d, num_hashes=16, bands=4, bucket_cap=5)
+        n_capped = capped.count()
+    assert n_capped == 5 * 4 // 2  # C(5,2), identical across all bands
+    assert any(
+        "minhash_lsh_candidates" in rec.getMessage() and "dropped" in rec.getMessage()
+        for rec in caplog.records
+        if rec.name == "nutch_spark.ml.dedup"
+    )
+    assert minhash_lsh_candidates(d, num_hashes=16, bands=4).count() == 30 * 29 // 2
+
+    # ordinary corpus below the cap: capped == uncapped (verified path)
+    near = BASE.replace("quietly", "slowly")
+    d2 = docs(spark, [BASE, near, "totally different words about parquet"])
+    got = minhash_near_duplicates(d2, threshold=0.5, num_hashes=16, bands=8, bucket_cap=10)
+    want = minhash_near_duplicates(d2, threshold=0.5, num_hashes=16, bands=8)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_simhash32_bucket_cap(spark, caplog):
+    import logging
+
+    from nutch_spark.ml.dedup import simhash_near_duplicates
+
+    d = docs(spark, [""] * 20)
+    with caplog.at_level(logging.WARNING, logger="nutch_spark.ml.dedup"):
+        assert simhash_near_duplicates(d, bucket_cap=4).count() == 4 * 3 // 2
+    assert any(
+        "simhash_near_duplicates" in rec.getMessage()
+        for rec in caplog.records
+        if rec.name == "nutch_spark.ml.dedup"
+    )
+
+
 def test_shingles(spark):
     d = docs(spark, ["a b c d", "a b"])
     rows = d.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()
