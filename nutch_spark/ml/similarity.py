@@ -301,12 +301,68 @@ def _sim_structs(emb: Column, centroids: list) -> Column:
     )
 
 
-def ivf_assign(embeddings: DataFrame, centroids: list, emb_col: str = "embedding") -> DataFrame:
-    """Add `cluster` = nearest-centroid id (IVF coarse quantizer). Pure
-    map-side JVM column arithmetic against centroid literals — no
-    shuffle, no Python; at 10^9+ corpus rows this is the whole cost of
-    list building. For centroid counts too large for literal expressions
-    (>~256) use a broadcast join + groupBy(vec_id) max_by instead."""
+# above this many centroids the literal-expression argmin stops being
+# the right plan: the expression tree holds n_centroids * dim literals
+# and whole-stage codegen degrades (method-size limits force
+# interpreted evaluation), so assignment switches to a broadcast
+# nested-loop join + groupBy(vec_id) max — the standard shape for big
+# coarse quantizers
+_ASSIGN_JOIN_THRESHOLD = 256
+
+
+def _ivf_assign_join(
+    embeddings: DataFrame, centroids: list, emb_col: str
+) -> DataFrame:
+    """Join-form coarse quantizer: centroids as a broadcast table, one
+    cosine per (row, centroid) pair, argmin via max(struct) grouped by
+    vec_id, assignments joined back to keep the caller's columns. Two
+    shuffles on vec_id — the literal form's zero-shuffle plan does not
+    survive thousands of centroids, this one does."""
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [(cid, [float(v) for v in vec]) for cid, vec in centroids],
+        "c_cid int, c_vec array<double>",
+    )
+    scored = embeddings.select("vec_id", F.col(emb_col).alias("_e")).join(
+        F.broadcast(cent)
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    cosine(F.col("_e"), F.col("c_vec")).alias("s"),
+                    (-F.col("c_cid")).alias("nid"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.nid")).alias("cluster"))
+    )
+    return embeddings.join(best, "vec_id")
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list,
+    emb_col: str = "embedding",
+    method: str = "auto",
+) -> DataFrame:
+    """Add `cluster` = nearest-centroid id (IVF coarse quantizer).
+
+    ``method='literal'``: pure map-side JVM column arithmetic against
+    centroid literals — no shuffle, no Python; at 10^9+ corpus rows
+    this is the whole cost of list building. ``method='join'``:
+    broadcast centroid table + groupBy(vec_id) max — for centroid
+    counts too large for literal expression trees. ``'auto'`` picks the
+    join form above ``_ASSIGN_JOIN_THRESHOLD`` (256) centroids. Both
+    forms produce identical assignments (same cosine, same
+    (sim DESC, centroid_id ASC) tie-break)."""
+    if method not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown ivf_assign method: {method}")
+    if method == "join" or (
+        method == "auto" and len(centroids) > _ASSIGN_JOIN_THRESHOLD
+    ):
+        return _ivf_assign_join(embeddings, centroids, emb_col)
     best = F.array_max(_sim_structs(F.col(emb_col), centroids))
     return embeddings.withColumn("cluster", -best["nid"])
 

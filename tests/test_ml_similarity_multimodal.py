@@ -255,3 +255,52 @@ def test_bucket_cap_no_drop_no_log(spark, caplog):
             emb, threshold=0.99, dim=DIM, n_bits=4, tables=2, bucket_cap=1000
         ).collect()
     assert not [r for r in caplog.records if "dropped" in r.message]
+
+
+def test_ivf_assign_dispatch_forms_agree(spark):
+    """The >threshold join form must produce the exact assignments of
+    the literal form (same cosine, same tie-break), and the dispatch
+    must actually switch plans: literal = zero-join map, join =
+    broadcast join + aggregate."""
+    from nutch_spark.ml.similarity import _centroid_seeds, ivf_assign
+
+    rng = np.random.RandomState(11)
+    emb = embeddings(spark, rng.randn(40, DIM))
+    cents = _centroid_seeds(emb, 8)
+
+    lit = ivf_assign(emb, cents, method="literal")
+    jn = ivf_assign(emb, cents, method="join")
+    got_lit = {r["vec_id"]: r["cluster"] for r in lit.collect()}
+    got_jn = {r["vec_id"]: r["cluster"] for r in jn.collect()}
+    assert got_lit == got_jn
+
+    plan_lit = lit._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_lit  # pure map-side column arithmetic
+    plan_jn = jn._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan_jn and "Aggregate" in plan_jn
+
+    # auto dispatch: picks by centroid count (the docstring's promise,
+    # now in code: > _ASSIGN_JOIN_THRESHOLD switches to the join form)
+    from nutch_spark.ml.similarity import _ASSIGN_JOIN_THRESHOLD
+
+    auto_small = ivf_assign(emb, cents)  # 8 <= threshold -> literal
+    assert "Join" not in auto_small._jdf.queryExecution().executedPlan().toString()
+    many = [(i + 1, list(map(float, rng.randn(DIM)))) for i in range(_ASSIGN_JOIN_THRESHOLD + 1)]
+    auto_big = ivf_assign(emb, many)
+    assert "Join" in auto_big._jdf.queryExecution().executedPlan().toString()
+
+    with pytest.raises(ValueError):
+        ivf_assign(emb, cents, method="bogus")
+
+
+def test_ivf_assign_join_ties_break_like_literal(spark):
+    """Duplicate centroids force cosine ties; both forms must pick the
+    lower centroid id."""
+    from nutch_spark.ml.similarity import ivf_assign
+
+    emb = embeddings(spark, [[1.0] + [0.0] * (DIM - 1)])
+    v = [1.0] + [0.0] * (DIM - 1)
+    cents = [(3, v), (1, v), (2, v)]
+    for method in ("literal", "join"):
+        got = ivf_assign(emb, cents, method=method).collect()[0]["cluster"]
+        assert got == 1, method
