@@ -948,6 +948,41 @@ def q_trie_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse-ext external-command parser (plugin/parse-ext/
+    ExtParser.java:71-142 via operators/ext_parse): documents rotate
+    through four arms — md5sum filter, cat filter, an unregistered
+    content type (FAILED), and a Content-Length mismatch
+    (FAILED_TRUNCATED). The stdin filters replay exactly in SQL:
+    md5sum stdout is md5(body) || '  -' || newline, cat is identity."""
+    from nutch_spark.operators.ext_parse import ExtParserConfig, ext_parse
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+    seg = d.select(
+        _url20(did).alias("url"),
+        body.alias("content"),
+        F.when(did % 4 == 0, F.lit("application/vnd.nutch.example.md5sum"))
+        .when(did % 4 == 2, F.lit("application/x-unregistered"))
+        .otherwise(F.lit("application/vnd.nutch.example.cat"))
+        .alias("content_type"),
+        (F.length(body) + F.when(did % 4 == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("content_length"),
+    )
+    cfg = (
+        ExtParserConfig()
+        .register("application/vnd.nutch.example.cat", "cat", append_type=False)
+        .register(
+            "application/vnd.nutch.example.md5sum", "md5sum", append_type=False
+        )
+    )
+    return ext_parse(seg, cfg, length_col="content_length").select(
+        "url", "status", "text"
+    )
+
+
 def q_http_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP date round-trip (data/httpdate.py — net/protocols/
     HttpDateFormat.java parity): format each order timestamp to the
@@ -2843,6 +2878,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "http_dates": q_http_dates,
         "header_spellcheck": q_header_spellcheck,
         "trie_url_gate": q_trie_url_gate,
+        "ext_parse": q_ext_parse,
     }
 
 
@@ -4028,6 +4064,25 @@ FROM best
     # the 80-prefix accept list covers host indices 0-19 (both schemes,
     # plus 40 never-matching mirror hosts), the suffix denylist is
     # .pdf/.exe case-insensitive
+    # parse-ext: the two allowlisted stdin filters replay as SQL
+    # expressions; the failure arms are pure case analysis on doc_id
+    oracles["ext_parse"] = """
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS body FROM documents
+)
+SELECT
+  'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 2 THEN 'failed'
+    WHEN 3 THEN 'failed_truncated'
+    ELSE 'success' END AS status,
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN md5(body) || '  -' || chr(10)
+    WHEN 1 THEN body
+    ELSE '' END AS text
+FROM t
+"""
     oracles["trie_url_gate"] = """
 SELECT doc_id,
   'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
