@@ -166,3 +166,89 @@ def test_end_to_end_inject_via_rest(spark, tmp_path):
         assert spark.read.parquet(db).count() == 2
     finally:
         srv.shutdown()
+
+
+def test_reader_schemas_and_fetchdb(server):
+    base, _, srv = server
+    code, schema = _get(base, "/reader/link")
+    assert code == 200 and schema["key_url"] == "string" and "linktype" in schema
+    code, schema = _get(base, "/reader/node")
+    assert code == 200 and "inlink_score" in schema
+
+    # empty registry -> empty list (FetchNodeDb before any fetch)
+    code, nodes = _get(base, "/db/fetchdb")
+    assert code == 200 and nodes == []
+
+    srv.nutch_state.register_fetch_nodes(
+        [
+            {"url": "http://a/", "status": 33, "outlinks": ["http://a/1", "http://a/2"]},
+            {"url": "http://b/", "status": 34, "outlinks": []},
+            {"url": "http://c/", "status": 33, "outlinks": ["http://c/1"]},
+        ]
+    )
+    code, nodes = _get(base, "/db/fetchdb")
+    assert [n["url"] for n in nodes] == ["http://a/", "http://b/", "http://c/"]
+    assert nodes[0]["numOfOutlinks"] == 2
+    code, nodes = _get(base, "/db/fetchdb?from=2&to=2")
+    assert [n["url"] for n in nodes] == ["http://b/"]
+
+
+def test_db_crawldb_end_to_end(spark, tmp_path):
+    """POST /db/crawldb stats/topN/dump/url over a real injected
+    crawldb at <crawlId>/crawldb — the DbResource.readdb decision tree
+    delegating to operators/stats (end-to-end like the INJECT test)."""
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text("http://a.example.com/\nhttp://b.example.com/\n")
+    crawl_id = tmp_path / "crawl"
+    crawl_id.mkdir()
+    db = str(crawl_id / "crawldb")
+    srv = make_server(port=0, seed_root=str(tmp_path / "sr"))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _, info = _post(base, "/job/create", {
+            "type": "INJECT",
+            "args": {"crawldb": db, "url_dir": str(seeds)},
+        })
+        assert _wait_state(base, info["id"], timeout=120)["state"] == "FINISHED"
+
+        code, out = _post(base, "/db/crawldb", {"crawlId": str(crawl_id), "type": "stats"})
+        assert code == 200 and out["type"] == "stats" and out["result"]
+
+        code, out = _post(base, "/db/crawldb", {"crawlId": str(crawl_id), "type": "topN",
+                                                "args": {"topN": 1}})
+        assert code == 200 and len(out["result"]) == 1
+
+        code, out = _post(base, "/db/crawldb", {"crawlId": str(crawl_id), "type": "dump"})
+        assert code == 200 and len(out["result"]) == 2 and out["truncated"] is False
+
+        code, out = _post(base, "/db/crawldb", {
+            "crawlId": str(crawl_id), "type": "url",
+            "args": {"url": "http://a.example.com/"},
+        })
+        assert code == 200 and len(out["result"]) == 1
+        assert out["result"][0]["url"] == "http://a.example.com/"
+
+        # bad requests: missing type / unknown type
+        code, _ = _post(base, "/db/crawldb", {"crawlId": str(crawl_id)})
+        assert code == 400
+        code, _ = _post(base, "/db/crawldb", {"crawlId": str(crawl_id), "type": "nope"})
+        assert code == 400
+
+        # /reader/sequence/read over the same parquet: head, slice,
+        # count — the performRead decision tree
+        code, out = _post(base, "/reader/sequence/read?count=true", {"path": db})
+        assert code == 200 and out["count"] == 2
+        code, out = _post(base, "/reader/sequence/read?nrows=1", {"path": db})
+        assert code == 200 and len(out["result"]) == 1
+        code, out = _post(base, "/reader/sequence/read?start=1&end=2", {"path": db})
+        assert code == 200 and len(out["result"]) == 1
+        code, out = _post(base, "/reader/sequence/read", {"path": db})
+        assert code == 200 and len(out["result"]) == 2
+        code, _ = _post(base, "/reader/sequence/read", {"path": str(tmp_path / "nope")})
+        assert code == 400
+        code, _ = _post(base, "/reader/sequence/read", {})
+        assert code == 400
+    finally:
+        srv.shutdown()

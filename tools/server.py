@@ -25,6 +25,23 @@ Mirrors the reference's service layer
 - ``resources/AdminResource.java``: ``GET /admin`` (server info),
   ``GET /admin/stop`` (refused while jobs run unless ``?force=true``,
   like NutchServer.canStop).
+- ``resources/DbResource.java``: ``POST /db/crawldb`` with DbQuery
+  ``{crawlId, type: stats|dump|topN|url, args}`` delegating to the
+  ``operators/stats`` readers over ``<crawlId>/crawldb`` (the
+  reference's CrawlDbReader.query path convention), and
+  ``GET /db/fetchdb?from=&to=`` over the in-process fetch-node
+  registry (FetchNodeDb is likewise an in-JVM singleton that is empty
+  unless the REST-driven fetcher ran).
+- ``resources/ReaderResouce.java``: ``GET /reader/link`` /
+  ``GET /reader/node`` (schema maps, field names kept verbatim) and
+  ``POST /reader/{sequence|link|node}/read`` with
+  ``{path}`` + ``?nrows=&start=&end=&count=`` — the reference's
+  performRead decision tree (count > slice(start,end) > head(nrows) >
+  read-all) over parquet, with a hard ``MAX_READ_ROWS`` cap on any
+  driver-side collect (a REST endpoint must never materialize O(data);
+  responses carry ``truncated: true`` when the cap bites — a
+  deliberate, visible deviation from the reference's unbounded
+  stream).
 
 Jobs execute the repo's operator CLI (``tools/nutch.py``) in-process —
 the same thin-shell layer a terminal user drives, so the REST surface
@@ -40,6 +57,11 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
+
+# hard ceiling on rows any /db or /reader endpoint will collect to the
+# driver: REST reads are for inspection, not extraction — a 10^10-row
+# crawldb must never be streamed through a JSON response
+MAX_READ_ROWS = 10_000
 
 JOB_TYPES = (
     "INJECT", "GENERATE", "FETCH", "PARSE", "UPDATEDB",
@@ -121,6 +143,9 @@ class NutchServerState:
         self.seed_root = Path(seed_root or "/tmp/nutch_seeds")
         self.lock = threading.Lock()
         self._seq = 0
+        # FetchNodeDb.getInstance() twin: in-process only, populated by
+        # register_fetch_nodes (e.g. after a REST-driven fetch job)
+        self.fetch_nodes: dict[int, dict] = {}
 
     # --- jobs ---------------------------------------------------------
     def create_job(self, config: dict) -> dict:
@@ -153,6 +178,111 @@ class NutchServerState:
     def running(self) -> int:
         return sum(1 for w in self.jobs.values() if w.info["state"] == "RUNNING")
 
+    # --- db + reader reads (DbResource / ReaderResouce) ---------------
+    @staticmethod
+    def _session():
+        import nutch as nutch_cli  # tools/nutch.py
+
+        return nutch_cli._spark()
+
+    @staticmethod
+    def _rows(df, limit):
+        limit = min(limit, MAX_READ_ROWS) if limit >= 0 else MAX_READ_ROWS
+        rows = [r.asDict(recursive=True) for r in df.limit(limit + 1).collect()]
+        truncated = len(rows) > limit
+        return rows[:limit], truncated
+
+    def db_query(self, body: dict):
+        """DbResource.readdb (:44-75): DbQuery {crawlId, type, args};
+        crawldb lives at <crawlId>/crawldb exactly like
+        CrawlDbReader.query's path convention."""
+        from nutch_spark.operators import stats
+
+        crawl_id = body.get("crawlId")
+        qtype = (body.get("type") or "").lower()
+        if not crawl_id or not qtype:
+            raise ValueError("crawlId and type are required")
+        args = body.get("args") or {}
+        spark = self._session()
+        db = spark.read.parquet(str(Path(crawl_id) / "crawldb"))
+        if qtype == "stats":
+            rows, _ = self._rows(stats.crawldb_stats(db), -1)
+            return {"type": "stats", "result": rows}
+        if qtype == "dump":
+            df = stats.dump(
+                db,
+                status=args.get("status"),
+                regex=args.get("regex"),
+                jexl=args.get("expr"),
+            )
+            rows, truncated = self._rows(df, int(args.get("nrows", -1)))
+            return {"type": "dump", "result": rows, "truncated": truncated}
+        if qtype == "topn":
+            n = int(args.get("topN", args.get("topn", 10)))
+            rows, _ = self._rows(stats.top_n(db, n), n)
+            return {"type": "topN", "result": rows}
+        if qtype == "url":
+            url = args.get("url")
+            if not url:
+                raise ValueError("url arg required for type=url")
+            rows, _ = self._rows(stats.read_url(db, url), -1)
+            return {"type": "url", "result": rows}
+        raise ValueError(f"unsupported db query type: {qtype!r}")
+
+    def fetchdb(self, frm: int, to: int) -> list[dict]:
+        """DbResource.fetchDb (:76-101): inclusive [from, to] slice of
+        the fetch-node registry; to=0 or past-the-end means all."""
+        nodes = self.fetch_nodes
+        if to == 0 or to > len(nodes):
+            to = len(nodes)
+        out = []
+        for i in range(frm, to + 1):
+            node = nodes.get(i)
+            if node is None:
+                continue
+            out.append(
+                {
+                    "url": node.get("url"),
+                    "status": node.get("status"),
+                    "numOfOutlinks": len(node.get("outlinks") or []),
+                    "childNodes": node.get("outlinks") or [],
+                }
+            )
+        return out
+
+    def register_fetch_nodes(self, nodes) -> None:
+        with self.lock:
+            base = len(self.fetch_nodes)
+            for i, node in enumerate(nodes, start=base + 1):
+                self.fetch_nodes[i] = dict(node)
+
+    def reader_read(self, body: dict, q: dict):
+        """ReaderResouce.performRead (:160-175): count, else
+        slice(start, end), else head(nrows), else read-all — over the
+        parquet path in ReaderConfig (our sequence-file equivalent),
+        capped at MAX_READ_ROWS."""
+        path = (body or {}).get("path")
+        if not path:
+            raise ValueError("path is required")
+        spark = self._session()
+        df = spark.read.parquet(path)
+
+        def qi(name, default):
+            return int(q.get(name, [default])[0])
+
+        count = q.get("count", ["false"])[0].lower() == "true"
+        nrows, start, end = qi("nrows", -1), qi("start", -1), qi("end", 0)
+        if count:
+            return {"count": df.count()}
+        if start > -1 and end > 0:
+            rows, truncated = self._rows(df, end)
+            return {"result": rows[start:end], "truncated": truncated}
+        if nrows > -1:
+            rows, truncated = self._rows(df, nrows)
+            return {"result": rows, "truncated": truncated}
+        rows, truncated = self._rows(df, -1)
+        return {"result": rows, "truncated": truncated}
+
     # --- seeds --------------------------------------------------------
     def create_seed(self, body: dict) -> str:
         name = body.get("name") or f"seed-{int(time.time() * 1000)}"
@@ -172,7 +302,7 @@ def make_handler(state: NutchServerState, server_holder: dict):
             pass
 
         def _json(self, obj, code: int = 200) -> None:
-            body = json.dumps(obj).encode()
+            body = json.dumps(obj, default=str).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -204,6 +334,33 @@ def make_handler(state: NutchServerState, server_holder: dict):
                     target=server_holder["server"].shutdown, daemon=True
                 ).start()
                 return self._json("Stopping in server!")
+            if parts == ["db", "fetchdb"]:
+                frm = int(q.get("from", ["0"])[0])
+                to = int(q.get("to", ["0"])[0])
+                return self._json(state.fetchdb(frm, to))
+            if parts == ["reader", "link"]:
+                # ReaderResouce.linkRead schema — field names verbatim
+                return self._json(
+                    {
+                        "key_url": "string",
+                        "timestamp": "int",
+                        "score": "float",
+                        "anchor": "string",
+                        "linktype": "string",
+                        "url": "string",
+                    }
+                )
+            if parts == ["reader", "node"]:
+                return self._json(
+                    {
+                        "key_url": "string",
+                        "num_inlinks": "int",
+                        "num_outlinks": "int",
+                        "inlink_score": "float",
+                        "outlink_score": "float",
+                        "metadata": "string",
+                    }
+                )
             if parts == ["config"]:
                 return self._json(sorted(state.configs))
             if len(parts) == 2 and parts[0] == "config":
@@ -245,6 +402,28 @@ def make_handler(state: NutchServerState, server_holder: dict):
                     return self._json(parts[1])
                 if parts == ["seed", "create"]:
                     return self._json(state.create_seed(body))
+                if parts == ["db", "crawldb"]:
+                    try:
+                        return self._json(state.db_query(body))
+                    except Exception as exc:
+                        if isinstance(exc, ValueError):
+                            raise
+                        return self._json(str(exc), 500)
+                if (
+                    len(parts) == 3
+                    and parts[0] == "reader"
+                    and parts[1] in ("sequence", "link", "node")
+                    and parts[2] == "read"
+                ):
+                    q = parse_qs(u.query)
+                    try:
+                        return self._json(state.reader_read(body, q))
+                    except ValueError:
+                        raise
+                    except Exception:
+                        # performRead's catch arm: BAD_REQUEST "File
+                        # not found" for unreadable paths
+                        return self._json("File not found", 400)
             except ValueError as exc:
                 return self._json(str(exc), 400)
             return self._json(f"no such resource: {u.path}", 404)
