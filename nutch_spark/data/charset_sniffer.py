@@ -245,3 +245,35 @@ def statistical_charset_udf():
         return content.map(one)
 
     return _sniff
+
+
+def statistical_charset_struct_udf():
+    """Arrow-batched pandas UDF: content bytes -> struct(cs, conf) —
+    the detect clue WITH its confidence, for callers that run the
+    reference's threshold walk JVM-side (arc_text_spans
+    statistical=True). cs is lowercase post-correction; NULL struct
+    fields below MIN_LENGTH."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nutch_spark.data.encoding import resolve_encoding_alias
+
+    @F.pandas_udf("cs string, conf int")
+    def _sniff(content):
+        names, confs = [], []
+        for blob in content:
+            m = (
+                sniff_charset_statistical(bytes(blob))
+                if blob is not None
+                else None
+            )
+            if m is None:
+                names.append(None)
+                confs.append(None)
+            else:
+                resolved = resolve_encoding_alias(m[0])
+                names.append(resolved.lower() if resolved else m[0].lower())
+                confs.append(m[1])
+        return pd.DataFrame({"cs": names, "conf": confs})
+
+    return _sniff

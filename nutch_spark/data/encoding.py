@@ -239,7 +239,15 @@ _HEADER_RESOLVE = {
     "iso-8859-1": "windows-1252",  # mislabel correction
     "latin-1": "windows-1252", "latin1": "windows-1252",
     "euc-kr": "x-windows-949",
-    "gbk": "gb18030", "gb18030": "gb18030",
+    "gbk": "gb18030", "gb18030": "gb18030", "gb2312": "gb18030",
+    "koi8-r": "koi8-r", "koi8r": "koi8-r",
+    "iso-8859-2": "iso-8859-2", "iso-8859-5": "iso-8859-5",
+    "iso-8859-7": "iso-8859-7", "iso-8859-9": "windows-1254",
+    "iso-8859-15": "iso-8859-15",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "euc-jp": "euc-jp", "big5": "big5", "big-5": "big5",
+    "iso-2022-jp": "iso-2022-jp", "iso-2022-kr": "iso-2022-kr",
     **{f"windows-125{i}": f"windows-125{i}" for i in range(9)},
     **{f"cp125{i}": f"windows-125{i}" for i in range(9)},
 }
@@ -338,12 +346,18 @@ def decode_with_charset_col(content: Column, charset: Column) -> Column:
     )
 
 
+# Java-canonical names python codecs does not know, mapped to their
+# python twins for the per-row decode
+_PY_CODEC_ALIASES = {"x-windows-949": "cp949"}
+
+
 def _decode_fallback_pdf_impl(content, cs):
     import pandas as pd  # local: keep module import light
 
     def one(blob, name):
         if blob is None:
             return None
+        name = _PY_CODEC_ALIASES.get((name or "").lower(), name)
         try:
             return bytes(blob).decode(name or "utf-8", errors="replace")
         except (LookupError, TypeError):

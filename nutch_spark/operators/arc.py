@@ -189,6 +189,7 @@ def arc_text_spans(
     text_mimes: tuple[str, ...] = ("text/",),
     detect_charset: bool = False,
     min_confidence: int = 50,
+    statistical: bool = False,
 ) -> DataFrame:
     """Bridge ARC content rows into the engine's interleaved-span
     document model (input_hint): text/* payloads become a single text
@@ -201,22 +202,53 @@ def arc_text_spans(
     which the reference's parse path applies to exactly this kind of
     archived content) and decodes each payload under its detected
     charset instead of assuming UTF-8; detection and the dominant
-    decodes stay JVM-side."""
+    decodes stay JVM-side.
+
+    ``statistical=True`` (with ``detect_charset=True``) swaps the
+    JVM clue-twin's BOM/UTF-8 mini-detector for the trained byte-ngram
+    sniffer (``data/charset_sniffer.py`` — the ICU CharsetDetector
+    equivalent the reference uses on exactly this content): the detect
+    clue becomes an Arrow-batched narrow map over the payload bytes
+    (header clue still wins below min_confidence, same clue order),
+    buying windows-125x / KOI8 / CJK coverage for charset-chaotic
+    archives at the cost of one Python pass over text rows."""
     is_text = F.coalesce(F.col("mime"), F.lit(""))
     text_cond = None
     for m in text_mimes:
         c = is_text.startswith(m)
         text_cond = c if text_cond is None else (text_cond | c)
     if detect_charset:
-        from nutch_spark.data.encoding import decode_with_charset_col, detect_charset_col
+        from nutch_spark.data.encoding import (
+            DETECTABLES,
+            MIN_LENGTH,
+            decode_with_charset_col,
+            detect_charset_col,
+            header_charset_col,
+        )
 
         # the DETECTABLES gate wants the bare mime (no ;charset=...);
         # the raw header doubles as the header-charset clue source
         bare_mime = F.trim(F.element_at(F.split(is_text, ";"), 1))
-        cs = detect_charset_col(
-            F.col("content"), bare_mime, is_text,
-            default="utf-8", min_confidence=min_confidence,
-        )
+        if statistical:
+            from nutch_spark.data.charset_sniffer import (
+                statistical_charset_struct_udf,
+            )
+
+            det = statistical_charset_struct_udf()(F.col("content"))
+            gate = bare_mime.isin(*sorted(DETECTABLES)) & (
+                F.length(F.col("content")) > MIN_LENGTH
+            )
+            confident = gate & (det["conf"] >= F.lit(min_confidence))
+            cs = F.lower(
+                F.when(confident, det["cs"]).otherwise(
+                    F.coalesce(header_charset_col(is_text), F.lit("utf-8"))
+                )
+            )
+        else:
+            cs = detect_charset_col(
+                F.col("content"), bare_mime, is_text,
+                default="utf-8", min_confidence=min_confidence,
+            )
         decoded = decode_with_charset_col(F.col("content"), cs)
     else:
         decoded = F.col("content").cast("string")

@@ -149,3 +149,36 @@ def test_arc_text_spans_bridges_to_document_model(spark, arc_df):
     assert img[0]["kind"] == "image/png"
     assert img[0]["media_ref"] == "http://c.example.com/img.png"
     assert img[0]["text"] is None
+
+
+def test_arc_text_spans_statistical_charset(spark):
+    """statistical=True: the trained sniffer detects an unlabeled
+    cp1251 (Cyrillic) payload and decodes it correctly; UTF-8 stays
+    UTF-8; below the threshold the header clue wins (same clue order
+    as the reference's EncodingDetector walk)."""
+    ru = (
+        "Каждый человек имеет право на жизнь, на свободу и на личную "
+        "неприкосновенность, а также на защиту своих интересов."
+    )
+    rows = [
+        ("http://ru.example.com/1", "text/html", ru.encode("windows-1251")),
+        ("http://en.example.com/1", "text/html", "héllo wörld".encode("utf-8")),
+        (
+            "http://hdr.example.com/1",
+            "text/html; charset=KOI8-R",
+            ru.encode("koi8-r"),
+        ),
+    ]
+    content = spark.createDataFrame(rows, "url string, mime string, content binary")
+    spanned = arc_text_spans(content, detect_charset=True, statistical=True)
+    got = {r["url"]: r["spans"][0]["text"] for r in spanned.collect()}
+    assert got["http://ru.example.com/1"] == ru        # sniffed cp1251
+    assert got["http://en.example.com/1"] == "héllo wörld"
+    assert got["http://hdr.example.com/1"] == ru       # koi8 sniffed or header
+
+    # threshold above any ngram confidence: header clue must win
+    spanned_hdr = arc_text_spans(
+        content, detect_charset=True, statistical=True, min_confidence=99
+    )
+    got_hdr = {r["url"]: r["spans"][0]["text"] for r in spanned_hdr.collect()}
+    assert got_hdr["http://hdr.example.com/1"] == ru   # header koi8-r decode
