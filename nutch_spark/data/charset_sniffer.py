@@ -77,6 +77,31 @@ _REPORT_NAME = {
 # how many trailing bytes a truncated multibyte sequence can dangle
 _TRUNC_SLACK = 3
 
+# ICU keeps the raw input when tag-stripping leaves fewer bytes than
+# this (CharsetDetector.MungeInput's "not much real text" fallback)
+_STRIP_MIN_REMAIN = 100
+
+
+def strip_markup(data: bytes) -> bytes:
+    """ICU CharsetDetector's input filter (enableInputFilter /
+    MungeInput): drop ``<...>`` tag spans so ASCII markup does not
+    dilute the statistical evidence; fall back to the raw bytes when
+    stripping leaves under ~100 bytes (a page that is mostly markup
+    still has to be detected from something)."""
+    out = bytearray()
+    in_tag = False
+    for b in data:
+        if in_tag:
+            if b == 0x3E:  # '>'
+                in_tag = False
+        elif b == 0x3C:  # '<'
+            in_tag = True
+        else:
+            out.append(b)
+    if len(out) < _STRIP_MIN_REMAIN and len(out) < len(data):
+        return data
+    return bytes(out)
+
 
 def _high_bigrams(data: bytes) -> Counter:
     """Same extraction as tools/build_charset_profiles.high_bigrams."""
@@ -172,11 +197,20 @@ def _ngram_matches(data: bytes) -> list[tuple[str, int]]:
     return out
 
 
-def detect_all(data: bytes) -> list[tuple[str, int]]:
+def detect_all(
+    data: bytes, filter_input: bool = False
+) -> list[tuple[str, int]]:
     """Ranked ``(charset, confidence)`` matches — the ``detectAll``
     twin. Unicode recognizers win outright; otherwise every n-gram
     match is returned (the reference adds each as a clue), with the
-    windows-1252 floor appended when nothing else claims the bytes."""
+    windows-1252 floor appended when nothing else claims the bytes.
+
+    ``filter_input=True`` is ICU's enableInputFilter: the Unicode
+    recognizers (BOM / escapes / UTF-8 / UTF-16) see the RAW bytes
+    (ICU's fRawInput), while the n-gram recognizers score the
+    markup-stripped bytes (fInputBytes) so ``<html>`` soup does not
+    dilute the evidence — parse-html calls autoDetectClues(content,
+    true), so this is the main consumer's mode."""
     if data is None or len(data) < MIN_LENGTH:
         return []
     data = bytes(data[:SNIFF_LIMIT])
@@ -205,16 +239,18 @@ def detect_all(data: bytes) -> list[tuple[str, int]]:
         return [("UTF-8", 10)]
     except UnicodeDecodeError:
         pass
-    matches = _ngram_matches(data)
+    matches = _ngram_matches(strip_markup(data) if filter_input else data)
     if not any(m[0] == "windows-1252" for m in matches):
         matches.append(("windows-1252", 30))
     return matches
 
 
-def sniff_charset_statistical(data: bytes) -> tuple[str, int] | None:
+def sniff_charset_statistical(
+    data: bytes, filter_input: bool = False
+) -> tuple[str, int] | None:
     """Best single match — drop-in for ``EncodingDetector(sniffer=...)``
     and the shape-compatible upgrade of ``encoding.sniff_charset``."""
-    matches = detect_all(data)
+    matches = detect_all(data, filter_input)
     return matches[0] if matches else None
 
 

@@ -189,16 +189,33 @@ class EncodingDetector:
             self.clues.append(EncodingClue(resolved, source, confidence))
 
     def auto_detect_clues(self, data: bytes, content_type: str | None,
-                          header_content_type: str | None) -> None:
+                          header_content_type: str | None,
+                          filter: bool = False) -> None:
         """EncodingDetector.autoDetectClues:163-191 — statistical clues
         first (gated on threshold, mime type, min length), then the
-        HTTP header charset."""
+        HTTP header charset.
+
+        ``filter=True`` is the reference's second argument
+        (``detector.enableInputFilter(filter)``, :173 — parse-html
+        passes true): markup is stripped before statistical scoring.
+        Sniffers accepting ``filter_input`` (the statistical detector)
+        get the exact raw/stripped split; others get pre-stripped
+        bytes (BOMs and escapes are never inside tags, so the Unicode
+        arms are unaffected)."""
         if (
             self.min_confidence >= 0
             and content_type in DETECTABLES
             and len(data) > MIN_LENGTH
         ):
-            match = self._sniffer(data)
+            if filter:
+                try:
+                    match = self._sniffer(data, filter_input=True)
+                except TypeError:
+                    from nutch_spark.data.charset_sniffer import strip_markup
+
+                    match = self._sniffer(strip_markup(data))
+            else:
+                match = self._sniffer(data)
             if match is not None:
                 # ICU's detectAll yields a ranked match LIST and the
                 # reference adds every one as a clue (:185-189); the

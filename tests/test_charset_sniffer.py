@@ -238,3 +238,54 @@ def test_statistical_udf(spark):
     assert got["ko"] == "x-windows-949"  # mislabel correction applied
     assert got["utf8"] == "utf-8"
     assert got["null"] is None
+
+
+def test_input_filter_strips_markup():
+    """ICU enableInputFilter parity (EncodingDetector.java:173 —
+    parse-html passes filter=true): heavy ASCII markup must not
+    dilute the statistical evidence, and the Unicode recognizers
+    still see raw bytes (BOMs/escapes are never inside tags)."""
+    from nutch_spark.data.charset_sniffer import strip_markup
+
+    body = HELDOUT["ru"]
+    page = (
+        "<html><head><meta name=\"viewport\" content=\"width=device-width\">"
+        "<title>t</title></head><body><div class=\"main article content\">"
+        + body
+        + "</div></body></html>"
+    ).encode("windows-1251")
+
+    stripped = strip_markup(page)
+    assert b"<" not in stripped and b"viewport" not in stripped
+    assert "жизнь".encode("windows-1251") in stripped
+
+    plain_conf = sniff_charset_statistical(body.encode("windows-1251"))[1]
+    raw = sniff_charset_statistical(page)
+    filt = sniff_charset_statistical(page, filter_input=True)
+    assert filt[0] == "windows-1251"
+    # filtering recovers (at least) the markup-free confidence
+    assert filt[1] >= raw[1]
+    assert filt[1] >= plain_conf - 2
+
+    # mostly-markup page: stripping would leave <100 bytes -> raw kept
+    tiny = b"<a href='x'>\xe9t\xe9</a>"
+    assert strip_markup(tiny) == tiny
+
+
+def test_detector_filter_arg():
+    """autoDetectClues(content, filter) end-to-end through the clue
+    walk, both with the statistical sniffer (filter_input kwarg) and
+    the simple tuple sniffer (pre-stripped fallback)."""
+    page = (
+        "<html><body><p class=\"x\">" + HELDOUT["ru"] + "</p></body></html>"
+    ).encode("windows-1251")
+    d = EncodingDetector(min_confidence=40, sniffer=detect_all)
+    d.auto_detect_clues(page, "text/html", None, filter=True)
+    assert d.guess_encoding("utf-8") == "windows-1251"
+
+    from nutch_spark.data.encoding import sniff_charset
+
+    d2 = EncodingDetector(min_confidence=50, sniffer=sniff_charset)
+    d2.auto_detect_clues("<p>héllo wörld</p>".encode("utf-8"),
+                         "text/html", None, filter=True)
+    assert d2.guess_encoding("windows-1252") == "utf-8"
