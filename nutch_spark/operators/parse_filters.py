@@ -212,3 +212,26 @@ def cc_index_fields(license_url: Column) -> Column:
         F.when(ok, F.split(F.element_at(parts, 3), "-")).alias("features"),
         F.when(ok, F.element_at(parts, 4)).alias("version"),
     )
+
+
+def debug_dom_meta(markup: Column, parse_meta: Column | None = None) -> Column:
+    """parsefilter-debug (``parsefilter-debug/.../DebugParseFilter.java``
+    :49-58): append the serialized document to parse_meta under the
+    key ``DOM`` so a debugging run can see exactly what the parser
+    interpreted.
+
+    Deviation, inherent to the architecture: the reference serializes
+    the DOM fragment built by parse-html (DomUtil.saveDom); this
+    engine parses by JVM regex scan over the stored markup and builds
+    no DOM, so the serialized form IS the source markup. The filter is
+    therefore the identity evidence for debugging ("what did the
+    parser see"), which is the plugin's whole purpose. NULL markup
+    stores the empty string (saveDom of an empty fragment)."""
+    entry = F.create_map(
+        F.lit("DOM"), F.coalesce(markup, F.lit(""))
+    )
+    if parse_meta is None:
+        return entry
+    # newer-wins merge, same policy as every metadata merge in the
+    # engine (spark.sql.mapKeyDedupPolicy=LAST_WIN)
+    return F.map_concat(F.coalesce(parse_meta, F.create_map().cast("map<string,string>")), entry)

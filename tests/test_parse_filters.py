@@ -108,3 +108,27 @@ def test_cc_precedence_and_fields(spark):
     assert f["version"] == "2.5"
     short = _one(spark, "http://creativecommons.org/x", cc_index_fields(F.col("html")))
     assert short["license"] is None
+
+
+def test_debug_dom_meta(spark):
+    """parsefilter-debug: parse_meta gains a DOM key carrying the
+    serialized document (here: the source markup — no DOM in a
+    regex-scan engine, documented deviation)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.parse_filters import debug_dom_meta
+
+    df = spark.createDataFrame(
+        [("u1", "<html><body>x</body></html>", {"k": "v"}), ("u2", None, None)],
+        "url string, markup string, parse_meta map<string,string>",
+    )
+    out = {
+        r["url"]: r["m"]
+        for r in df.select(
+            "url",
+            debug_dom_meta(F.col("markup"), F.col("parse_meta")).alias("m"),
+        ).collect()
+    }
+    assert out["u1"]["DOM"] == "<html><body>x</body></html>"
+    assert out["u1"]["k"] == "v"  # existing meta preserved
+    assert out["u2"]["DOM"] == ""  # null markup -> empty serialization
