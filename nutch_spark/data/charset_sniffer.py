@@ -242,6 +242,8 @@ def detect_all(
     matches = _ngram_matches(strip_markup(data) if filter_input else data)
     if not any(m[0] == "windows-1252" for m in matches):
         matches.append(("windows-1252", 30))
+        # re-rank: the floor can outrank weak (conf 10-29) ngram hits
+        matches.sort(key=lambda m: (-m[1], m[0]))
     return matches
 
 

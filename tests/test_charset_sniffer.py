@@ -289,3 +289,42 @@ def test_detector_filter_arg():
     d2.auto_detect_clues("<p>héllo wörld</p>".encode("utf-8"),
                          "text/html", None, filter=True)
     assert d2.guess_encoding("windows-1252") == "utf-8"
+
+
+# ---------------------------------------------------------------------------
+# robustness properties (pure driver-side)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_prop_detect_never_crashes_and_is_decodable(data):
+    """Any byte soup: detect_all must not raise, must rank by
+    confidence, and every claimed charset must not crash a
+    replace-mode decode of the input."""
+    matches = detect_all(data)
+    confs = [c for _, c in matches]
+    assert confs == sorted(confs, reverse=True)
+    for name, conf in matches:
+        assert 0 < conf <= 100
+        data.decode({"x-windows-949": "cp949"}.get(name.lower(), name.lower()),
+                    errors="replace")
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_prop_strip_markup_is_subsequence_or_identity(data):
+    """strip_markup only deletes bytes (or falls back to the input
+    whole) — it never invents bytes, and never strips a leading BOM."""
+    from nutch_spark.data.charset_sniffer import strip_markup
+
+    out = strip_markup(data)
+    if out != data:
+        # subsequence check
+        it = iter(data)
+        assert all(b in it for b in out)
+    if data[:3] == b"\xef\xbb\xbf":
+        assert out[:3] == b"\xef\xbb\xbf" or out == data
