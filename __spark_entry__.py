@@ -983,6 +983,62 @@ def q_ext_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# native-script sample bodies for the statistical charset sniffer
+# query: HELD-OUT sentences (not the training corpus), one per
+# (language, charset) class; the ASCII " doc N" suffix varies per row
+# but contributes no high-byte evidence, so detection per class is a
+# deterministic constant the oracle can state as ground truth.
+_CHARSET_CLASSES = [
+    # (python codec, expected lowercase detection after corrections)
+    ("windows-1251", "windows-1251",
+     "Каждый человек имеет право на жизнь, на свободу и на личную "
+     "неприкосновенность, а также на защиту своих законных интересов."),
+    ("koi8-r", "koi8-r",
+     "Никто не должен содержаться в рабстве; рабство и работорговля "
+     "запрещаются во всех их видах без всякого исключения."),
+    ("shift_jis", "shift_jis",
+     "すべての人は、生命、自由及び身体の安全に対する権利を有する。"
+     "来週は雨が降るかもしれませんので、傘を持って出かけましょう。"),
+    ("euc-kr", "x-windows-949",  # mislabel correction EUC-KR -> x-windows-949
+     "모든 사람은 생명과 신체의 자유와 안전에 대한 권리를 가진다. "
+     "내일은 도서관에 가서 책을 읽을 것입니다."),
+    ("gb18030", "gb18030",
+     "人人有权享有生命、自由和人身安全。明天我们要去图书馆看书，"
+     "然后一起去公园散步，看看美丽的花草树木。"),
+    ("utf-8", "utf-8",
+     "Tout individu a droit à la vie, à la liberté et à la sûreté de "
+     "sa personne. L'été sera très chaud cette année, paraît-il."),
+]
+
+
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical charset detection end-to-end (data/charset_sniffer —
+    the ICU CharsetDetector stand-in behind util/EncodingDetector.java
+    :119-180): six charset classes rotate over doc_id, each body a
+    held-out native-script sample plus a per-doc ASCII suffix (no
+    high-byte evidence, so per-class detection is deterministic). The
+    oracle states the ground-truth label structurally; a hash match
+    means every single row detected correctly through the Arrow UDF."""
+    from nutch_spark.data.charset_sniffer import statistical_charset_udf
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    cls = (did % 6).cast("int")
+    bodies = [
+        text.encode(codec) for codec, _, text in _CHARSET_CLASSES
+    ]
+    body = F.element_at(
+        F.array(*[F.lit(b) for b in bodies]), cls + 1
+    )
+    suffix = F.encode(F.concat(F.lit(" doc "), did.cast("string")), "utf-8")
+    content = F.concat(body, suffix)
+    return d.select(
+        "doc_id",
+        cls.alias("charset_class"),
+        statistical_charset_udf()(content).alias("charset"),
+    )
+
+
 def q_http_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP date round-trip (data/httpdate.py — net/protocols/
     HttpDateFormat.java parity): format each order timestamp to the
@@ -2879,6 +2935,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "header_spellcheck": q_header_spellcheck,
         "trie_url_gate": q_trie_url_gate,
         "ext_parse": q_ext_parse,
+        "charset_sniff": q_charset_sniff,
     }
 
 
@@ -4082,6 +4139,20 @@ SELECT
     WHEN 1 THEN body
     ELSE '' END AS text
 FROM t
+"""
+    # statistical charset sniffer: ground-truth labels replayed
+    # structurally (class = doc_id % 6; detection per class is a
+    # deterministic constant — see q_charset_sniff)
+    _cs_labels = ["windows-1251", "koi8-r", "shift_jis",
+                  "x-windows-949", "gb18030", "utf-8"]
+    _cs_case = " ".join(
+        f"WHEN {i} THEN '{lab}'" for i, lab in enumerate(_cs_labels)
+    )
+    oracles["charset_sniff"] = f"""
+SELECT doc_id,
+  CAST(doc_id % 6 AS INTEGER) AS charset_class,
+  CASE CAST(doc_id % 6 AS INTEGER) {_cs_case} END AS charset
+FROM documents
 """
     oracles["trie_url_gate"] = """
 SELECT doc_id,
