@@ -66,6 +66,7 @@ _JAVA_CANONICAL = {
     "utf-32": "UTF-32",
     "ascii": "US-ASCII",
     "iso8859-1": "ISO-8859-1",
+    "iso8859-9": "ISO-8859-9",
     "latin-1": "ISO-8859-1",
     "cp1250": "windows-1250",
     "cp1251": "windows-1251",
@@ -256,10 +257,17 @@ _HEADER_RESOLVE = {
     "iso-8859-1": "windows-1252",  # mislabel correction
     "latin-1": "windows-1252", "latin1": "windows-1252",
     "euc-kr": "x-windows-949",
-    "gbk": "gb18030", "gb18030": "gb18030", "gb2312": "gb18030",
+    # gb2312 is NOT corrected: the reference's ALIASES map
+    # (EncodingDetector.java:141-144) corrects only x-EUC-CN and GBK
+    # to GB18030 — Charset.forName("gb2312") is its own canonical.
+    "gbk": "gb18030", "gb18030": "gb18030", "gb2312": "gb2312",
     "koi8-r": "koi8-r", "koi8r": "koi8-r",
     "iso-8859-2": "iso-8859-2", "iso-8859-5": "iso-8859-5",
-    "iso-8859-7": "iso-8859-7", "iso-8859-9": "windows-1254",
+    # iso-8859-9 deliberately NOT corrected to windows-1254: the
+    # reference's correction map (EncodingDetector.java:141-147) only
+    # corrects ISO-8859-1 / EUC-KR / GB cases, and the Python
+    # resolve_encoding_alias path leaves it alone — both paths agree.
+    "iso-8859-7": "iso-8859-7", "iso-8859-9": "iso-8859-9",
     "iso-8859-15": "iso-8859-15",
     "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
     "x-sjis": "shift_jis",

@@ -249,22 +249,25 @@ def _cap_band_buckets(
     path: keep the ``bucket_cap`` smallest doc_ids (deterministic) and
     log the count of dropped (doc, band) memberships — a capped bucket
     can miss pairs, never silently. One window over the same
-    (band_idx, band_val) keys the bucket join shuffles on anyway."""
+    (band_idx, band_val) keys the bucket join shuffles on anyway; the
+    drop count rides the caller's own first action via
+    :func:`nutch_spark.ml.capobs.observe_cap_drops` (CollectMetrics),
+    so setting a cap costs one pass, not two."""
+    import logging
+
+    from nutch_spark.ml.capobs import observe_cap_drops
+
     w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
     ranked = bands.withColumn("_rn", F.row_number().over(w))
-    dropped = ranked.filter(F.col("_rn") > bucket_cap).count()
-    if dropped:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "%s: bucket_cap=%d dropped %d (doc, band) memberships — "
-            "pairs inside oversized buckets beyond the cap are NOT "
-            "compared",
-            op_name,
-            bucket_cap,
-            dropped,
-        )
-    return ranked.filter(F.col("_rn") <= bucket_cap).drop("_rn")
+    observed = observe_cap_drops(
+        ranked,
+        "_rn",
+        bucket_cap,
+        op_name,
+        logging.getLogger(__name__),
+        "pairs inside oversized buckets beyond the cap are NOT compared",
+    )
+    return observed.filter(F.col("_rn") <= bucket_cap).drop("_rn")
 
 
 def minhash_lsh_candidates(

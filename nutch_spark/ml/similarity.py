@@ -50,23 +50,29 @@ def _cap_bucket_members(
     """Skew guard: keep at most ``bucket_cap`` members per bucket,
     chosen by a deterministic md5 shuffle of the member id (so the
     survivors are an unbiased sample, not a prefix of the id space).
-    The count of dropped members is computed eagerly and logged — the
-    no-silent-caps rule: a capped bucket means recall loss, and the
-    operator says so. The window partitions by the same keys the
-    candidate join shuffles on, so it rides the same exchange."""
+    The count of dropped members is logged — the no-silent-caps rule: a
+    capped bucket means recall loss, and the operator says so. The
+    window partitions by the same keys the candidate join shuffles on,
+    so it rides the same exchange, and the drop count rides the
+    caller's own first action via
+    :func:`nutch_spark.ml.capobs.observe_cap_drops` (CollectMetrics) —
+    one pass, not two."""
+    from nutch_spark.ml.capobs import observe_cap_drops
+
     w = Window.partitionBy(*keys).orderBy(
         F.md5(F.col(order_col).cast("string")), F.col(order_col)
     )
     ranked = bucketed.withColumn("_brank", F.row_number().over(w))
-    dropped = ranked.filter(F.col("_brank") > bucket_cap).count()
-    if dropped:
-        log.warning(
-            "%s: bucket_cap=%d dropped %d bucket members (recall loss on "
-            "skewed buckets; raise n_bits per recommended_n_bits to shrink "
-            "buckets instead of capping harder)",
-            what, bucket_cap, dropped,
-        )
-    return ranked.filter(F.col("_brank") <= bucket_cap).drop("_brank")
+    observed = observe_cap_drops(
+        ranked,
+        "_brank",
+        bucket_cap,
+        what,
+        log,
+        "recall loss on skewed buckets; raise n_bits per "
+        "recommended_n_bits to shrink buckets instead of capping harder",
+    )
+    return observed.filter(F.col("_brank") <= bucket_cap).drop("_brank")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -356,13 +362,33 @@ def ivf_assign(
     counts too large for literal expression trees. ``'auto'`` picks the
     join form above ``_ASSIGN_JOIN_THRESHOLD`` (256) centroids. Both
     forms produce identical assignments (same cosine, same
-    (sim DESC, centroid_id ASC) tie-break)."""
+    (sim DESC, centroid_id ASC) tie-break).
+
+    vec_id contract (join form only): the join form groups and joins
+    back on ``vec_id``, so the frame must carry one and rows must be
+    identified by it. A frame WITHOUT a vec_id column falls back to the
+    literal form with a warning rather than failing in analysis.
+    Duplicate vec_ids keep their row count through the join-back (the
+    grouped side has one row per id), but duplicates carrying
+    *different* embeddings would share one max-merged assignment — keep
+    vec_id unique per row, as every corpus table in this repo does."""
     if method not in ("auto", "literal", "join"):
         raise ValueError(f"unknown ivf_assign method: {method}")
     if method == "join" or (
         method == "auto" and len(centroids) > _ASSIGN_JOIN_THRESHOLD
     ):
-        return _ivf_assign_join(embeddings, centroids, emb_col)
+        if "vec_id" not in embeddings.columns:
+            log.warning(
+                "ivf_assign: method=%s selected the join form over %d "
+                "centroids but the frame has no vec_id column — falling "
+                "back to the literal form (expect degraded codegen at "
+                "this centroid count; add a unique vec_id to use the "
+                "join plan)",
+                method,
+                len(centroids),
+            )
+        else:
+            return _ivf_assign_join(embeddings, centroids, emb_col)
     best = F.array_max(_sim_structs(F.col(emb_col), centroids))
     return embeddings.withColumn("cluster", -best["nid"])
 

@@ -234,10 +234,19 @@ def arc_text_spans(
                 statistical_charset_struct_udf,
             )
 
-            det = statistical_charset_struct_udf()(F.col("content"))
+            from nutch_spark.data.charset_sniffer import SNIFF_LIMIT
+
             gate = bare_mime.isin(*sorted(DETECTABLES)) & (
                 F.length(F.col("content")) > MIN_LENGTH
             )
+            # feed the UDF only gated rows, pre-sliced to the sniffer's
+            # own byte budget JVM-side: binary/non-text payloads never
+            # cross the Arrow boundary, and text rows ship at most
+            # SNIFF_LIMIT bytes instead of the whole payload
+            sniff_input = F.when(
+                gate, F.substring(F.col("content"), 1, SNIFF_LIMIT)
+            )
+            det = statistical_charset_struct_udf()(sniff_input)
             confident = gate & (det["conf"] >= F.lit(min_confidence))
             cs = F.lower(
                 F.when(confident, det["cs"]).otherwise(

@@ -105,3 +105,32 @@ def test_header_charset_col(spark):
     )
     got = [r["h"] for r in df.select(header_charset_col(F.col("ct")).alias("h")).collect()]
     assert got == ["windows-1252", None, None, "windows-1254"]
+
+
+def test_header_resolve_agrees_with_python_path(spark):
+    """The JVM when-chain twin and resolve_encoding_alias must pick the
+    SAME charset for every spelling the twin knows (round-4 regression:
+    the twin corrected iso-8859-9 -> windows-1254 while the Python path
+    — and the reference, which only corrects ISO-8859-1/EUC-KR/GB —
+    left it alone). Identity is codec identity, not spelling."""
+    import codecs
+
+    from nutch_spark.data.encoding import _HEADER_RESOLVE, resolve_encoding_alias
+
+    def codec_id(name):
+        try:
+            return codecs.lookup(name).name
+        except LookupError:
+            return name.lower()  # x-windows-949 etc: python lacks the codec
+
+    for spelling, jvm_resolved in _HEADER_RESOLVE.items():
+        py_resolved = resolve_encoding_alias(spelling)
+        if py_resolved is None:
+            # spellings Java's Charset.forName knows but python codecs
+            # does not (koi8r, x-sjis): the twin accepting MORE
+            # spellings is fine; resolving a shared one differently is
+            # the bug this test guards.
+            continue
+        assert codec_id(py_resolved) == codec_id(jvm_resolved), (
+            spelling, py_resolved, jvm_resolved,
+        )

@@ -218,6 +218,39 @@ def test_similarity_topk_dispatch_plan_shape(spark):
     assert {r["query_id"] for r in big.collect()} == {0, 1, 2}
 
 
+def test_ivf_assign_join_form_vec_id_contract(spark, caplog):
+    """The join form requires vec_id: a frame without one must fall
+    back to the literal form with a warning (not an AnalysisException),
+    producing the same assignments; duplicate vec_ids must keep their
+    row count through the join-back."""
+    import logging as _logging
+
+    from nutch_spark.ml.similarity import ivf_assign
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(20, DIM)
+    cents = [(i, [float(x) for x in rng.randn(DIM)]) for i in range(4)]
+    emb = embeddings(spark, vecs)
+
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cents, method="literal").collect()
+    }
+    # no vec_id column -> warned literal fallback, same clusters
+    no_id = emb.select(F.col("vec_id").alias("row_tag"), "embedding")
+    with caplog.at_level(_logging.WARNING, logger="nutch_spark.ml.similarity"):
+        got = ivf_assign(no_id, cents, method="join").collect()
+    assert any("vec_id" in r.message for r in caplog.records)
+    assert {r["row_tag"]: r["cluster"] for r in got} == want
+
+    # duplicate vec_ids: join-back keeps row count (grouped side is
+    # one row per id), assignments still the literal ones
+    dup = emb.union(emb)
+    got_dup = ivf_assign(dup, cents, method="join").collect()
+    assert len(got_dup) == 40
+    assert {r["vec_id"]: r["cluster"] for r in got_dup} == want
+
+
 def test_bucket_cap_bounds_adversarial_single_bucket(spark, caplog):
     import logging as _logging
 
@@ -228,10 +261,13 @@ def test_bucket_cap_bounds_adversarial_single_bucket(spark, caplog):
     # pairs per table; the cap bounds members per (table, bucket)
     vecs = [[1.0] * DIM for _ in range(60)]
     emb = embeddings(spark, vecs)
+    from nutch_spark.ml.capobs import flush_cap_drop_logs
+
     with caplog.at_level(_logging.WARNING, logger="nutch_spark.ml.similarity"):
         out = embedding_near_duplicates(
             emb, threshold=0.9, dim=DIM, n_bits=4, tables=2, bucket_cap=10
         ).collect()
+        flush_cap_drop_logs()  # drop counts ride the action; join loggers
     # at most C(10,2) distinct pairs can survive per table; with
     # identical members both tables pick the same md5-ordered sample
     assert 0 < len(out) <= 2 * 45
@@ -250,10 +286,13 @@ def test_bucket_cap_no_drop_no_log(spark, caplog):
 
     rng = np.random.RandomState(3)
     emb = embeddings(spark, rng.randn(20, DIM))
+    from nutch_spark.ml.capobs import flush_cap_drop_logs
+
     with caplog.at_level(_logging.WARNING, logger="nutch_spark.ml.similarity"):
         embedding_near_duplicates(
             emb, threshold=0.99, dim=DIM, n_bits=4, tables=2, bucket_cap=1000
         ).collect()
+        flush_cap_drop_logs()
     assert not [r for r in caplog.records if "dropped" in r.message]
 
 

@@ -167,10 +167,13 @@ def test_simhash64_bucket_cap_bounds_adversarial_bucket(spark, caplog):
 
     from nutch_spark.ml.dedup import simhash64_near_duplicates
 
+    from nutch_spark.ml.capobs import flush_cap_drop_logs
+
     d = docs(spark, [""] * 30)
     with caplog.at_level(logging.WARNING, logger="nutch_spark.ml.dedup"):
         capped = simhash64_near_duplicates(d, max_hamming=3, bucket_cap=5)
         n_capped = capped.count()
+        flush_cap_drop_logs()  # drop counts ride the action; join loggers
     assert n_capped == 5 * 4 // 2  # C(5,2) pairs, identical across 4 bands
     assert any(
         "dropped" in rec.getMessage()
@@ -187,10 +190,13 @@ def test_minhash_bucket_cap_bounds_adversarial_bucket(spark, caplog):
     capping must not lose pairs in ordinary buckets below the cap."""
     import logging
 
+    from nutch_spark.ml.capobs import flush_cap_drop_logs
+
     d = docs(spark, ["same text every time"] * 30)
     with caplog.at_level(logging.WARNING, logger="nutch_spark.ml.dedup"):
         capped = minhash_lsh_candidates(d, num_hashes=16, bands=4, bucket_cap=5)
         n_capped = capped.count()
+        flush_cap_drop_logs()
     assert n_capped == 5 * 4 // 2  # C(5,2), identical across all bands
     assert any(
         "minhash_lsh_candidates" in rec.getMessage() and "dropped" in rec.getMessage()
@@ -207,14 +213,36 @@ def test_minhash_bucket_cap_bounds_adversarial_bucket(spark, caplog):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_bucket_cap_is_single_pass(spark):
+    """Round-5 cap-cost contract: setting bucket_cap must not add a
+    second pass over the banded data. Evidence on both axes: (a) plan
+    construction launches ZERO Spark jobs (round 4 ran an eager
+    .count() here), and (b) the drop counter is a CollectMetrics node
+    riding the caller's own plan, above the ranking window."""
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    d = docs(spark, ["same text every time"] * 30)
+    capped = minhash_lsh_candidates(d, num_hashes=16, bands=4, bucket_cap=5)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "capped plan construction ran Spark jobs"
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "CollectMetrics" in plan
+    # the cap filter must sit ABOVE the metrics node (metric sees the
+    # uncapped rows) — CollectMetrics below any Filter on _rn
+    assert plan.index("Filter") < plan.index("CollectMetrics")
+
+
 def test_simhash32_bucket_cap(spark, caplog):
     import logging
 
     from nutch_spark.ml.dedup import simhash_near_duplicates
 
+    from nutch_spark.ml.capobs import flush_cap_drop_logs
+
     d = docs(spark, [""] * 20)
     with caplog.at_level(logging.WARNING, logger="nutch_spark.ml.dedup"):
         assert simhash_near_duplicates(d, bucket_cap=4).count() == 4 * 3 // 2
+        flush_cap_drop_logs()
     assert any(
         "simhash_near_duplicates" in rec.getMessage()
         for rec in caplog.records

@@ -202,7 +202,9 @@ def test_db_crawldb_end_to_end(spark, tmp_path):
     crawl_id = tmp_path / "crawl"
     crawl_id.mkdir()
     db = str(crawl_id / "crawldb")
-    srv = make_server(port=0, seed_root=str(tmp_path / "sr"))
+    srv = make_server(
+        port=0, seed_root=str(tmp_path / "sr"), data_root=str(tmp_path)
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
@@ -250,5 +252,22 @@ def test_db_crawldb_end_to_end(spark, tmp_path):
         assert code == 400
         code, _ = _post(base, "/reader/sequence/read", {})
         assert code == 400
+
+        # data-root confinement: absolute path outside the root, a
+        # ../-escape, and a db query whose crawlId escapes — all 400,
+        # even when the target parquet actually exists
+        code, _ = _post(base, "/reader/sequence/read", {"path": "/etc"})
+        assert code == 400
+        code, _ = _post(
+            base, "/reader/sequence/read", {"path": "crawl/../../outside"}
+        )
+        assert code == 400
+        code, _ = _post(base, "/db/crawldb", {"crawlId": "/", "type": "stats"})
+        assert code == 400
+        # relative path under the root still resolves
+        code, out = _post(
+            base, "/reader/sequence/read?count=true", {"path": "crawl/crawldb"}
+        )
+        assert code == 200 and out["count"] == 2
     finally:
         srv.shutdown()

@@ -131,7 +131,12 @@ class NutchServerState:
     """ConfManager + JobManager + SeedManager state, shared across
     handler threads."""
 
-    def __init__(self, seed_root: str | None = None, runner=None):
+    def __init__(
+        self,
+        seed_root: str | None = None,
+        runner=None,
+        data_root: str | None = None,
+    ):
         if runner is None:
             import nutch as nutch_cli  # tools/nutch.py
 
@@ -141,6 +146,11 @@ class NutchServerState:
         self.configs: dict[str, dict] = {"default": {}}
         self.jobs: dict[str, JobWorker] = {}
         self.seed_root = Path(seed_root or "/tmp/nutch_seeds")
+        # DbResource/ReaderResouce read confinement: every
+        # caller-supplied parquet path must resolve under this root
+        # (default: the server's cwd) — without it any local process
+        # could read any parquet-readable file through the REST API.
+        self.data_root = Path(data_root or Path.cwd()).resolve()
         self.lock = threading.Lock()
         self._seq = 0
         # FetchNodeDb.getInstance() twin: in-process only, populated by
@@ -192,10 +202,23 @@ class NutchServerState:
         truncated = len(rows) > limit
         return rows[:limit], truncated
 
+    def _confined(self, path: str) -> str:
+        """Resolve ``path`` (relative paths against data_root) and
+        reject anything escaping data_root — symlinks and ``..``
+        included, since resolve() normalizes both."""
+        p = Path(path)
+        if not p.is_absolute():
+            p = self.data_root / p
+        p = p.resolve()
+        if p != self.data_root and self.data_root not in p.parents:
+            raise ValueError(f"path escapes the server data root: {path!r}")
+        return str(p)
+
     def db_query(self, body: dict):
         """DbResource.readdb (:44-75): DbQuery {crawlId, type, args};
         crawldb lives at <crawlId>/crawldb exactly like
-        CrawlDbReader.query's path convention."""
+        CrawlDbReader.query's path convention. Paths are confined to
+        data_root (see _confined)."""
         from nutch_spark.operators import stats
 
         crawl_id = body.get("crawlId")
@@ -204,7 +227,7 @@ class NutchServerState:
             raise ValueError("crawlId and type are required")
         args = body.get("args") or {}
         spark = self._session()
-        db = spark.read.parquet(str(Path(crawl_id) / "crawldb"))
+        db = spark.read.parquet(self._confined(str(Path(crawl_id) / "crawldb")))
         if qtype == "stats":
             rows, _ = self._rows(stats.crawldb_stats(db), -1)
             return {"type": "stats", "result": rows}
@@ -265,7 +288,7 @@ class NutchServerState:
         if not path:
             raise ValueError("path is required")
         spark = self._session()
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(self._confined(path))
 
         def qi(name, default):
             return int(q.get(name, [default])[0])
@@ -441,9 +464,12 @@ def make_handler(state: NutchServerState, server_holder: dict):
 
 
 def make_server(
-    port: int = 8081, seed_root: str | None = None, runner=None
+    port: int = 8081,
+    seed_root: str | None = None,
+    runner=None,
+    data_root: str | None = None,
 ) -> ThreadingHTTPServer:
-    state = NutchServerState(seed_root=seed_root, runner=runner)
+    state = NutchServerState(seed_root=seed_root, runner=runner, data_root=data_root)
     holder: dict = {}
     server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(state, holder))
     holder["server"] = server
@@ -457,8 +483,16 @@ def main() -> int:
     ap = argparse.ArgumentParser(description="Nutch-equivalent REST job server")
     ap.add_argument("--port", type=int, default=8081)  # NutchServer default
     ap.add_argument("--seed-root", default=None)
+    ap.add_argument(
+        "--data-root",
+        default=None,
+        help="root directory /db and /reader parquet reads are confined "
+        "to (default: the server's cwd)",
+    )
     args = ap.parse_args()
-    server = make_server(port=args.port, seed_root=args.seed_root)
+    server = make_server(
+        port=args.port, seed_root=args.seed_root, data_root=args.data_root
+    )
     print(f"NutchServer listening on 127.0.0.1:{args.port}")
     try:
         server.serve_forever()
