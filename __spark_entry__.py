@@ -1039,6 +1039,76 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# magic-byte MIME resolution classes (data/mimeutil.py —
+# util/MimeUtil.java:153-221 autoResolveContentType): per class a
+# payload prefix, a (sometimes mislabeled) Content-Type header, a URL
+# extension, and the ground-truth resolution the oracle re-states.
+_MIME_CLASSES = [
+    # (payload, header, url ext, expected resolution)
+    (b"<!DOCTYPE html>\n<html><head><title>t</title></head>"
+     b"<body>resolved</body></html>",
+     "text/plain", "", "text/html"),           # magic corrects header
+    (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03compressed",
+     "text/html; charset=utf-8", ".html", "application/gzip"),
+    (b"This is a plain text document body.",
+     "application/msword", ".doc", "text/plain"),  # NUTCH-2606
+    (b'<?xml version="1.0" encoding="UTF-8"?>\n<rss version="2.0">'
+     b"<channel><title>r</title></channel></rss>",
+     None, ".xml", "application/rss+xml"),     # xml root specializes
+    (b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR",
+     "image/png", ".png", "image/png"),        # header and magic agree
+    (b"PK\x03\x04\x14\x00\x00\x00",
+     None, "", "application/zip"),             # magic beats no-ext url
+    (b"body { margin: 0; } /* texty */",
+     "text/css", "", "text/css"),              # hint refines generic
+    (b"\x00\x01\x02\x03\x04\x05junk",
+     "text/html", ".bin", "text/html"),        # octet magic never wins
+]
+
+
+def q_mime_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME resolution end-to-end (data/mimeutil.py — the
+    MimeUtil.autoResolveContentType stand-in the reference applies in
+    the Content constructor, protocol/Content.java:85): eight classes
+    rotate over doc_id covering header-correction, URL fallback,
+    hint-refined generic magic, and the octet-never-overrides rule; a
+    per-doc ASCII suffix varies every payload. The oracle states the
+    ground truth structurally; a hash match means every row resolved
+    correctly through the pure-JVM column twin."""
+    from nutch_spark.data.mimeutil import auto_resolve_mime_col
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    cls = (did % 8).cast("int")
+    body = F.element_at(
+        F.array(*[F.lit(p) for p, _, _, _ in _MIME_CLASSES]), cls + 1
+    )
+    suffix = F.encode(F.concat(F.lit(" doc "), did.cast("string")), "utf-8")
+    content = F.concat(body, suffix)
+    header = F.element_at(
+        F.array(
+            *[F.lit(h).cast("string") for _, h, _, _ in _MIME_CLASSES]
+        ),
+        cls + 1,
+    )
+    url = F.concat(
+        F.lit("http://host"),
+        (did % 40).cast("string"),
+        F.lit(".example.com/r/"),
+        did.cast("string"),
+        F.element_at(
+            F.array(*[F.lit(e) for _, _, e, _ in _MIME_CLASSES]), cls + 1
+        ),
+    )
+    return d.select(
+        "doc_id",
+        cls.alias("mime_class"),
+        header.alias("header_mime"),
+        url.alias("url"),
+        auto_resolve_mime_col(header, url, content).alias("resolved"),
+    )
+
+
 def q_http_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP date round-trip (data/httpdate.py — net/protocols/
     HttpDateFormat.java parity): format each order timestamp to the
@@ -2936,6 +3006,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "trie_url_gate": q_trie_url_gate,
         "ext_parse": q_ext_parse,
         "charset_sniff": q_charset_sniff,
+        "mime_resolve": q_mime_resolve,
     }
 
 
@@ -4152,6 +4223,29 @@ FROM t
 SELECT doc_id,
   CAST(doc_id % 6 AS INTEGER) AS charset_class,
   CASE CAST(doc_id % 6 AS INTEGER) {_cs_case} END AS charset
+FROM documents
+"""
+    # MIME resolution: ground truth replayed structurally (class =
+    # doc_id % 8; header/ext/resolution per class are deterministic
+    # constants — see q_mime_resolve / _MIME_CLASSES)
+    _mm_hdr = " ".join(
+        f"WHEN {i} THEN " + ("NULL" if h is None else f"'{h}'")
+        for i, (_, h, _, _) in enumerate(_MIME_CLASSES)
+    )
+    _mm_ext = " ".join(
+        f"WHEN {i} THEN '{e}'" for i, (_, _, e, _) in enumerate(_MIME_CLASSES)
+    )
+    _mm_res = " ".join(
+        f"WHEN {i} THEN '{r}'" for i, (_, _, _, r) in enumerate(_MIME_CLASSES)
+    )
+    oracles["mime_resolve"] = f"""
+SELECT doc_id,
+  CAST(doc_id % 8 AS INTEGER) AS mime_class,
+  CASE CAST(doc_id % 8 AS INTEGER) {_mm_hdr} END AS header_mime,
+  'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/r/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE CAST(doc_id % 8 AS INTEGER) {_mm_ext} END AS url,
+  CASE CAST(doc_id % 8 AS INTEGER) {_mm_res} END AS resolved
 FROM documents
 """
     oracles["trie_url_gate"] = """

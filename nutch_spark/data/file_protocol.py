@@ -180,8 +180,18 @@ def read_files(
     path_glob: str,
     *,
     content_limit: int = 1024 * 1024,
+    resolve_mime: bool = False,
 ) -> DataFrame:
-    """Whole-tree scan via the binaryFile source: one 200 row per file."""
+    """Whole-tree scan via the binaryFile source: one 200 row per file.
+
+    ``resolve_mime=True`` upgrades the extension-only content type to
+    the full ``MimeUtil.autoResolveContentType`` decision (extension +
+    payload magic, ``data/mimeutil.py`` — what the reference's Content
+    constructor applies, protocol/Content.java:85): a ``.html`` file
+    holding gzip bytes comes back application/gzip. Costs nothing extra
+    when the content column is read anyway; with the default
+    extension-only path Spark can prune the content column entirely
+    for metadata-only queries, which is why it stays opt-in."""
     df = spark.read.format("binaryFile").load(path_glob)
     url = F.regexp_replace(F.col("path"), "^file:/+", "file:/")
     content = (
@@ -189,12 +199,22 @@ def read_files(
         if content_limit < 0
         else F.substring(F.col("content"), 1, content_limit)
     )
+    if resolve_mime:
+        from nutch_spark.data.mimeutil import auto_resolve_mime_col
+
+        # no header in the file protocol: resolution = extension +
+        # magic (typeName null, MimeUtil.java:158-183 path)
+        mime = auto_resolve_mime_col(
+            F.lit(None).cast("string"), F.col("path"), F.col("content")
+        )
+    else:
+        mime = detect_mime_by_url(F.col("path"))
     return df.select(
         url.alias("url"),
         F.lit(200).cast("int").alias("status"),
         F.lit("success").alias("outcome"),
         content.alias("content"),
-        detect_mime_by_url(F.col("path")).alias("content_type"),
+        mime.alias("content_type"),
         F.col("length").alias("content_length"),
         (F.unix_millis(F.col("modificationTime"))).alias("last_modified_ms"),
         F.lit(None).cast("string").alias("location"),

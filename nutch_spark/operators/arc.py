@@ -143,6 +143,7 @@ def arc_segment(
     interval: int = 2592000,
     url_filter_rules: list[str] | None = None,
     segment_name: str | None = None,
+    resolve_mime: bool = False,
 ) -> dict[str, DataFrame]:
     """ArcSegmentCreator.map semantics (:290-351): normalize
     (SCOPE_FETCHER) + url-filter; survivors emit
@@ -152,6 +153,14 @@ def arc_segment(
     - ``content``: (url, base=url, mime, bytes) with the archive date
       under metadata key ``arc.url.version`` (:338-339).
 
+    ``resolve_mime=True`` replaces the ARC header's content-type with
+    ``MimeUtil.autoResolveContentType`` over (header, url, payload
+    magic) — what the reference's ``Content`` constructor does on every
+    record (protocol/Content.java:85, via util/MimeUtil.java:153-221),
+    correcting mislabeled archives; pure JVM expressions
+    (``data/mimeutil.py``), no extra pass. Off by default so callers
+    that trust their headers keep byte-stable output.
+
     Parse products are composable downstream exactly as the reference
     routes output() through ParseUtil — feed ``arc_text_spans`` of the
     content table to ``operators.parse.parse``."""
@@ -159,6 +168,13 @@ def arc_segment(
         records.withColumn("url", normalize_col(F.col("url"), scope="fetcher"))
         .filter(F.col("url").isNotNull() & url_filter_cond(F.col("url"), url_filter_rules))
     )
+    if resolve_mime:
+        from nutch_spark.data.mimeutil import auto_resolve_mime_col
+
+        kept = kept.withColumn(
+            "mime",
+            auto_resolve_mime_col(F.col("mime"), F.col("url"), F.col("content")),
+        )
     meta = F.map_from_arrays(
         F.array(F.lit(URL_VERSION_KEY)),
         F.array(F.coalesce(F.col("archive_date"), F.lit(""))),

@@ -121,6 +121,29 @@ def test_arc_segment_datums_and_content(spark, arc_df):
     assert meta["http://a.example.com/1"]["arc.url.version"] == "20260101010101"
 
 
+def test_arc_segment_resolve_mime(spark):
+    """resolve_mime=True applies the MimeUtil stand-in per record —
+    a gzip payload mislabeled text/html comes back application/gzip,
+    correct labels survive (protocol/Content.java:85 semantics)."""
+    data = b"".join([
+        _record("http://a.example.com/1", "10.0.0.1", "20260101010101",
+                "text/html", b"<html><body>hello</body></html>"),
+        _record("http://b.example.com/archive", "10.0.0.2", "20260101020202",
+                "text/html", b"\x1f\x8b\x08\x00not-really-but-magic-says-gzip"),
+    ])
+    df = spark.createDataFrame([("memory://m.arc", data)],
+                               "path string, content binary")
+    seg = arc_segment(arc_records(df), now_ms=0, resolve_mime=True,
+                      url_filter_rules=[r"+."])
+    mimes = {r["url"]: r["mime"] for r in seg["content"].collect()}
+    assert mimes["http://a.example.com/1"] == "text/html"
+    assert mimes["http://b.example.com/archive"] == "application/gzip"
+    # default off: the mislabeled header survives untouched
+    seg_raw = arc_segment(arc_records(df), now_ms=0, url_filter_rules=[r"+."])
+    raw = {r["url"]: r["mime"] for r in seg_raw["content"].collect()}
+    assert raw["http://b.example.com/archive"] == "text/html"
+
+
 def test_arc_segment_url_filter(spark, arc_df):
     seg = arc_segment(
         arc_records(arc_df), now_ms=0, url_filter_rules=[r"-\.png$", r"+."]

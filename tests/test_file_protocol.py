@@ -89,6 +89,22 @@ def test_read_files_tree_scan(spark, tmp_path):
     assert x["status"] == 200 and x["last_modified_ms"] > 0
 
 
+def test_read_files_resolve_mime(spark, tmp_path):
+    """resolve_mime=True runs extension+magic resolution: a .html file
+    holding gzip bytes resolves application/gzip, an extensionless html
+    file resolves text/html, a truthful .json file keeps its type."""
+    (tmp_path / "fake.html").write_bytes(b"\x1f\x8b\x08\x00gzip-bytes")
+    (tmp_path / "noext").write_bytes(b"<!doctype html><html></html>")
+    (tmp_path / "x.json").write_bytes(b'{"k":1}')
+    out = {
+        r["url"].rsplit("/", 1)[-1]: r["content_type"]
+        for r in read_files(spark, str(tmp_path), resolve_mime=True).collect()
+    }
+    assert out["fake.html"] == "application/gzip"
+    assert out["noext"] == "text/html"
+    assert out["x.json"] == "application/json"
+
+
 def test_authority_and_dot_segments(spark, tmp_path):
     f = tmp_path / "auth.txt"
     f.write_bytes(b"ok")
