@@ -284,7 +284,9 @@ def minhash_lsh_candidates(
     logged drops — same contract as ``simhash64_near_duplicates``.
     A boilerplate-heavy corpus (thousands of near-identical docs
     surviving exact dedup into one band bucket) otherwise goes
-    quadratic inside that bucket."""
+    quadratic inside that bucket. Size it with
+    :func:`nutch_spark.ml.similarity.recommended_bucket_cap` (the
+    100-TB default: bounded candidate pairs per doc and in total)."""
     documents = _widen_small_scan(documents)
     banded = documents.select(
         "doc_id",
@@ -395,7 +397,8 @@ def simhash_near_duplicates(
     buckets per band, so the bucket self-join goes quadratic at >=10^8
     docs (~n^2/128 verify pairs). The production path is
     ``simhash64_near_duplicates`` (four 16-bit bands, 256x fewer
-    candidates). ``bucket_cap`` has the same logged-drops contract."""
+    candidates). ``bucket_cap`` has the same logged-drops contract;
+    size it with ``similarity.recommended_bucket_cap``."""
     documents = _widen_small_scan(documents)
     sh = documents.select("doc_id", simhash32(F.col("text")).alias("sh"))
     bands = sh.select(
@@ -515,7 +518,8 @@ def simhash64_near_duplicates(
     ``bucket_cap`` smallest doc_ids (deterministic) and the number of
     dropped (doc, band) memberships is counted and logged — a capped
     bucket can miss pairs, never silently: the count is in the log and
-    the cap is the caller's explicit opt-in.
+    the cap is the caller's explicit opt-in. Size it with
+    ``similarity.recommended_bucket_cap``.
     """
     documents = _widen_small_scan(documents)
     sh = documents.select("doc_id", simhash64(F.col("text")).alias("s")).select(

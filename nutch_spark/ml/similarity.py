@@ -40,6 +40,39 @@ def recommended_n_bits(corpus_size: int, target_bucket: int = 4096) -> int:
     return max(1, math.ceil(math.log2(corpus_size / target_bucket)))
 
 
+def recommended_bucket_cap(
+    corpus_size: int,
+    bands: int = 4,
+    pairs_per_doc: int = 64,
+    pairs_factor: int = 32,
+) -> int:
+    """Sizing rule for ``bucket_cap`` on every banded path (MinHash /
+    simhash32 / simhash64 / sign-LSH) — the knob that keeps a hot
+    bucket from going quadratic at 100 TB, codified so a user finds the
+    default BEFORE a boilerplate-heavy corpus melts the candidate join.
+
+    Two budgets, take the tighter:
+
+    - per-doc: a member of a capped bucket compares against at most
+      ``cap - 1`` others per band, so one doc generates at most
+      ``bands * (cap - 1)`` candidate pairs; ``pairs_per_doc`` bounds
+      that, keeping the verify stage O(corpus_size).
+    - total (adversarial single-bucket corpus): ``bands * C(cap, 2)``
+      pairs must stay within ``pairs_factor * corpus_size``, i.e.
+      cap <= sqrt(2 * pairs_factor * N / bands) — the bound that
+      matters at small N.
+
+    Floor of 16 so legitimate duplicate clusters below that size are
+    always fully paired (capping them would silently trade recall for
+    nothing — honest buckets are tiny, see ``recommended_n_bits``).
+    Logged drops still fire when the cap bites (``capobs``)."""
+    if corpus_size < 1 or bands < 1:
+        raise ValueError("corpus_size and bands must be positive")
+    per_doc = max(1, pairs_per_doc // bands) + 1
+    total = math.isqrt(max(1, 2 * pairs_factor * corpus_size // bands)) + 1
+    return max(16, min(per_doc, total))
+
+
 def _cap_bucket_members(
     bucketed: DataFrame,
     keys: list[str],
@@ -172,7 +205,8 @@ def embedding_near_duplicates(
     for adversarial/degenerate buckets (e.g. the zero vector, scraper
     boilerplate): at most that many members per (table, bucket) enter
     the self-join, a deterministic md5-shuffled sample, and the dropped
-    count is logged — never silently."""
+    count is logged — never silently. Size it with
+    :func:`recommended_bucket_cap` (bands = ``tables`` here)."""
     c = embeddings.select("vec_id", F.col("embedding").alias("emb"))
     b = c.select(
         "vec_id",

@@ -218,6 +218,35 @@ def test_similarity_topk_dispatch_plan_shape(spark):
     assert {r["query_id"] for r in big.collect()} == {0, 1, 2}
 
 
+def test_recommended_bucket_cap_sizing():
+    """The cap rule must bound per-doc candidate pairs by
+    pairs_per_doc, bound adversarial-total pairs by pairs_factor*N,
+    keep the >=16 recall floor, and grow monotonically in N."""
+    from nutch_spark.ml.similarity import recommended_bucket_cap
+
+    # large corpora: per-doc budget binds — bands*(cap-1) <= pairs_per_doc
+    for n in (10**6, 10**9, 10**10):
+        for bands in (2, 4, 8, 16):
+            cap = recommended_bucket_cap(n, bands=bands, pairs_per_doc=64)
+            assert bands * (cap - 1) <= max(64, bands * 15), (n, bands, cap)
+            assert cap >= 16
+    # tiny corpus: the floor holds even when the total bound is tighter
+    assert recommended_bucket_cap(10, bands=4) == 16
+    # adversarial-total bound: bands * C(cap,2) <= pairs_factor * N
+    # whenever the cap sits above the floor
+    n, bands = 10**4, 4
+    cap = recommended_bucket_cap(n, bands=bands, pairs_per_doc=10**9)
+    assert bands * cap * (cap - 1) // 2 <= 32 * n * 1.1
+    # monotone in corpus size (total bound regime)
+    caps = [
+        recommended_bucket_cap(n, bands=4, pairs_per_doc=10**9)
+        for n in (10**3, 10**5, 10**7)
+    ]
+    assert caps == sorted(caps)
+    with pytest.raises(ValueError):
+        recommended_bucket_cap(0)
+
+
 def test_ivf_assign_join_form_vec_id_contract(spark, caplog):
     """The join form requires vec_id: a frame without one must fall
     back to the literal form with a warning (not an AnalysisException),

@@ -105,14 +105,34 @@ SAMPLES: dict[str, str] = {
         "derechos y, dotados como están de razón y conciencia, deben "
         "comportarse fraternalmente los unos con los otros. El español es "
         "una lengua románica hablada por cientos de millones de personas "
-        "en América y España; cada año más niños la estudian también."
+        "en América y España; cada año más niños la estudian también. "
+        # r5: widened like pt — accent coverage for held-out prose
+        "Todo individuo tiene derecho a la vida, a la libertad y a la "
+        "seguridad de su persona. Nadie estará sometido a esclavitud ni "
+        "a servidumbre; la esclavitud y la trata de esclavos están "
+        "prohibidas en todas sus formas. Nadie será sometido a torturas "
+        "ni a penas o tratos crueles, inhumanos o degradantes. La "
+        "educación tendrá por objeto el pleno desarrollo de la persona; "
+        "mañana habrá una reunión en el salón según la información."
     ),
     "pt": (
         "Todos os seres humanos nascem livres e iguais em dignidade e em "
         "direitos. Dotados de razão e de consciência, devem agir uns para "
         "com os outros em espírito de fraternidade. A língua portuguesa é "
         "falada em vários países e regiões, com milhões de falantes e uma "
-        "rica tradição de canções e poesia."
+        "rica tradição de canções e poesia. "
+        # r5: widened with more UDHR articles — the single-article
+        # profile under-represented á/à/â/ã/é/ê/í/ó/ú bigrams and lost
+        # accent-light held-out prose to the ISO-8859-2 profiles
+        "Todo indivíduo tem direito à vida, à liberdade e à segurança "
+        "pessoal. Ninguém será mantido em escravatura ou em servidão; a "
+        "escravatura e o trato dos escravos, sob todas as suas formas, "
+        "são proibidos. Ninguém será submetido a tortura nem a penas ou "
+        "tratamentos cruéis, desumanos ou degradantes. Todos são iguais "
+        "perante a lei e têm direito, sem distinção, a igual protecção "
+        "da lei contra qualquer discriminação. Será também um mês até "
+        "à chegada do próximo comboio à estação da cidade, além das "
+        "ações há opiniões, decisões e informações úteis."
     ),
     "tr": (
         "Bütün insanlar hür, haysiyet ve haklar bakımından eşit doğarlar. "
