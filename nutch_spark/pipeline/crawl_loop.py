@@ -26,6 +26,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
 
 from nutch_spark.catalog import SnapshotCatalog
 from nutch_spark.config import NutchConfig
@@ -37,6 +38,12 @@ from nutch_spark.operators.updatedb import updatedb_incremental
 from nutch_spark.schema import STATUS_NAMES
 
 CRAWLDB = "crawldb"
+
+# CrawlDb row statuses (schema.py STATUS_DB_*) — the per-cycle
+# db_status_counts metric observes these on the committed write
+_DB_STATUS_CODES = tuple(range(0x01, 0x09))
+# fetch statuses (STATUS_FETCH_*) for the fetcher counter table
+_FETCH_STATUS_CODES = tuple(range(0x21, 0x27))
 
 
 @dataclass
@@ -194,19 +201,40 @@ class Crawler:
             )
 
         # metrics: one aggregation pass over the persisted segment
-        # (count + max in a single job, not two scans)
-        fetched, makespan = crawl_fetch.agg(
-            F.count("*"), F.max("fetch_time")
+        # (count + max + per-status fetch counts in a single job, not
+        # three scans — SURVEY §4's fetcher counter table)
+        _fetch_row = crawl_fetch.agg(
+            F.count("*").alias("n"),
+            F.max("fetch_time").alias("mk"),
+            *[
+                F.sum((F.col("status") == code).cast("long")).alias(f"s{code}")
+                for code in _FETCH_STATUS_CODES
+            ],
         ).collect()[0]
+        fetched, makespan = _fetch_row["n"], _fetch_row["mk"]
         makespan = makespan or now_ms
+        fetch_status_counts = {
+            STATUS_NAMES.get(code, str(code)): int(_fetch_row[f"s{code}"])
+            for code in _FETCH_STATUS_CODES
+            if _fetch_row[f"s{code}"]
+        }
 
         # commit FIRST: the parquet write is the only execution of the
-        # merge lineage; status counts then come from a column-pruned
-        # scan of the committed snapshot instead of re-running the whole
-        # updatedb DAG (at 10^10-row frontier scale that re-run would
-        # double the heaviest stage)
+        # merge lineage. The crawldb status counts ride THAT write via
+        # DataFrame.observe (CollectMetrics on the written plan) — no
+        # post-commit re-scan of the committed snapshot, one fewer
+        # Spark job per cycle (job-count probe in test_crawl_loop)
+        obs_db = Observation(f"cycle_{cycle_id}_db_status")
+        observed_db = newdb.observe(
+            obs_db,
+            F.count(F.lit(1)).alias("total"),
+            *[
+                F.sum((F.col("status") == code).cast("long")).alias(f"s{code}")
+                for code in _DB_STATUS_CODES
+            ],
+        )
         snap = self.catalog.commit(
-            newdb, CRAWLDB, now_ms=now_ms,
+            observed_db, CRAWLDB, now_ms=now_ms,
             lineage={
                 "stage": "updatedb",
                 "cycle_id": cycle_id,
@@ -216,15 +244,19 @@ class Crawler:
                 "generated": generated,
                 "fetched": fetched,
                 "virtual_makespan_ms": int(makespan - now_ms),
+                "fetch_status_counts": fetch_status_counts,
             },
             expected_parent=parent,
         )
-        committed = self.catalog.read(self.spark, CRAWLDB, snap.snapshot_id)
+        # the write completed, so the observed metrics are available
+        # immediately (get would otherwise block)
+        _db_row = obs_db.get
         status_counts = {
-            STATUS_NAMES.get(r["status"], str(r["status"])): r["count"]
-            for r in committed.groupBy("status").count().collect()
+            STATUS_NAMES.get(code, str(code)): int(_db_row[f"s{code}"])
+            for code in _DB_STATUS_CODES
+            if _db_row[f"s{code}"]
         }
-        db_size = sum(status_counts.values())
+        db_size = int(_db_row["total"])
         self.catalog.update_snapshot_metrics(
             CRAWLDB, snap.snapshot_id, {"db_status_counts": status_counts}
         )

@@ -49,6 +49,42 @@ def test_end_to_end_crawl(spark, web, tmp_path):
     snaps = cat.snapshots("crawldb")
     assert snaps[-1].lineage["stage"] == "updatedb"
     assert snaps[-1].metrics["fetched"] == r2.fetched
+    # fetcher counter table rides the single segment agg
+    fsc = snaps[-1].metrics["fetch_status_counts"]
+    assert sum(fsc.values()) == r2.fetched
+    # observed db_status_counts equal a direct recount of the snapshot
+    recount = {
+        S.STATUS_NAMES[r["status"]]: r["n"]
+        for r in db.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert snaps[-1].metrics["db_status_counts"] == recount
+    assert r2.status_counts == recount and r2.db_size == sum(recount.values())
+
+
+def test_cycle_metrics_ride_the_commit_write(spark, web, tmp_path):
+    """Round-5 contract (SURVEY §4 counters via observe): the per-cycle
+    db status counts are CollectMetrics on the committed write — the
+    committed snapshot is never re-read inside run_cycle (the round-4
+    code re-scanned it with a groupBy/count job)."""
+    crawler, cat = make_crawler(spark, web, tmp_path)
+    crawler.inject(web["seeds"], START)
+    reads = []
+    orig_read = SnapshotCatalog.read
+
+    def counting_read(self, spark_, table, snapshot_id=None):
+        reads.append((table, snapshot_id))
+        return orig_read(self, spark_, table, snapshot_id)
+
+    SnapshotCatalog.read = counting_read
+    try:
+        res = crawler.run_cycle(1, START + 3_600_000, top_n=100)
+    finally:
+        SnapshotCatalog.read = orig_read
+    # exactly one catalog read: the cycle's input crawldb; metrics came
+    # from the observation, not a post-commit scan
+    assert reads == [("crawldb", None)]
+    assert res.db_size == cat.read(spark, "crawldb").count()
+    assert sum(res.status_counts.values()) == res.db_size
 
 
 def test_resume_from_snapshot_is_deterministic(spark, web, tmp_path):
