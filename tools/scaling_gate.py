@@ -58,10 +58,16 @@ def window_ok(rec: dict, gate: float, min_gbps: float) -> bool:
     if "error" in rec:
         return False
     paired = rec.get("efficiency_paired") or []
-    # a >1.0 paired reading means the 1-thread sample was itself
-    # contended — not evidence of a healthy window
-    good = [p for p in paired if gate <= p <= 1.3]
-    return bool(good) and rec.get("gbps_4_best", 0) >= min_gbps
+    # a paired reading over ~1 means the 1-thread sample was itself
+    # contended (the ratio inflates when the denominator collapses) —
+    # not evidence of a healthy window; likewise require the 1-thread
+    # side to be in its uncontended band
+    good = [p for p in paired if gate <= p <= 1.05]
+    return (
+        bool(good)
+        and rec.get("gbps_4_best", 0) >= min_gbps
+        and rec.get("gbps_1_best", 0) >= 14.0
+    )
 
 
 def run_pair(tag: str) -> dict | None:
