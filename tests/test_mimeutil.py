@@ -172,6 +172,63 @@ def test_column_twin_agrees_with_python(spark):
             assert got[i] == want, (magic, ct, url, data, want, got[i])
 
 
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_MAGIC_SEEDS = [
+    b"", b"\x1f\x8b\x08", b"PK\x03\x04", b"%PDF-1.7", b"\x89PNG\r\n\x1a\n",
+    b"GIF89a", b"<!doctype html><p>", b"<HTML>", b"\xef\xbb\xbf<html>",
+    b"<?xml version='1.0'?><rss>", b"<?xml?><feed>", b"{\"json\": 1}",
+    b"\x00\x01binary", b"WARC/1.0",
+]
+_payload = st.one_of(
+    st.binary(max_size=64),
+    st.tuples(st.sampled_from(_MAGIC_SEEDS), st.binary(max_size=32)).map(
+        lambda t: t[0] + t[1]
+    ),
+)
+_header = st.one_of(
+    st.none(),
+    st.sampled_from([
+        "", "text/html", "text/plain; charset=utf-8", "application/xml",
+        "text/css", "application/msword", "image/png", "bogus/type",
+        "application/octet-stream", ";;", "text/HTML ; x=y",
+    ]),
+    st.text(alphabet=list("abctext/html;= "), max_size=20),
+)
+_url = st.builds(
+    lambda stem, ext: f"http://h.example.com/{stem}{ext}",
+    st.text(alphabet=list("abc012"), max_size=8),
+    st.sampled_from(["", ".html", ".xml", ".csv", ".doc", ".gz", ".png", ".q"]),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_header, _url, _payload), min_size=1, max_size=30))
+def test_prop_twin_agreement(spark, rows):
+    """Fuzz parity: the JVM column twin and the Python scalar must
+    agree on arbitrary (header, url, payload) triples — magic on AND
+    off — including junk headers, BOMs, truncated magics and binary
+    soup."""
+    df = spark.createDataFrame(
+        [(i, ct, url, data) for i, (ct, url, data) in enumerate(rows)],
+        "i int, ct string, url string, content binary",
+    )
+    for magic in (True, False):
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i",
+                auto_resolve_mime_col(
+                    F.col("ct"), F.col("url"), F.col("content"), mime_magic=magic
+                ).alias("m"),
+            ).collect()
+        }
+        for i, (ct, url, data) in enumerate(rows):
+            want = auto_resolve_content_type(ct, url, data, mime_magic=magic)
+            assert got[i] == want, (magic, ct, url, data, want, got[i])
+
+
 def test_magic_mime_hint_priority():
     """Content-type hint outranks the URL hint when both specialize a
     generic match (Tika's metadata-hint order)."""
