@@ -128,7 +128,12 @@ def main() -> int:
         print(json.dumps({"poll": rec, "ok": ok, "consecutive": consecutive}),
               flush=True)
         if consecutive >= 2:
-            tag = tags[attempts]
+            # skip tags whose artifacts exist (a re-armed gate process
+            # must not overwrite a previous attempt's committed files)
+            tag = next(
+                t for t in tags
+                if not (REPO / f"BENCH/scaling_details_r5{t}.json").exists()
+            )
             attempts += 1
             consecutive = 0
             print(f"window healthy — launching pinned pair r5{tag}", flush=True)
